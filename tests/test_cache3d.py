@@ -1,0 +1,170 @@
+"""Golden tests: 3D cache render/update vs reference Cache3D (torch CPU)."""
+
+import numpy as np
+import torch
+
+import jax.numpy as jnp
+
+from gen3c_tpu.cache import Cache3DBuffer, Cache3DBufferSelector, Cache4D
+from tests.reference_oracle import load_reference_geometry
+from tests.test_geometry import _rand_scene
+
+fwu, cam_utils, cache_3d = load_reference_geometry()
+
+
+def _psnr(a, b, peak=2.0):
+    mse = np.mean((a - b) ** 2)
+    return 10 * np.log10(peak**2 / max(mse, 1e-12))
+
+
+def _targets(k, n_frames=3):
+    # include rotation + x/y translation: pure-axis moves put projected
+    # points exactly on integer pixel rows, where the reference splat
+    # double-counts (floor==ceil) and parity is fp-noise-sensitive.
+    w2cs, ks = [], []
+    for i in range(n_frames):
+        th = 0.02 * i
+        m = np.array(
+            [
+                [np.cos(th), 0, np.sin(th), 0.05 * i],
+                [0, 1, 0, 0.03 * i],
+                [-np.sin(th), 0, np.cos(th), 0],
+                [0, 0, 0, 1],
+            ],
+            np.float32,
+        )
+        w2cs.append(m)
+        ks.append(k[0])
+    return np.stack(w2cs)[None], np.stack(ks)[None]
+
+
+def test_cache3d_buffer_render_matches_reference():
+    image, depth, k, w2c, _ = _rand_scene(b=1, smooth_depth=True)
+    t_w2cs, t_ks = _targets(k)
+
+    ref_cache = cache_3d.Cache3D_Buffer(
+        frame_buffer_max=2,
+        noise_aug_strength=0.0,
+        input_image=torch.from_numpy(image),
+        input_depth=torch.from_numpy(depth),
+        input_w2c=torch.from_numpy(w2c),
+        input_intrinsics=torch.from_numpy(k),
+        device="cpu",
+        weight_dtype=torch.float32,
+    )
+    ref_px, ref_mask = ref_cache.render_cache(
+        torch.from_numpy(t_w2cs), torch.from_numpy(t_ks)
+    )
+
+    ours = Cache3DBuffer(
+        frame_buffer_max=2,
+        noise_aug_strength=0.0,
+        input_image=jnp.asarray(image),
+        input_depth=jnp.asarray(depth),
+        input_w2c=jnp.asarray(w2c),
+        input_intrinsics=jnp.asarray(k),
+    )
+    px, mask = ours.render_cache(jnp.asarray(t_w2cs), jnp.asarray(t_ks))
+
+    assert px.shape == tuple(ref_px.shape), (px.shape, ref_px.shape)
+    assert np.mean(np.asarray(mask) != ref_mask.numpy()) < 0.01
+    assert _psnr(np.asarray(px), ref_px.numpy()) > 35.0
+
+
+def test_cache3d_update_and_rerender():
+    image, depth, k, w2c, w2c_tgt = _rand_scene(b=1, smooth_depth=True)
+    ours = Cache3DBuffer(
+        frame_buffer_max=2,
+        input_image=jnp.asarray(image),
+        input_depth=jnp.asarray(depth),
+        input_w2c=jnp.asarray(w2c),
+        input_intrinsics=jnp.asarray(k),
+    )
+    assert ours.input_image.shape[2] == 1
+    new_img = jnp.asarray(image * 0.5)
+    new_depth = jnp.asarray(depth * 1.2)
+    ours.update_cache(
+        new_img,
+        new_depth,
+        jnp.asarray(w2c_tgt),
+        new_intrinsics=jnp.asarray(k),
+        depth_alignment=True,
+        alignment_method="rigid",
+    )
+    assert ours.input_image.shape[2] == 2  # ring buffer grew
+    t_w2cs, t_ks = _targets(k)
+    px, mask = ours.render_cache(jnp.asarray(t_w2cs), jnp.asarray(t_ks))
+    assert px.shape == (1, 3, 2, 3, 24, 32)
+    assert np.isfinite(np.asarray(px)).all()
+
+
+def test_buffer_selector_picks_best_overlap():
+    # two source frames: one facing the targets, one far off to the side
+    image, depth, k, w2c, _ = _rand_scene(b=1, smooth_depth=True)
+    far = np.eye(4, dtype=np.float32)
+    far[0, 3] = 50.0  # way off — warps out of frame
+    images = np.stack([image[0], image[0] * 0.3])[None]  # (1,2,C,H,W) as N dim
+    depths = np.stack([depth[0], depth[0]])[None]
+    w2cs = np.stack([w2c[0], far])[None]
+    ks = np.stack([k[0], k[0]])[None]
+
+    sel = Cache3DBufferSelector(
+        frame_buffer_max=1,
+        input_image=jnp.asarray(images),
+        input_depth=jnp.asarray(depths),
+        input_w2c=jnp.asarray(w2cs),
+        input_intrinsics=jnp.asarray(ks),
+        input_format=["B", "N", "C", "H", "W"],
+    )
+    t_w2cs, t_ks = _targets(k)
+    px, mask = sel.render_cache(jnp.asarray(t_w2cs), jnp.asarray(t_ks))
+    assert px.shape[2] == 1  # selected top-1 buffer
+    # selected buffer must be the on-axis one => decent coverage
+    assert np.asarray(mask).mean() > 0.5
+
+    # reference comparison
+    ref_sel = cache_3d.Cache3D_BufferSelector(
+        frame_buffer_max=1,
+        input_image=torch.from_numpy(images),
+        input_depth=torch.from_numpy(depths),
+        input_w2c=torch.from_numpy(w2cs),
+        input_intrinsics=torch.from_numpy(ks),
+        input_format=["B", "N", "C", "H", "W"],
+        device="cpu",
+        weight_dtype=torch.float32,
+    )
+    ref_px, ref_mask = ref_sel.render_cache(
+        torch.from_numpy(t_w2cs), torch.from_numpy(t_ks)
+    )
+    assert _psnr(np.asarray(px), ref_px.numpy()) > 35.0
+
+
+def test_cache4d_per_frame_rendering():
+    # 3-frame dynamic cache; frame f renders from cache frame f
+    rng = np.random.RandomState(0)
+    image, depth, k, w2c, _ = _rand_scene(b=1, smooth_depth=True)
+    images = np.stack([image[0] * (1 - 0.3 * f) for f in range(3)])[None]
+    depths = np.stack([depth[0]] * 3)[None]
+    w2cs = np.stack([w2c[0]] * 3)[None]
+    ks = np.stack([k[0]] * 3)[None]
+    c4 = Cache4D(
+        input_image=jnp.asarray(images),
+        input_depth=jnp.asarray(depths),
+        input_w2c=jnp.asarray(w2cs),
+        input_intrinsics=jnp.asarray(ks),
+        input_format=["B", "F", "C", "H", "W"],
+    )
+    t_w2cs, t_ks = _targets(k, n_frames=3)
+    px, _ = c4.render_cache(jnp.asarray(t_w2cs), jnp.asarray(t_ks))
+
+    ref = cache_3d.Cache4D(
+        input_image=torch.from_numpy(images),
+        input_depth=torch.from_numpy(depths),
+        input_w2c=torch.from_numpy(w2cs),
+        input_intrinsics=torch.from_numpy(ks),
+        input_format=["B", "F", "C", "H", "W"],
+        device="cpu",
+        weight_dtype=torch.float32,
+    )
+    ref_px, _ = ref.render_cache(torch.from_numpy(t_w2cs), torch.from_numpy(t_ks))
+    assert _psnr(np.asarray(px), ref_px.numpy()) > 35.0
