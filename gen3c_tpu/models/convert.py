@@ -1,0 +1,120 @@
+"""PyTorch -> JAX weight conversion for GeneralDIT checkpoints.
+
+Maps the reference state-dict naming (reference: general_dit.py:147-213,
+blocks.py, attention.py) onto the gen3c_tpu.models.dit parameter pytree:
+
+  torch key                                      -> pytree path
+  x_embedder.proj.1.weight        (D, Cin)       -> x_embedder.w  (Cin, D)
+  t_embedder.1.linear_1.weight    (D, D)         -> t_embedder.linear_1.w
+  t_embedder.1.linear_2.weight    (3D, D)        -> t_embedder.linear_2.w
+  affline_norm.weight             (D,)           -> affline_norm.scale
+  extra_pos_embedder.pos_emb_{t,h,w}  (len, D)   -> extra_pos_emb.{t,h,w}
+  blocks.block{i}.blocks.0.*  (full attention)   -> blocks[i].fa.*
+  blocks.block{i}.blocks.1.*  (cross attention)  -> blocks[i].ca.*
+  blocks.block{i}.blocks.2.*  (MLP)              -> blocks[i].mlp.*
+    .block.attn.to_q.0.weight   (D, D)           ->   q.w (transposed)
+    .block.attn.to_q.1.weight   (head_dim,)      ->   q_norm.scale
+    .block.attn.to_k.0.weight   (D, ctx)         ->   k.w (transposed)
+    .block.attn.to_k.1.weight   (head_dim,)      ->   k_norm.scale
+    .block.attn.to_v.0.weight                    ->   v.w (transposed)
+    .block.attn.to_out.0.weight (D, D)           ->   out.w (transposed)
+    .block.layer1.weight        (4D, D)          ->   fc1.w (transposed)
+    .block.layer2.weight        (D, 4D)          ->   fc2.w (transposed)
+    .adaLN_modulation.1.weight  (lora, D)        ->   adaln.w1 (transposed)
+    .adaLN_modulation.2.weight  (3D, lora)       ->   adaln.w2 (transposed)
+  final_layer.linear.weight                      -> final.linear.w
+  final_layer.adaLN_modulation.{1,2}.weight      -> final.adaln.{w1,w2}
+
+TransformerEngine "_extra_state" keys (FP8 metadata) and the logvar head
+are skipped, mirroring non_strict_load_model (inference_utils.py:217-292).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Mapping
+
+import jax.numpy as jnp
+import numpy as np
+
+from gen3c_tpu.models.dit import DiTConfig
+
+
+def _t(x) -> np.ndarray:
+    return np.ascontiguousarray(np.asarray(x).T)
+
+
+def _a(x) -> np.ndarray:
+    return np.asarray(x)
+
+
+def convert_dit_state_dict(
+    state_dict: Mapping[str, Any], cfg: DiTConfig, dtype=jnp.float32
+) -> Dict[str, Any]:
+    """Convert a (numpy-valued) reference DiT state dict to a param pytree.
+
+    Accepts keys with or without a leading "net." prefix; values may be
+    torch tensors (must implement __array__) or numpy arrays.
+    """
+    sd = {}
+    for k, v in state_dict.items():
+        if "_extra_state" in k or k.startswith("logvar"):
+            continue
+        if k.startswith("net."):
+            k = k[len("net.") :]
+        sd[k] = v
+
+    def get(key):
+        return sd[key]
+
+    def attn(prefix):
+        out = {
+            "q": {"w": _t(get(f"{prefix}.to_q.0.weight"))},
+            "k": {"w": _t(get(f"{prefix}.to_k.0.weight"))},
+            "v": {"w": _t(get(f"{prefix}.to_v.0.weight"))},
+            "out": {"w": _t(get(f"{prefix}.to_out.0.weight"))},
+            "q_norm": {"scale": _a(get(f"{prefix}.to_q.1.weight"))},
+            "k_norm": {"scale": _a(get(f"{prefix}.to_k.1.weight"))},
+        }
+        return out
+
+    def adaln(prefix):
+        return {
+            "w1": _t(get(f"{prefix}.1.weight")),
+            "w2": _t(get(f"{prefix}.2.weight")),
+        }
+
+    blocks = []
+    for i in range(cfg.num_blocks):
+        base = f"blocks.block{i}.blocks"
+        fa = attn(f"{base}.0.block.attn")
+        fa["adaln"] = adaln(f"{base}.0.adaLN_modulation")
+        ca = attn(f"{base}.1.block.attn")
+        ca["adaln"] = adaln(f"{base}.1.adaLN_modulation")
+        mlp = {
+            "fc1": {"w": _t(get(f"{base}.2.block.layer1.weight"))},
+            "fc2": {"w": _t(get(f"{base}.2.block.layer2.weight"))},
+            "adaln": adaln(f"{base}.2.adaLN_modulation"),
+        }
+        blocks.append({"fa": fa, "ca": ca, "mlp": mlp})
+
+    params = {
+        "x_embedder": {"w": _t(get("x_embedder.proj.1.weight"))},
+        "t_embedder": {
+            "linear_1": {"w": _t(get("t_embedder.1.linear_1.weight"))},
+            "linear_2": {"w": _t(get("t_embedder.1.linear_2.weight"))},
+        },
+        "affline_norm": {"scale": _a(get("affline_norm.weight"))},
+        "extra_pos_emb": {
+            "t": _a(get("extra_pos_embedder.pos_emb_t")),
+            "h": _a(get("extra_pos_embedder.pos_emb_h")),
+            "w": _a(get("extra_pos_embedder.pos_emb_w")),
+        },
+        "blocks": blocks,
+        "final": {
+            "linear": {"w": _t(get("final_layer.linear.weight"))},
+            "adaln": adaln("final_layer.adaLN_modulation"),
+        },
+    }
+    import jax
+
+    return jax.tree.map(lambda x: jnp.asarray(x, dtype), params)

@@ -1,0 +1,502 @@
+"""GeneralDIT: the Cosmos 7B video diffusion transformer, TPU-native.
+
+Functional JAX re-design of the reference network (reference:
+cosmos_predict1/diffusion/networks/general_dit.py,
+module/{blocks,attention,position_embedding}.py). Architecture parity:
+
+  * PatchEmbed: reshape + single matmul, patch 2x2x1, no bias
+    (blocks.py:126-186); channel order of the flattened patch is
+    (c, t_patch, h_patch, w_patch).
+  * Timestep embedding: sincos [cos|sin] halves (blocks.py:33-51); with
+    AdaLN-LoRA the affine embedding fed to blocks is the *raw sincos*
+    (blocks.py:68-80) RMS-normalized by affline_norm (general_dit.py:173-177),
+    while the 2-layer MLP output becomes the shared LoRA 3D term.
+  * 28 transformer blocks, each FA -> CA -> MLP (GeneralDITTransformerBlock,
+    blocks.py:478-558); per-sub-block AdaLN: SiLU -> Linear(D,256) ->
+    Linear(256,3D), plus the shared LoRA term, chunked into
+    (shift, scale, gate) (blocks.py:419-475).
+  * Attention: per-head RMSNorm on q and k (qkv_norm "RRI",
+    attention.py:141-313), 3D RoPE on self-attention only, softmax scale
+    1/sqrt(head_dim); MLP = Linear -> GELU -> Linear, ratio 4.
+  * 3D RoPE (position_embedding.py:85-187): head_dim split
+    dim_h = dim_w = head_dim//6*2, dim_t = rest; NTK factors
+    ratio^(dim/(dim-2)); angle table layout [t|h|w|t|h|w] with
+    GPT-NeoX-style rotate-half application (TE fused rope parity).
+  * Learnable per-axis absolute pos-emb, L2-RMS-normalized, added to the
+    tokens at the start of EVERY block (position_embedding.py:190-233,
+    blocks.py:547-548).
+  * FinalLayer: LN (no affine) + AdaLN(2 chunks, lora[:, :2D]) + linear
+    un-patchify (blocks.py:189-242, general_dit.py:328-358).
+
+TPU-first choices: tokens live as (B, L, D) with L = T*H*W (the
+reference's THWBD becomes a flat batched sequence); attention runs
+through the Pallas TPU flash kernel when available (XLA fallback
+elsewhere); everything is a pure function of a parameter pytree so pjit
+can shard it (see gen3c_tpu.parallel).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from functools import partial
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Array = jax.Array
+Params = Dict[str, Any]
+
+
+@dataclasses.dataclass(frozen=True)
+class DiTConfig:
+    """GeneralDIT hyper-parameters.
+
+    Defaults = FADITV2 7B (reference: diffusion/config/base/net.py:23-43)
+    with the GEN3C channel layout (config/inference/cosmos-1-diffusion-
+    gen3c.py:38-43).
+    """
+
+    max_img_h: int = 240
+    max_img_w: int = 240
+    max_frames: int = 128
+    in_channels: int = 16
+    out_channels: int = 16
+    patch_spatial: int = 2
+    patch_temporal: int = 1
+    model_channels: int = 4096
+    num_blocks: int = 28
+    num_heads: int = 32
+    mlp_ratio: float = 4.0
+    crossattn_emb_channels: int = 1024
+    adaln_lora_dim: int = 256
+    rope_h_extrapolation_ratio: float = 1.0
+    rope_w_extrapolation_ratio: float = 1.0
+    rope_t_extrapolation_ratio: float = 1.0
+    concat_padding_mask: bool = True
+    base_fps: int = 24
+    dtype: Any = jnp.bfloat16
+
+    @property
+    def head_dim(self) -> int:
+        return self.model_channels // self.num_heads
+
+    @property
+    def patch_in_dim(self) -> int:
+        c = self.in_channels + (1 if self.concat_padding_mask else 0)
+        return c * self.patch_spatial * self.patch_spatial * self.patch_temporal
+
+    @property
+    def len_h(self) -> int:
+        return self.max_img_h // self.patch_spatial
+
+    @property
+    def len_w(self) -> int:
+        return self.max_img_w // self.patch_spatial
+
+    @property
+    def len_t(self) -> int:
+        return self.max_frames // self.patch_temporal
+
+
+GEN3C_7B = DiTConfig(
+    in_channels=16 + 16 * 4 + 1,  # latent + 2 buffers x (rgb+mask) + cond mask
+    rope_t_extrapolation_ratio=2.0,
+)
+
+
+# ------------------------------ init ------------------------------
+
+
+def _xavier(key, shape, dtype):
+    fan_in, fan_out = shape[0], shape[1]
+    a = math.sqrt(6.0 / (fan_in + fan_out))
+    return jax.random.uniform(key, shape, dtype, -a, a)
+
+
+def init_dit_params(key: Array, cfg: DiTConfig, param_dtype=jnp.float32) -> Params:
+    """Initialize a parameter pytree (xavier linears, zero adaLN, trunc-
+    normal pos-emb — mirrors general_dit.py:180-203)."""
+    keys = iter(jax.random.split(key, 16 + cfg.num_blocks * 16))
+    D, L = cfg.model_channels, cfg.adaln_lora_dim
+    hd = cfg.head_dim
+
+    def lin(in_d, out_d):
+        return {"w": _xavier(next(keys), (in_d, out_d), param_dtype)}
+
+    def attn(ctx_dim):
+        return {
+            "q": lin(D, D),
+            "k": lin(ctx_dim, D),
+            "v": lin(ctx_dim, D),
+            "out": lin(D, D),
+            "q_norm": {"scale": jnp.ones((hd,), param_dtype)},
+            "k_norm": {"scale": jnp.ones((hd,), param_dtype)},
+            "adaln": {
+                "w1": _xavier(next(keys), (D, L), param_dtype),
+                "w2": jnp.zeros((L, 3 * D), param_dtype),
+            },
+        }
+
+    def mlp():
+        hidden = int(D * cfg.mlp_ratio)
+        return {
+            "fc1": lin(D, hidden),
+            "fc2": lin(hidden, D),
+            "adaln": {
+                "w1": _xavier(next(keys), (D, L), param_dtype),
+                "w2": jnp.zeros((L, 3 * D), param_dtype),
+            },
+        }
+
+    def trunc_normal(shape, std=0.02):
+        u = jax.random.truncated_normal(next(keys), -2.0, 2.0, shape, param_dtype)
+        return u * std
+
+    params = {
+        "x_embedder": lin(cfg.patch_in_dim, D),
+        "t_embedder": {
+            "linear_1": {"w": trunc_normal((D, D))},
+            "linear_2": {"w": trunc_normal((D, 3 * D))},
+        },
+        "affline_norm": {"scale": jnp.ones((D,), param_dtype)},
+        "extra_pos_emb": {
+            "t": trunc_normal((cfg.len_t, D)),
+            "h": trunc_normal((cfg.len_h, D)),
+            "w": trunc_normal((cfg.len_w, D)),
+        },
+        "blocks": [
+            {
+                "fa": attn(D),
+                "ca": attn(cfg.crossattn_emb_channels),
+                "mlp": mlp(),
+            }
+            for _ in range(cfg.num_blocks)
+        ],
+        "final": {
+            "linear": {
+                "w": jnp.zeros(
+                    (
+                        D,
+                        cfg.patch_spatial**2 * cfg.patch_temporal * cfg.out_channels,
+                    ),
+                    param_dtype,
+                )
+            },
+            "adaln": {
+                "w1": _xavier(next(keys), (D, L), param_dtype),
+                "w2": jnp.zeros((L, 2 * D), param_dtype),
+            },
+        },
+    }
+    return params
+
+
+# --------------------------- building blocks ---------------------------
+
+
+def _rms_norm(x: Array, scale: Array, eps: float = 1e-6) -> Array:
+    """TE-style RMSNorm: fp32 statistics, learnable scale."""
+    xf = x.astype(jnp.float32)
+    var = jnp.mean(xf * xf, axis=-1, keepdims=True)
+    out = xf * jax.lax.rsqrt(var + eps)
+    return (out * scale.astype(jnp.float32)).astype(x.dtype)
+
+
+def _layer_norm(x: Array, eps: float = 1e-6) -> Array:
+    """LayerNorm with no affine params, fp32 statistics."""
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.var(xf, axis=-1, keepdims=True)
+    return ((xf - mu) * jax.lax.rsqrt(var + eps)).astype(x.dtype)
+
+
+def _l2_rms_normalize(x: Array, eps: float = 1e-6) -> Array:
+    """The reference's `normalize` (attention.py:108-124) on the last dim:
+    x / (eps + ||x|| / sqrt(D))."""
+    xf = x.astype(jnp.float32)
+    norm = jnp.linalg.norm(xf, axis=-1, keepdims=True)
+    norm = eps + norm / math.sqrt(x.shape[-1])
+    return (xf / norm).astype(x.dtype)
+
+
+def timestep_sincos(timesteps: Array, num_channels: int) -> Array:
+    """Sincos features, [cos | sin] halves (blocks.py:33-51)."""
+    half = num_channels // 2
+    exponent = -math.log(10000.0) * jnp.arange(half, dtype=jnp.float32) / half
+    freqs = jnp.exp(exponent)
+    emb = timesteps.astype(jnp.float32)[:, None] * freqs[None, :]
+    return jnp.concatenate([jnp.cos(emb), jnp.sin(emb)], axis=-1)
+
+
+def rope_3d_table(cfg: DiTConfig, T: int, H: int, W: int,
+                  fps: Optional[float] = None) -> Tuple[Array, Array]:
+    """(cos, sin) tables of shape (T*H*W, head_dim), fp32.
+
+    Angle layout parity: VideoRopePosition3DEmb.generate_embeddings
+    (position_embedding.py:126-187): dims split t/h/w = rest/42/42 for
+    head_dim=128, NTK extrapolation theta = 10000 * ratio^(dim/(dim-2)),
+    table = concat([t, h, w] angles) duplicated twice.
+    """
+    d = cfg.head_dim
+    dim_h = d // 6 * 2
+    dim_w = dim_h
+    dim_t = d - 2 * dim_h
+
+    h_ntk = cfg.rope_h_extrapolation_ratio ** (dim_h / (dim_h - 2))
+    w_ntk = cfg.rope_w_extrapolation_ratio ** (dim_w / (dim_w - 2))
+    t_ntk = cfg.rope_t_extrapolation_ratio ** (dim_t / (dim_t - 2))
+
+    h_range = np.arange(0, dim_h, 2)[: dim_h // 2].astype(np.float64) / dim_h
+    t_range = np.arange(0, dim_t, 2)[: dim_t // 2].astype(np.float64) / dim_t
+    h_freqs = 1.0 / (10000.0 * h_ntk) ** h_range
+    w_freqs = 1.0 / (10000.0 * w_ntk) ** h_range
+    t_freqs = 1.0 / (10000.0 * t_ntk) ** t_range
+
+    t_scale = np.arange(T, dtype=np.float64)
+    if fps is not None:
+        t_scale = t_scale / fps * cfg.base_fps
+    half_t = np.outer(t_scale, t_freqs)  # (T, dim_t/2)
+    half_h = np.outer(np.arange(H, dtype=np.float64), h_freqs)
+    half_w = np.outer(np.arange(W, dtype=np.float64), w_freqs)
+
+    ang = np.concatenate(
+        [
+            np.broadcast_to(half_t[:, None, None, :], (T, H, W, half_t.shape[1])),
+            np.broadcast_to(half_h[None, :, None, :], (T, H, W, half_h.shape[1])),
+            np.broadcast_to(half_w[None, None, :, :], (T, H, W, half_w.shape[1])),
+        ],
+        axis=-1,
+    )  # (T,H,W,d/2)
+    ang = np.concatenate([ang, ang], axis=-1).reshape(T * H * W, d)
+    return jnp.asarray(np.cos(ang), jnp.float32), jnp.asarray(np.sin(ang), jnp.float32)
+
+
+def apply_rope(x: Array, cos: Array, sin: Array) -> Array:
+    """GPT-NeoX rotate-half RoPE. x: (B, L, heads, d); cos/sin: (L, d)."""
+    d = x.shape[-1]
+    x1, x2 = x[..., : d // 2], x[..., d // 2 :]
+    rot = jnp.concatenate([-x2, x1], axis=-1)
+    xf = x.astype(jnp.float32)
+    rotf = rot.astype(jnp.float32)
+    out = xf * cos[None, :, None, :] + rotf * sin[None, :, None, :]
+    return out.astype(x.dtype)
+
+
+def attention_op(q: Array, k: Array, v: Array) -> Array:
+    """Scaled dot-product attention. q: (B, Lq, h, d), k/v: (B, Lk, h, d).
+
+    Uses the Pallas TPU flash-attention kernel on TPU backends, XLA
+    attention elsewhere. Replaces the reference's TransformerEngine
+    DotProductAttention (attention.py:228-238).
+    """
+    scale = 1.0 / math.sqrt(q.shape[-1])
+    # Backend dispatch is a trace-time (static) decision.
+    use_flash = (
+        jax.default_backend() == "tpu"
+        and q.shape[1] % 128 == 0
+        and k.shape[1] % 128 == 0
+        and q.shape[-1] % 128 == 0
+    )
+    if use_flash:
+        from jax.experimental.pallas.ops.tpu.flash_attention import (
+            BlockSizes,
+            flash_attention,
+        )
+
+        qt = jnp.swapaxes(q, 1, 2)  # (B, h, L, d)
+        kt = jnp.swapaxes(k, 1, 2)
+        vt = jnp.swapaxes(v, 1, 2)
+        lq, lk = qt.shape[2], kt.shape[2]
+        bs = BlockSizes(
+            block_q=min(512, lq),
+            block_k_major=min(512, lk),
+            block_k=min(512, lk),
+            block_b=1,
+            block_q_major_dkv=min(512, lq),
+            block_k_major_dkv=min(512, lk),
+            block_k_dkv=min(512, lk),
+            block_q_dkv=min(512, lq),
+            block_k_major_dq=min(512, lk),
+            block_k_dq=min(512, lk),
+            block_q_dq=min(512, lq),
+        )
+        out = flash_attention(qt, kt, vt, causal=False, sm_scale=scale,
+                              block_sizes=bs)
+        return jnp.swapaxes(out, 1, 2)
+    # XLA fallback (CPU tests / small shapes)
+    logits = jnp.einsum("bqhd,bkhd->bhqk", q, k).astype(jnp.float32) * scale
+    probs = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+    return jnp.einsum("bhqk,bkhd->bqhd", probs, v)
+
+
+def _adaln_modulation(p: Params, emb: Array, lora: Array, n_chunks: int) -> Tuple:
+    """SiLU -> Linear(D,256) -> Linear(256,nD), + shared LoRA term, chunk."""
+    h = jax.nn.silu(emb.astype(jnp.float32))
+    h = h @ p["w1"].astype(jnp.float32)
+    h = h @ p["w2"].astype(jnp.float32)
+    h = h + lora[:, : h.shape[-1]].astype(jnp.float32)
+    return jnp.split(h, n_chunks, axis=-1)
+
+
+def _attn_block(
+    p: Params,
+    x: Array,
+    context: Optional[Array],
+    num_heads: int,
+    rope: Optional[Tuple[Array, Array]],
+) -> Array:
+    """Self- or cross-attention with per-head RMSNorm on q,k."""
+    B, L, D = x.shape
+    hd = D // num_heads
+    dtype = x.dtype
+    ctx = x if context is None else context
+    q = (x @ p["q"]["w"].astype(dtype)).reshape(B, L, num_heads, hd)
+    k = (ctx @ p["k"]["w"].astype(dtype)).reshape(B, ctx.shape[1], num_heads, hd)
+    v = (ctx @ p["v"]["w"].astype(dtype)).reshape(B, ctx.shape[1], num_heads, hd)
+    q = _rms_norm(q, p["q_norm"]["scale"])
+    k = _rms_norm(k, p["k_norm"]["scale"])
+    if context is None and rope is not None:
+        q = apply_rope(q, *rope)
+        k = apply_rope(k, *rope)
+    out = attention_op(q, k, v).reshape(B, L, D)
+    return out @ p["out"]["w"].astype(dtype)
+
+
+def _mlp_block(p: Params, x: Array) -> Array:
+    dtype = x.dtype
+    h = x @ p["fc1"]["w"].astype(dtype)
+    h = jax.nn.gelu(h, approximate=False)
+    return h @ p["fc2"]["w"].astype(dtype)
+
+
+def _modulated_residual(x, sub_out_fn, p_sub, emb, lora):
+    """x + gate * f(LN(x) * (1+scale) + shift)  (blocks.py:419-475)."""
+    shift, scale, gate = _adaln_modulation(p_sub["adaln"], emb, lora, 3)
+    dtype = x.dtype
+    normed = _layer_norm(x)
+    modded = (
+        normed.astype(jnp.float32) * (1 + scale[:, None, :]) + shift[:, None, :]
+    ).astype(dtype)
+    return x + gate[:, None, :].astype(dtype) * sub_out_fn(modded)
+
+
+# ------------------------------ forward ------------------------------
+
+
+def patchify(cfg: DiTConfig, params: Params, x: Array,
+             padding_mask: Optional[Array]) -> Array:
+    """(B, C, T, H, W) -> (B, T', H', W', D) tokens."""
+    B, C, T, H, W = x.shape
+    ps, pt = cfg.patch_spatial, cfg.patch_temporal
+    if cfg.concat_padding_mask:
+        if padding_mask is None:
+            padding_mask = jnp.zeros((B, H, W), x.dtype)
+        pm = jnp.broadcast_to(padding_mask[:, None, None, :, :], (B, 1, T, H, W))
+        x = jnp.concatenate([x, pm.astype(x.dtype)], axis=1)
+        C = C + 1
+    # b c (t r) (h m) (w n) -> b t h w (c r m n)
+    x = x.reshape(B, C, T // pt, pt, H // ps, ps, W // ps, ps)
+    x = x.transpose(0, 2, 4, 6, 1, 3, 5, 7)  # B t h w c r m n
+    x = x.reshape(B, T // pt, H // ps, W // ps, C * pt * ps * ps)
+    return x @ params["x_embedder"]["w"].astype(x.dtype)
+
+
+def unpatchify(cfg: DiTConfig, x: Array, T: int, H: int, W: int) -> Array:
+    """(B, T', H', W', p1*p2*t*C) -> (B, C, T, H, W) with channel layout
+    (p1, p2, t, C) (general_dit.py:348-357)."""
+    B = x.shape[0]
+    ps, pt = cfg.patch_spatial, cfg.patch_temporal
+    C = cfg.out_channels
+    x = x.reshape(B, T // pt, H // ps, W // ps, ps, ps, pt, C)
+    # -> B C (T t) (H p1) (W p2)
+    x = x.transpose(0, 7, 1, 6, 2, 4, 3, 5)  # B C T t H p1 W p2
+    return x.reshape(B, C, T, H, W)
+
+
+def dit_forward(
+    params: Params,
+    cfg: DiTConfig,
+    x: Array,  # (B, C, T, H, W)
+    timesteps: Array,  # (B,)
+    crossattn_emb: Array,  # (B, M, 1024)
+    fps: Optional[float] = None,
+    padding_mask: Optional[Array] = None,
+    rope_tables: Optional[Tuple[Array, Array]] = None,
+    extra_pos_emb: Optional[Array] = None,
+) -> Array:
+    """Full GeneralDIT forward. Returns (B, out_channels, T, H, W).
+
+    rope_tables / extra_pos_emb may be precomputed (e.g. CP-sharded by the
+    caller, mirroring position_embedding.py:61-79); by default they are
+    built for the full (T', H', W') token grid.
+    """
+    B, C, T, H, W = x.shape
+    dtype = cfg.dtype
+    x = x.astype(dtype)
+
+    tokens = patchify(cfg, params, x, padding_mask)  # (B,T',H',W',D)
+    Bt, Tp, Hp, Wp, D = tokens.shape
+    L = Tp * Hp * Wp
+    tokens = tokens.reshape(B, L, D)
+
+    if rope_tables is None:
+        rope_tables = rope_3d_table(cfg, Tp, Hp, Wp, fps=fps)
+    if extra_pos_emb is None:
+        extra_pos_emb = build_extra_pos_emb(params, Tp, Hp, Wp)
+    extra = extra_pos_emb.astype(dtype)
+    if extra.ndim == 4:  # (T,H,W,D) -> (1, L, D)
+        extra = extra.reshape(1, L, D)
+
+    # timestep embedding: affine emb = RMSNorm(sincos), lora = MLP output
+    sincos = timestep_sincos(timesteps.reshape(-1), D)  # (B, D) fp32
+    h = sincos @ params["t_embedder"]["linear_1"]["w"].astype(jnp.float32)
+    h = jax.nn.silu(h)
+    lora = h @ params["t_embedder"]["linear_2"]["w"].astype(jnp.float32)  # (B,3D)
+    emb = _rms_norm(sincos, params["affline_norm"]["scale"])  # (B, D) fp32
+
+    for blk in params["blocks"]:
+        tokens = tokens + extra
+        tokens = _modulated_residual(
+            tokens,
+            lambda t: _attn_block(blk["fa"], t, None, cfg.num_heads, rope_tables),
+            blk["fa"],
+            emb,
+            lora,
+        )
+        tokens = _modulated_residual(
+            tokens,
+            lambda t: _attn_block(
+                blk["ca"], t, crossattn_emb.astype(dtype), cfg.num_heads, None
+            ),
+            blk["ca"],
+            emb,
+            lora,
+        )
+        tokens = _modulated_residual(
+            tokens, lambda t: _mlp_block(blk["mlp"], t), blk["mlp"], emb, lora
+        )
+
+    # final layer (blocks.py:189-242)
+    fshift, fscale = _adaln_modulation(params["final"]["adaln"], emb, lora, 2)
+    normed = _layer_norm(tokens)
+    tokens = (
+        normed.astype(jnp.float32) * (1 + fscale[:, None, :]) + fshift[:, None, :]
+    ).astype(dtype)
+    tokens = tokens @ params["final"]["linear"]["w"].astype(dtype)
+    tokens = tokens.reshape(B, Tp, Hp, Wp, -1)
+    return unpatchify(cfg, tokens, T, H, W)
+
+
+def build_extra_pos_emb(params: Params, T: int, H: int, W: int) -> Array:
+    """Learnable per-axis pos emb, cropped + summed + RMS-normalized
+    (position_embedding.py:218-233). Returns (T, H, W, D) fp32."""
+    pe = params["extra_pos_emb"]
+    emb = (
+        pe["t"][:T, None, None, :]
+        + pe["h"][None, :H, None, :]
+        + pe["w"][None, None, :W, :]
+    )
+    return _l2_rms_normalize(emb)

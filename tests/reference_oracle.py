@@ -11,6 +11,117 @@ import types
 REFERENCE_ROOT = "/root/reference"
 
 
+def _stub(name: str) -> types.ModuleType:
+    if name not in sys.modules:
+        sys.modules[name] = types.ModuleType(name)
+    return sys.modules[name]
+
+
+def stub_cuda_stack():
+    """Stub warp / transformer_engine / megatron so that reference modules
+    import under torch-CPU. Only the pieces touched at import time."""
+    _stub("warp")
+    te = _stub("transformer_engine")
+    te_pt = _stub("transformer_engine.pytorch")
+    te_attn = _stub("transformer_engine.pytorch.attention")
+    import torch
+
+    class _RMSNorm(torch.nn.Module):
+        def __init__(self, dim, eps=1e-6):
+            super().__init__()
+            self.eps = eps
+            self.weight = torch.nn.Parameter(torch.ones(dim))
+
+        def forward(self, x):
+            xf = x.float()
+            var = xf.pow(2).mean(-1, keepdim=True)
+            return (xf * torch.rsqrt(var + self.eps) * self.weight.float()).to(
+                x.dtype
+            )
+
+    def _apply_rotary_pos_emb(t, freqs, tensor_format="sbhd", fused=True):
+        # GPT-NeoX rotate-half over the full head dim, fp32 math
+        # (TE apply_rotary_pos_emb parity for the duplicated-halves table).
+        cos = torch.cos(freqs).to(torch.float32)  # (L,1,1,D)
+        sin = torch.sin(freqs).to(torch.float32)
+        d = t.shape[-1]
+        t1, t2 = t[..., : d // 2], t[..., d // 2 :]
+        rot = torch.cat([-t2, t1], dim=-1)
+        return (t.float() * cos + rot.float() * sin).to(t.dtype)
+
+    class _DotProductAttention(torch.nn.Module):
+        def __init__(self, heads, dim_head, **kwargs):
+            super().__init__()
+            self.heads = heads
+            self.dim_head = dim_head
+
+        def forward(self, q, k, v, **kwargs):
+            # qkv_format sbhd: (S, B, H, D) -> out (S, B, H*D)
+            qb = q.permute(1, 2, 0, 3)
+            kb = k.permute(1, 2, 0, 3)
+            vb = v.permute(1, 2, 0, 3)
+            out = torch.nn.functional.scaled_dot_product_attention(qb, kb, vb)
+            s, b = q.shape[0], q.shape[1]
+            return out.permute(2, 0, 1, 3).reshape(s, b, -1)
+
+    te_pt.RMSNorm = _RMSNorm
+    te_pt.attention = te_attn
+    te.pytorch = te_pt
+    te_attn.DotProductAttention = _DotProductAttention
+    te_attn.apply_rotary_pos_emb = _apply_rotary_pos_emb
+
+    # bypass lazy-config (omegaconf/hydra not installed); only DataType and
+    # class definitions are needed from conditioner.py
+    if "cosmos_predict1.utils.lazy_config" not in sys.modules:
+        lc = types.ModuleType("cosmos_predict1.utils.lazy_config")
+        lc.instantiate = lambda cfg, *a, **k: cfg
+        lc.LazyCall = lambda target: (lambda **kw: {"_target_": target, **kw})
+        lc.LazyDict = dict
+        sys.modules["cosmos_predict1.utils.lazy_config"] = lc
+
+    # bypass the reference's loguru-based logger entirely
+    if "cosmos_predict1.utils.log" not in sys.modules:
+        log_stub = types.ModuleType("cosmos_predict1.utils.log")
+        for fn in ("info", "debug", "warning", "error", "critical", "success"):
+            setattr(log_stub, fn, lambda *a, **k: None)
+        sys.modules["cosmos_predict1.utils.log"] = log_stub
+
+    _stub("pynvml")
+
+    if "torchvision" not in sys.modules:
+        tv = _stub("torchvision")
+        tv_t = _stub("torchvision.transforms")
+        tv_f = _stub("torchvision.transforms.functional")
+
+        class _Interp:
+            NEAREST = "nearest"
+            BILINEAR = "bilinear"
+
+        def _resize(img, size, interpolation="nearest", **kw):
+            mode = "nearest" if interpolation == "nearest" else "bilinear"
+            added = False
+            if img.dim() == 3:
+                img, added = img[None], True
+            out = torch.nn.functional.interpolate(img.float(), size=size, mode=mode)
+            return (out[0] if added else out).to(img.dtype)
+
+        tv_f.resize = _resize
+        tv_t.functional = tv_f
+        tv_t.InterpolationMode = _Interp
+        tv.transforms = tv_t
+
+    mc = _stub("megatron")
+    mcore = _stub("megatron.core")
+
+    class _ParallelState:
+        @staticmethod
+        def is_initialized():
+            return False
+
+    mcore.parallel_state = _ParallelState()
+    mc.core = mcore
+
+
 def load_reference_geometry():
     if REFERENCE_ROOT not in sys.path:
         sys.path.insert(0, REFERENCE_ROOT)
