@@ -58,7 +58,8 @@ def _net_inputs(x_scaled: Array, condition: VideoExtendCondition) -> Array:
     ),
 )
 def generate_samples(
-    net_fn: Callable[[Array, Array, Array], Array],
+    net_fn: Callable[..., Array],
+    net_params,  # traced pytree passed through to net_fn
     init_noise: Array,  # (B, C, T, H, W) ~ N(0,1)
     augment_noise: Array,  # (B, C, T, H, W) — fixed across steps
     crossattn_cond: Array,  # (B, M, 1024)
@@ -75,8 +76,10 @@ def generate_samples(
 ) -> Array:
     """Run the full denoising loop; returns the final latent (B,C,T,H,W).
 
-    net_fn(x_in, c_noise_t, crossattn_emb) -> (B, C, T, H, W) raw DiT
-    output; x_in already carries the concatenated condition channels.
+    net_fn(net_params, x_in, c_noise_t, crossattn_emb) -> (B, C, T, H, W)
+    raw DiT output; x_in already carries the concatenated condition
+    channels. net_fn must be a stable (hashable) callable — it is a jit
+    static argument; net_params is traced.
     """
     sigmas = jnp.asarray(schedule.sigmas(num_steps))  # (num_steps+1,)
     c_noises = jnp.asarray(schedule.timesteps(num_steps))  # (num_steps,)
@@ -117,7 +120,9 @@ def generate_samples(
         )
         x_in = jnp.concatenate([x_cond, x_uncond], axis=0)
         t_in = jnp.broadcast_to(t[None], (2 * B,))
-        net_out = net_fn(x_in, t_in, crossattn_both).astype(jnp.float32)
+        net_out = net_fn(net_params, x_in, t_in, crossattn_both).astype(
+            jnp.float32
+        )
         out_cond, out_uncond = net_out[:B], net_out[B:]
         net_output = out_cond + guidance * (out_cond - out_uncond)
 

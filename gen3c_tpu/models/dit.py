@@ -101,6 +101,10 @@ class DiTConfig:
         return self.max_frames // self.patch_temporal
 
 
+# DiTConfig is hashable + frozen: register as a static pytree node so it
+# can ride inside traced argument pytrees (e.g. the sampler's net_params).
+jax.tree_util.register_static(DiTConfig)
+
 GEN3C_7B = DiTConfig(
     in_channels=16 + 16 * 4 + 1,  # latent + 2 buffers x (rgb+mask) + cond mask
     rope_t_extrapolation_ratio=2.0,

@@ -1,0 +1,197 @@
+"""DiffusionGen3CModel: the GEN3C denoiser wrapper, TPU-native.
+
+Parity target: cosmos_predict1/diffusion/model/model_gen3c.py (+ the
+model_t2w/v2w base classes it inherits):
+
+  * encode/decode scale latents by sigma_data=0.5 (model_t2w.py:123-145)
+  * encode_warped_frames: per-buffer VAE encode of the warped RGB video
+    and its mask video (mask*2-1, repeated to 3 channels), 16+16 latent
+    channels per buffer, zero-padded to frame_buffer_max buffers
+    (model_gen3c.py:32-57)
+  * generate_samples_from_batch: EDM-Euler loop with CFG and
+    conditioned-region replacement (model_v2w.py:84-155), via
+    gen3c_tpu.diffusion.sampler (whole loop in one jit)
+  * condition-latent creation: last k seed frames zero-padded to the
+    121-frame pixel chunk, then encoded (inference_utils.py:696-758)
+  * num-latent-frame arithmetic (inference_utils.py:667-694)
+
+The CFG condition broadcast of the reference (broadcast_condition,
+NCCL) is unnecessary here: conditions are replicated by sharding
+annotations when a mesh is active (gen3c_tpu.parallel).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gen3c_tpu.diffusion.sampler import arch_invariant_randn, generate_samples
+from gen3c_tpu.diffusion.scheduler import EDMEulerSchedule
+from gen3c_tpu.models.dit import DiTConfig, dit_forward
+from gen3c_tpu.models.vae import VideoTokenizer
+
+Array = jax.Array
+
+DEFAULT_AUGMENT_SIGMA = 0.001
+
+
+def _dit_net_fn(bundle, x, t, ctx):
+    """Stable net_fn for the jitted sampler. bundle = (params, cfg-free)."""
+    params, cfg = bundle
+    return dit_forward(params, cfg, x, t, ctx, fps=24.0)
+
+
+@dataclasses.dataclass
+class Gen3CModel:
+    """GEN3C-Cosmos-7B wrapper: DiT + tokenizer + schedule."""
+
+    dit_params: dict
+    dit_cfg: DiTConfig
+    tokenizer: VideoTokenizer
+    sigma_data: float = 0.5
+    frame_buffer_max: int = 2
+    chunk_size: int = 121  # pixel frames per diffusion call (model_gen3c.py:30)
+    state_shape: Tuple[int, int, int, int] = (16, 16, 88, 160)
+    schedule: EDMEulerSchedule = dataclasses.field(
+        default_factory=EDMEulerSchedule
+    )
+
+    def __post_init__(self):
+        # stable closure identity so the jitted sampler doesn't retrace
+        self._net_fn = _dit_net_fn
+
+    # ----- tokenizer plumbing (model_t2w.py:123-145) -----
+
+    def encode(self, state: Array) -> Array:
+        return self.tokenizer.encode(state) * self.sigma_data
+
+    def decode(self, latent: Array) -> Array:
+        return self.tokenizer.decode(latent / self.sigma_data)
+
+    # ----- latent frame arithmetic (inference_utils.py:667-694) -----
+
+    def compute_num_latent_frames(self, num_input_frames: int) -> int:
+        pcd = self.tokenizer.pixel_chunk_duration
+        lcd = self.tokenizer.latent_chunk_duration
+        n = num_input_frames // pcd * lcd
+        rem = num_input_frames % lcd
+        if rem == 1:
+            n += 1
+        elif rem > 1:
+            n += 1 + (num_input_frames % pcd - 1) // 8
+        return n
+
+    # ----- condition latent (inference_utils.py:696-758) -----
+
+    def create_condition_latent_from_input_frames(
+        self, input_frames: Array, num_frames_condition: int = 1
+    ) -> Array:
+        """Last num_frames_condition frames -> zero-pad to the pixel chunk
+        -> encode. input_frames: (B, 3, T, H, W) in [-1, 1]."""
+        B, C, T, H, W = input_frames.shape
+        num_frames_encode = self.tokenizer.pixel_chunk_duration
+        assert T >= num_frames_condition
+        cond = input_frames[:, :, -num_frames_condition:]
+        pad = jnp.zeros(
+            (B, C, num_frames_encode - num_frames_condition, H, W),
+            input_frames.dtype,
+        )
+        return self.encode(jnp.concatenate([cond, pad], axis=2))
+
+    # ----- warped-buffer conditioning (model_gen3c.py:32-57) -----
+
+    def encode_warped_frames(
+        self, condition_state: Array, condition_state_mask: Array
+    ) -> Array:
+        """(B, F, N, C, H, W) warped RGB + (B, F, N, 1, H, W) masks ->
+        (B, 16*2*frame_buffer_max, T_latent, H/8, W/8) pose latent."""
+        assert condition_state.ndim == 6
+        B, F, N = condition_state.shape[:3]
+        mask3 = jnp.repeat(condition_state_mask * 2.0 - 1.0, 3, axis=3)
+        latents = []
+        for i in range(N):
+            video = jnp.transpose(condition_state[:, :, i], (0, 2, 1, 3, 4))
+            mvideo = jnp.transpose(mask3[:, :, i], (0, 2, 1, 3, 4))
+            latents.append(self.encode(video))
+            latents.append(self.encode(mvideo))
+        for _ in range(self.frame_buffer_max - N):
+            latents.append(jnp.zeros_like(latents[-2]))
+            latents.append(jnp.zeros_like(latents[-1]))
+        return jnp.concatenate(latents, axis=1)
+
+    # ----- sampling (model_v2w.py:84-155 + model_gen3c conditioning) -----
+
+    def generate_samples(
+        self,
+        t5_embeddings: Array,  # (B, 512, 1024)
+        condition_latent: Array,  # (B, 16, T, H, W) (sigma_data-scaled)
+        condition_state: Array,  # (B, F, N, 3, H, W) warped buffers
+        condition_state_mask: Array,  # (B, F, N, 1, H, W)
+        num_condition_t: int = 1,
+        guidance: float = 1.0,
+        num_steps: int = 35,
+        seed: int = 1,
+        neg_t5_embeddings: Optional[Array] = None,
+        condition_augment_sigma: float = DEFAULT_AUGMENT_SIGMA,
+        init_noise: Optional[np.ndarray] = None,
+    ) -> Array:
+        """Run the full GEN3C denoise; returns latent (B, 16, T, H', W')."""
+        from gen3c_tpu.models.conditioner import make_condition_pair
+
+        pose_latent = self.encode_warped_frames(
+            condition_state, condition_state_mask
+        )
+
+        B = condition_latent.shape[0]
+        state_shape = tuple(self.state_shape)
+        if condition_latent.shape[2] < state_shape[1]:
+            pad_t = state_shape[1] - condition_latent.shape[2]
+            condition_latent = jnp.concatenate(
+                [
+                    condition_latent,
+                    jnp.zeros(
+                        condition_latent.shape[:2]
+                        + (pad_t,)
+                        + condition_latent.shape[3:],
+                        condition_latent.dtype,
+                    ),
+                ],
+                axis=2,
+            )
+
+        cond, uncond = make_condition_pair(
+            condition_latent,
+            t5_embeddings,
+            num_condition_t,
+            pose_latent=pose_latent,
+            neg_t5_embeddings=neg_t5_embeddings,
+        )
+
+        if init_noise is None:
+            init_noise = np.random.RandomState(seed).standard_normal(
+                (B,) + state_shape
+            ).astype(np.float32)
+        augment_noise = arch_invariant_randn((B,) + state_shape, seed)
+
+        return generate_samples(
+            net_fn=self._net_fn,
+            net_params=(self.dit_params, self.dit_cfg),
+            init_noise=jnp.asarray(init_noise),
+            augment_noise=jnp.asarray(augment_noise),
+            crossattn_cond=cond.crossattn_emb,
+            crossattn_uncond=uncond.crossattn_emb,
+            gt_latent=cond.gt_latent,
+            condition_video_indicator=cond.condition_video_indicator,
+            condition_video_input_mask=cond.condition_video_input_mask,
+            pose_latent_cond=cond.condition_video_pose,
+            pose_latent_uncond=uncond.condition_video_pose,
+            num_steps=num_steps,
+            guidance=guidance,
+            condition_augment_sigma=condition_augment_sigma,
+            schedule=self.schedule,
+        )

@@ -1,0 +1,189 @@
+"""Model presets + construction (config-registry replacement).
+
+Replaces the reference's hydra ConfigStore experiment nodes
+(reference: diffusion/config/registry.py:30-97, config/inference/
+cosmos-1-diffusion-gen3c.py:22-54) with plain dataclass presets and a
+factory. "gen3c_7b" is the GEN3C_Cosmos_7B experiment; "gen3c_tiny" is a
+scaled-down twin for tests/smoke runs (same topology, tiny dims), the
+pattern the reference uses in its own unit tests (lora_attn_test.py).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Any, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from gen3c_tpu.models.dit import DiTConfig
+from gen3c_tpu.models.gen3c import Gen3CModel
+from gen3c_tpu.models.vae import CV8x8x8, VAEConfig, VideoTokenizer
+from gen3c_tpu.utils import log
+
+
+@dataclasses.dataclass(frozen=True)
+class Gen3CPreset:
+    name: str
+    dit: DiTConfig
+    vae: VAEConfig
+    height: int
+    width: int
+    chunk_size: int  # pixel frames per diffusion call
+    frame_buffer_max: int = 2
+
+    @property
+    def state_shape(self) -> Tuple[int, int, int, int]:
+        lat_t = (self.chunk_size - 1) // self.vae.temporal_compression + 1
+        return (
+            self.vae.latent_channels,
+            lat_t,
+            self.height // self.vae.spatial_compression,
+            self.width // self.vae.spatial_compression,
+        )
+
+
+GEN3C_7B_PRESET = Gen3CPreset(
+    name="gen3c_7b",
+    dit=DiTConfig(
+        in_channels=16 + 16 * 4 + 1,
+        rope_t_extrapolation_ratio=2.0,
+    ),
+    vae=CV8x8x8,
+    height=704,
+    width=1280,
+    chunk_size=121,
+)
+
+GEN3C_TINY_PRESET = Gen3CPreset(
+    name="gen3c_tiny",
+    dit=DiTConfig(
+        in_channels=16 + 16 * 4 + 1,
+        model_channels=96,
+        num_blocks=2,
+        num_heads=4,
+        adaln_lora_dim=8,
+        crossattn_emb_channels=1024,
+        rope_t_extrapolation_ratio=2.0,
+        dtype=jnp.float32,
+    ),
+    vae=VAEConfig(
+        channels=16,
+        channels_mult=(2, 4, 4),
+        num_res_blocks=1,
+        attn_resolutions=(),
+        resolution=256,
+        patch_size=4,
+        latent_channels=16,
+        z_channels=16,
+    ),
+    height=96,
+    width=160,
+    chunk_size=9,
+)
+
+PRESETS = {p.name: p for p in (GEN3C_7B_PRESET, GEN3C_TINY_PRESET)}
+
+
+def build_gen3c_model(
+    preset: str | Gen3CPreset = "gen3c_7b",
+    checkpoint_dir: Optional[str] = None,
+    seed: int = 0,
+    param_dtype: Any = jnp.bfloat16,
+) -> Tuple[Gen3CModel, Gen3CPreset]:
+    """Build a Gen3CModel from a preset, loading weights if available.
+
+    checkpoint_dir layout (mirrors the reference checkpoints/ dir):
+      <dir>/GEN3C-Cosmos-7B/model.pt            (torch, converted on load)
+      <dir>/gen3c_tpu/dit.npz                   (native, preferred)
+      <dir>/Cosmos-Tokenize1-CV8x8x8-720p/{encoder,decoder}.jit + mean_std.pt
+      <dir>/gen3c_tpu/vae.npz
+    Missing weights -> random init (clearly logged).
+    """
+    from gen3c_tpu.models.dit import init_dit_params
+
+    if isinstance(preset, str):
+        preset = PRESETS[preset]
+
+    dit_cfg = preset.dit
+    key = jax.random.PRNGKey(seed)
+    dit_params = None
+    vae_params = None
+    latent_mean = latent_std = None
+
+    if checkpoint_dir:
+        from gen3c_tpu.utils import checkpoint as ckpt
+
+        native_dit = os.path.join(checkpoint_dir, "gen3c_tpu", "dit.npz")
+        torch_dit = os.path.join(checkpoint_dir, "GEN3C-Cosmos-7B", "model.pt")
+        if os.path.exists(native_dit):
+            template = init_dit_params(key, dit_cfg, param_dtype)
+            dit_params = ckpt.load_params_npz(native_dit, template, param_dtype)
+            log.info(f"Loaded DiT weights from {native_dit}")
+        elif os.path.exists(torch_dit):
+            dit_params = ckpt.load_torch_dit_checkpoint(
+                torch_dit, dit_cfg, param_dtype
+            )
+            log.info(f"Converted DiT weights from {torch_dit}")
+
+        vae_dir = os.path.join(
+            checkpoint_dir, "Cosmos-Tokenize1-CV8x8x8-720p"
+        )
+        native_vae = os.path.join(checkpoint_dir, "gen3c_tpu", "vae.npz")
+        if os.path.exists(native_vae):
+            import numpy as np
+
+            data = np.load(native_vae)
+            vae_params = {k: jnp.asarray(v) for k, v in data.items()}
+            log.info(f"Loaded VAE weights from {native_vae}")
+        elif os.path.isdir(vae_dir):
+            vae_params, latent_mean, latent_std = (
+                ckpt.load_torchscript_tokenizer(vae_dir)
+            )
+            log.info(f"Converted VAE weights from {vae_dir}")
+
+    if dit_params is None:
+        log.warning(
+            f"No DiT checkpoint found; RANDOM init ({preset.name}). "
+            "Generated videos will be noise-quality."
+        )
+        dit_params = init_dit_params(key, dit_cfg, param_dtype)
+    if vae_params is None:
+        from gen3c_tpu.models.vae import init_vae_params
+
+        log.warning("No VAE checkpoint found; RANDOM init.")
+        vae_params = init_vae_params(jax.random.fold_in(key, 1), preset.vae)
+
+    import numpy as np
+
+    tokenizer = VideoTokenizer(
+        vae_params,
+        preset.vae,
+        pixel_chunk_duration=preset.chunk_size,
+        latent_mean=(
+            jnp.asarray(latent_mean).reshape(
+                1, preset.vae.latent_channels, -1, 1, 1
+            )[:, :, : (preset.chunk_size - 1) // 8 + 1]
+            if latent_mean is not None
+            else None
+        ),
+        latent_std=(
+            jnp.asarray(latent_std).reshape(
+                1, preset.vae.latent_channels, -1, 1, 1
+            )[:, :, : (preset.chunk_size - 1) // 8 + 1]
+            if latent_std is not None
+            else None
+        ),
+        spatial_resolution=(preset.height, preset.width),
+    )
+
+    model = Gen3CModel(
+        dit_params=dit_params,
+        dit_cfg=dit_cfg,
+        tokenizer=tokenizer,
+        frame_buffer_max=preset.frame_buffer_max,
+        chunk_size=preset.chunk_size,
+        state_shape=preset.state_shape,
+    )
+    return model, preset

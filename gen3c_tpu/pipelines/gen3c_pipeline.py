@@ -1,0 +1,105 @@
+"""Gen3cPipeline: one 121-frame generation chunk, end to end.
+
+Parity: cosmos_predict1/diffusion/inference/gen3c_pipeline.py
+(Gen3cPipeline.generate :108-184, _run_model :227-259) on top of
+world_generation_pipeline/base_world_generation_pipeline:
+
+  prompt -> T5 embedding (or zeros when the prompt encoder is disabled)
+  seed frames -> condition latent (zero-padded 121-frame chunk encode)
+  warped buffers + masks -> per-buffer VAE latents (pose conditioning)
+  -> EDM-Euler denoise (35 steps, CFG) -> VAE decode -> uint8 frames
+
+Guardrails are interface-stubbed (the reference force-disables them for
+GEN3C: gen3c_single_image.py:491-492); see gen3c_tpu.aux.guardrail.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from gen3c_tpu.models.gen3c import Gen3CModel
+from gen3c_tpu.utils import log
+
+Array = jnp.ndarray
+
+
+@dataclasses.dataclass
+class Gen3cPipeline:
+    model: Gen3CModel
+    text_encoder: Optional[object] = None  # None => dummy zeros
+    text_guardrail: Optional[object] = None
+    video_guardrail: Optional[object] = None
+    guidance: float = 1.0
+    num_steps: int = 35
+    height: int = 704
+    width: int = 1280
+    fps: int = 24
+    seed: int = 0
+
+    def _encode_prompt(self, prompt: str) -> np.ndarray:
+        if self.text_encoder is None:
+            from gen3c_tpu.models.t5 import DummyT5TextEncoder
+
+            self.text_encoder = DummyT5TextEncoder()
+        emb, _ = self.text_encoder.encode_prompts(prompt)
+        return emb
+
+    def generate(
+        self,
+        prompt: str,
+        image_frames: np.ndarray,  # (B, 3, T_seed, H, W) in [-1, 1]
+        rendered_warp_images: Array,  # (B, F, N, 3, H, W)
+        rendered_warp_masks: Array,  # (B, F, N, 1, H, W)
+        negative_prompt: Optional[str] = None,
+        seed: Optional[int] = None,
+    ) -> Optional[Tuple[np.ndarray, str]]:
+        """Generate one chunk. Returns ((T, H, W, 3) uint8 frames, prompt)."""
+        if self.text_guardrail is not None:
+            if not self.text_guardrail.run(prompt):
+                log.warning("Guardrail blocked the prompt.")
+                return None
+
+        log.info("Encoding prompt...")
+        t5_emb = jnp.asarray(self._encode_prompt(prompt))
+        neg_emb = (
+            jnp.asarray(self._encode_prompt(negative_prompt))
+            if negative_prompt
+            else None
+        )
+
+        log.info("Encoding seed frames into the condition latent...")
+        condition_latent = self.model.create_condition_latent_from_input_frames(
+            jnp.asarray(image_frames), num_frames_condition=image_frames.shape[2]
+        )
+        num_condition_t = self.model.compute_num_latent_frames(
+            image_frames.shape[2]
+        )
+
+        log.info(f"Denoising ({self.num_steps} steps, CFG batched)...")
+        samples = self.model.generate_samples(
+            t5_embeddings=t5_emb,
+            condition_latent=condition_latent,
+            condition_state=jnp.asarray(rendered_warp_images),
+            condition_state_mask=jnp.asarray(rendered_warp_masks),
+            num_condition_t=num_condition_t,
+            guidance=self.guidance,
+            num_steps=self.num_steps,
+            seed=self.seed if seed is None else seed,
+            neg_t5_embeddings=neg_emb,
+        )
+
+        log.info("Decoding latents...")
+        video = self.model.decode(samples)  # (B, 3, T, H, W) in [-1, 1]
+        video = np.asarray(video[0]).transpose(1, 2, 3, 0)  # (T, H, W, 3)
+        video = ((video + 1.0) / 2.0 * 255.0).clip(0, 255).astype(np.uint8)
+
+        if self.video_guardrail is not None:
+            video = self.video_guardrail.run(video)
+            if video is None:
+                log.warning("Guardrail blocked the generated video.")
+                return None
+        return video, prompt

@@ -1,0 +1,221 @@
+"""Single image -> camera-controlled video (GEN3C), TPU-native CLI.
+
+Parity: cosmos_predict1/diffusion/inference/gen3c_single_image.py:
+image -> depth (MoGe or fallback) -> 3D cache -> preset trajectory ->
+chunked autoregressive generation (121*N-1 frames, 1-frame overlap,
+cache updated with re-estimated depth of each chunk's last frame) -> mp4.
+
+Usage:
+  python -m gen3c_tpu.pipelines.gen3c_single_image \
+      --input_image_path image.png --trajectory left \
+      --checkpoint_dir checkpoints [--model_preset gen3c_tiny]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from gen3c_tpu.cache import Cache3DBuffer
+from gen3c_tpu.ops.camera import (
+    CAMERA_ROTATIONS,
+    TRAJECTORY_TYPES,
+    generate_camera_trajectory,
+)
+from gen3c_tpu.pipelines.depth import make_depth_estimator
+from gen3c_tpu.pipelines.factory import PRESETS, build_gen3c_model
+from gen3c_tpu.pipelines.gen3c_pipeline import Gen3cPipeline
+from gen3c_tpu.utils import io as io_utils
+from gen3c_tpu.utils import log
+
+
+def create_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="GEN3C single-image (TPU)")
+    # common args (inference_utils.py:53-170 parity where meaningful on TPU)
+    p.add_argument("--checkpoint_dir", type=str, default="checkpoints")
+    p.add_argument("--model_preset", type=str, default="gen3c_7b",
+                   choices=sorted(PRESETS))
+    p.add_argument("--prompt", type=str, default="")
+    p.add_argument("--negative_prompt", type=str, default="")
+    p.add_argument("--input_image_path", type=str, required=True)
+    p.add_argument("--video_save_name", type=str, default="output")
+    p.add_argument("--video_save_folder", type=str, default="outputs/")
+    p.add_argument("--guidance", type=float, default=1.0)
+    p.add_argument("--num_steps", type=int, default=35)
+    p.add_argument("--num_video_frames", type=int, default=121,
+                   help="(N-1) %% (chunk-1) must be 0")
+    p.add_argument("--fps", type=int, default=24)
+    p.add_argument("--seed", type=int, default=1)
+    p.add_argument("--disable_prompt_encoder", action="store_true",
+                   default=True)
+    p.add_argument("--enable_prompt_encoder", dest="disable_prompt_encoder",
+                   action="store_false")
+    # gen3c-specific args (gen3c_single_image.py:40-102 parity)
+    p.add_argument("--trajectory", type=str, default="left",
+                   choices=sorted(TRAJECTORY_TYPES))
+    p.add_argument("--camera_rotation", type=str, default="center_facing",
+                   choices=sorted(CAMERA_ROTATIONS))
+    p.add_argument("--movement_distance", type=float, default=0.3)
+    p.add_argument("--noise_aug_strength", type=float, default=0.0)
+    p.add_argument("--frame_buffer_max", type=int, default=2)
+    p.add_argument("--filter_points_threshold", type=float, default=0.05)
+    p.add_argument("--foreground_masking", action="store_true")
+    p.add_argument("--save_buffer", action="store_true")
+    # TPU-rebuild extras
+    p.add_argument("--depth_source", type=str, default="auto",
+                   choices=["auto", "moge", "file", "heuristic"])
+    p.add_argument("--depth_path", type=str, default=None)
+    return p
+
+
+def validate_args(args, chunk_size: int) -> None:
+    assert args.num_video_frames >= chunk_size and (
+        args.num_video_frames - 1
+    ) % (chunk_size - 1) == 0, (
+        f"num_video_frames must be {chunk_size} + k*{chunk_size - 1} "
+        f"(got {args.num_video_frames})"
+    )
+
+
+def demo(args) -> str:
+    model, preset = build_gen3c_model(
+        args.model_preset, checkpoint_dir=args.checkpoint_dir, seed=args.seed
+    )
+    validate_args(args, preset.chunk_size)
+    chunk = preset.chunk_size
+    h, w = preset.height, preset.width
+
+    text_encoder = None
+    if not args.disable_prompt_encoder:
+        from gen3c_tpu.models.t5 import CosmosT5TextEncoder
+
+        text_encoder = CosmosT5TextEncoder()
+
+    pipeline = Gen3cPipeline(
+        model=model,
+        text_encoder=text_encoder,
+        guidance=args.guidance,
+        num_steps=args.num_steps,
+        height=h,
+        width=w,
+        fps=args.fps,
+        seed=args.seed,
+    )
+
+    # --- seed image + depth -> 3D cache (gen3c_single_image.py:312-334) ---
+    image_b3thw = io_utils.read_image_bcthw(args.input_image_path, h, w)
+    image_hwc01 = (image_b3thw[0, :, 0].transpose(1, 2, 0) + 1.0) / 2.0
+    estimator = make_depth_estimator(
+        args.depth_source, args.depth_path
+    )
+    depth, intrinsics, _ = estimator(image_hwc01)
+    w2c0 = np.eye(4, dtype=np.float32)
+
+    cache = Cache3DBuffer(
+        frame_buffer_max=args.frame_buffer_max,
+        noise_aug_strength=args.noise_aug_strength,
+        seed=args.seed,
+        input_image=jnp.asarray(image_b3thw[:, :, 0]),
+        input_depth=jnp.asarray(depth[None, None]),
+        input_w2c=jnp.asarray(w2c0[None]),
+        input_intrinsics=jnp.asarray(intrinsics[None]),
+        filter_points_threshold=args.filter_points_threshold,
+        foreground_masking=args.foreground_masking,
+    )
+
+    w2cs, ks = generate_camera_trajectory(
+        trajectory_type=args.trajectory,
+        initial_w2c=w2c0,
+        initial_intrinsics=intrinsics,
+        num_frames=args.num_video_frames,
+        movement_distance=args.movement_distance,
+        camera_rotation=args.camera_rotation,
+        center_depth=1.0,
+    )
+
+    log.info(f"Generating frames 0 - {chunk}")
+    warp_images, warp_masks = cache.render_cache(
+        w2cs[:, 0:chunk], ks[:, 0:chunk]
+    )
+    all_warps = [np.asarray(warp_images)] if args.save_buffer else []
+
+    out = pipeline.generate(
+        prompt=args.prompt,
+        image_frames=image_b3thw[:, :, :1],
+        rendered_warp_images=warp_images,
+        rendered_warp_masks=warp_masks,
+        negative_prompt=args.negative_prompt or None,
+    )
+    if out is None:
+        raise RuntimeError("Generation blocked")
+    video, _ = out
+
+    # --- AR chaining (gen3c_single_image.py:378-419) ---
+    num_iters = (args.num_video_frames - 1) // (chunk - 1)
+    for it in range(1, num_iters):
+        start = it * (chunk - 1)
+        end = start + chunk
+        log.info(f"Generating frames {start} - {end}")
+        last = video[-1].astype(np.float32) / 255.0  # (H, W, 3) in [0,1]
+        pred_depth, _, _ = estimator(last)
+        cache.update_cache(
+            new_image=jnp.asarray(
+                (last.transpose(2, 0, 1)[None] * 2 - 1).astype(np.float32)
+            ),
+            new_depth=jnp.asarray(pred_depth[None, None]),
+            new_w2c=w2cs[:, start],
+            new_intrinsics=ks[:, start],
+        )
+        warp_images, warp_masks = cache.render_cache(
+            w2cs[:, start:end], ks[:, start:end]
+        )
+        if args.save_buffer:
+            all_warps.append(np.asarray(warp_images)[:, 1:])
+        seed_frames = (last.transpose(2, 0, 1)[None, :, None] * 2 - 1).astype(
+            np.float32
+        )
+        out = pipeline.generate(
+            prompt=args.prompt,
+            image_frames=seed_frames,
+            rendered_warp_images=warp_images,
+            rendered_warp_masks=warp_masks,
+            negative_prompt=args.negative_prompt or None,
+        )
+        video_new, _ = out
+        video = np.concatenate([video, video_new[1:]], axis=0)
+
+    final_video = video
+    if args.save_buffer and all_warps:
+        # side-by-side warp buffers | generated video (ref :425-456)
+        n_max = max(t.shape[2] for t in all_warps)
+        padded = []
+        for t in all_warps:
+            tb = t[0]  # (T, n, C, H, W)
+            if tb.shape[1] < n_max:
+                pad = np.full(
+                    (tb.shape[0], n_max - tb.shape[1], *tb.shape[2:]),
+                    -1.0,
+                    tb.dtype,
+                )
+                tb = np.concatenate([tb, pad], axis=1)
+            padded.append(tb)
+        buf = np.concatenate(padded, axis=0)  # (T, n, C, H, W)
+        t_total = buf.shape[0]
+        buf = buf.transpose(0, 3, 1, 4, 2).reshape(t_total, h, n_max * w, 3)
+        buf = ((buf * 0.5 + 0.5) * 255).clip(0, 255).astype(np.uint8)
+        final_video = np.concatenate([buf, final_video], axis=2)
+
+    save_path = os.path.join(
+        args.video_save_folder, f"{args.video_save_name}.mp4"
+    )
+    io_utils.save_video(final_video, args.fps, save_path)
+    log.info(f"Saved video to {save_path}")
+    return save_path
+
+
+if __name__ == "__main__":
+    demo(create_parser().parse_args())

@@ -1,0 +1,121 @@
+"""Checkpoint loading / conversion for GEN3C-Cosmos weights.
+
+The reference distributes:
+  * the 7B DiT as a torch pickle `model.pt` (EMA keys name-mangled with
+    '-', loaded via non_strict_load_model — inference_utils.py:327-347)
+  * the CV8x8x8 tokenizer as TorchScript `encoder.jit`/`decoder.jit`
+    archives + `mean_std.pt` (pretrained_vae.py:194-215, 341-360)
+
+This module converts those to the gen3c_tpu parameter pytrees, and
+provides a native .npz save/load path so converted checkpoints round-trip
+without torch. Orbax async checkpointing for training lives in
+gen3c_tpu/training/checkpointing.py.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Dict, Optional, Tuple
+
+import numpy as np
+
+from gen3c_tpu.utils import log
+
+
+def load_torch_dit_checkpoint(path: str, cfg, dtype=None) -> Dict[str, Any]:
+    """Load reference model.pt and convert to a DiT param pytree.
+
+    Handles the EMA '-'-mangled key style (inference_utils.py:337-341):
+    keys like "net.blocks.block0..." are preferred; "-" are mapped back
+    to "." for EMA checkpoints.
+    """
+    import torch
+
+    import jax.numpy as jnp
+
+    from gen3c_tpu.models.convert import convert_dit_state_dict
+
+    sd = torch.load(path, map_location="cpu", weights_only=False)
+    if isinstance(sd, dict) and "model" in sd:
+        sd = sd["model"]
+    if isinstance(sd, dict) and "ema" in sd and isinstance(sd["ema"], dict):
+        sd = {k.replace("-", "."): v for k, v in sd["ema"].items()}
+    np_sd = {
+        k: v.float().numpy() if hasattr(v, "numpy") else np.asarray(v)
+        for k, v in sd.items()
+    }
+    return convert_dit_state_dict(np_sd, cfg, dtype=dtype or jnp.bfloat16)
+
+
+def load_torchscript_tokenizer(
+    vae_dir: str, dtype=None
+) -> Tuple[Dict[str, Any], Optional[np.ndarray], Optional[np.ndarray]]:
+    """Extract tokenizer weights from TorchScript archives + mean_std.pt.
+
+    Returns (flat params, latent_mean, latent_std). TorchScript archives
+    store parameters under the same module names as the eager network, so
+    convert_vae_state_dict applies unchanged.
+    """
+    import torch
+
+    from gen3c_tpu.models.vae import convert_vae_state_dict
+
+    params = {}
+    for part in ("encoder", "decoder"):
+        jit_path = os.path.join(vae_dir, f"{part}.jit")
+        if not os.path.exists(jit_path):
+            continue
+        mod = torch.jit.load(jit_path, map_location="cpu")
+        sd = mod.state_dict()
+        params.update(
+            {k: v for k, v in sd.items() if isinstance(v, torch.Tensor)}
+        )
+    # TorchScript prefixes from encoder_jit()/decoder_jit() Sequentials
+    # (continuous_video.py:56-76): "encoder.*", "quant_conv.*", etc. are
+    # already the eager names; strip any leading "0."/"1." artifacts.
+    cleaned = {}
+    for k, v in params.items():
+        cleaned[k] = v.float().numpy()
+    flat = convert_vae_state_dict(cleaned)
+
+    mean = std = None
+    ms_path = os.path.join(vae_dir, "mean_std.pt")
+    if os.path.exists(ms_path):
+        latent_mean, latent_std = torch.load(
+            ms_path, map_location="cpu", weights_only=True
+        )
+        mean = latent_mean.float().numpy()
+        std = latent_std.float().numpy()
+    return flat, mean, std
+
+
+# ------------------------- native npz round-trip -------------------------
+
+
+def save_params_npz(path: str, params: Any) -> None:
+    """Flatten any param pytree to an npz with path-encoded keys."""
+    import jax
+
+    flat = {}
+    for keypath, leaf in jax.tree_util.tree_flatten_with_path(params)[0]:
+        name = "/".join(str(k) for k in keypath)
+        flat[name] = np.asarray(leaf)
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    np.savez(path, **flat)
+    log.info(f"Saved {len(flat)} arrays to {path}")
+
+
+def load_params_npz(path: str, like: Any, dtype=None) -> Any:
+    """Load an npz saved by save_params_npz into the structure of `like`."""
+    import jax
+    import jax.numpy as jnp
+
+    data = np.load(path)
+    leaves_paths = jax.tree_util.tree_flatten_with_path(like)
+    flat, treedef = jax.tree_util.tree_flatten(like)
+    out = []
+    for keypath, leaf in leaves_paths[0]:
+        name = "/".join(str(k) for k in keypath)
+        arr = jnp.asarray(data[name], dtype or leaf.dtype)
+        out.append(arr)
+    return jax.tree_util.tree_unflatten(treedef, out)

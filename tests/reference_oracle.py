@@ -79,6 +79,14 @@ def stub_cuda_stack():
         lc.LazyDict = dict
         sys.modules["cosmos_predict1.utils.lazy_config"] = lc
 
+    # minimal loguru for modules that `from loguru import logger` directly
+    if "loguru" not in sys.modules:
+        from unittest import mock
+
+        loguru = types.ModuleType("loguru")
+        loguru.logger = mock.MagicMock()
+        sys.modules["loguru"] = loguru
+
     # bypass the reference's loguru-based logger entirely
     if "cosmos_predict1.utils.log" not in sys.modules:
         log_stub = types.ModuleType("cosmos_predict1.utils.log")

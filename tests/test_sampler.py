@@ -31,12 +31,13 @@ def test_conditioned_region_reproduces_gt():
     pose = jnp.asarray(rng.randn(B, P, T, H, W).astype(np.float32))
     ctx = jnp.asarray(rng.randn(B, 4, 16).astype(np.float32))
 
-    def net_fn(x_in, t, crossattn):
+    def net_fn(params, x_in, t, crossattn):
         # a garbage net: predicts zeros
         return jnp.zeros(x_in.shape[:1] + (C,) + x_in.shape[2:], jnp.float32)
 
     out = generate_samples(
         net_fn=net_fn,
+        net_params=None,
         init_noise=jnp.asarray(rng.randn(B, C, T, H, W).astype(np.float32)),
         augment_noise=jnp.asarray(arch_invariant_randn((B, C, T, H, W), 1)),
         crossattn_cond=ctx,
@@ -70,7 +71,7 @@ def test_perfect_denoiser_recovers_target():
     pose = jnp.zeros((B, P, T, H, W))
     ctx = jnp.zeros((B, 4, 16))
 
-    def net_fn(x_in, t, crossattn):
+    def net_fn(params, x_in, t, crossattn):
         # x_in[:, :C] = c_in(sigma) * xt; sigma = exp(4t)
         sigma = jnp.exp(4.0 * t)[:, None, None, None, None]
         xt = x_in[:, :C] / sched.c_in(sigma)
@@ -80,6 +81,7 @@ def test_perfect_denoiser_recovers_target():
 
     out = generate_samples(
         net_fn=net_fn,
+        net_params=None,
         init_noise=jnp.asarray(rng.randn(B, C, T, H, W).astype(np.float32)),
         augment_noise=jnp.zeros((B, C, T, H, W)),
         crossattn_cond=ctx,
@@ -101,7 +103,7 @@ def test_cfg_combination():
     sched = EDMEulerSchedule()
     calls = {}
 
-    def net_fn(x_in, t, crossattn):
+    def net_fn(params, x_in, t, crossattn):
         # cond half returns +1s, uncond half returns -1s, recorded via ctx
         is_cond = crossattn[:, 0, 0][:, None, None, None, None]
         return jnp.broadcast_to(is_cond, x_in.shape[:1] + (C,) + x_in.shape[2:])
@@ -110,6 +112,7 @@ def test_cfg_combination():
     ctx_uncond = -jnp.ones((B, 2, 4))
     out1 = generate_samples(
         net_fn=net_fn,
+        net_params=None,
         init_noise=jnp.zeros((B, C, T, H, W)),
         augment_noise=jnp.zeros((B, C, T, H, W)),
         crossattn_cond=ctx_cond,
