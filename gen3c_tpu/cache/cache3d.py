@@ -55,32 +55,35 @@ def _canonicalize(
 
 @partial(jax.jit, static_argnames=("render_depth", "chunk"))
 def _render_frames(
-    images: Array,  # (M, C, H, W) — flattened (F*N) source buffers
-    points: Array,  # (M, H, W, 3)
-    masks: Array,  # (M, 1, H, W)
-    w2cs: Array,  # (M, 4, 4)
-    ks: Array,  # (M, 3, 3)
+    images: Array,  # (FS, N, C, H, W) source buffers (FS=1 static cache)
+    points: Array,  # (FS, N, H, W, 3)
+    masks: Array,  # (FS, N, 1, H, W)
+    w2cs: Array,  # (F, N, 4, 4) per-target poses
+    ks: Array,  # (F, N, 3, 3)
+    frame_idx: Array,  # (F,) int32 — source frame per target (Cache4D)
     render_depth: bool = False,
     chunk: int = 4,
 ):
-    """Jitted splat of M (frame, buffer) pairs, chunked to bound memory."""
+    """Jitted splat of F targets x N buffers.
+
+    Broadcasting of the (shared) source buffers over targets happens HERE,
+    inside the jit, so nothing F-sized is ever materialized in HBM — the
+    reference instead staged CPU copies in chunks of 2 (cache_3d.py:162-223).
+    """
 
     def one(args):
-        img, pts, msk, w2c, k = args
+        w2c, k, fi = args  # (N,4,4), (N,3,3), ()
+        img = images[fi]  # (N, C, H, W)
+        pts = points[fi]
+        msk = masks[fi]
         warped, mask2, depth, _ = geometry.forward_warp(
-            img[None],
-            msk[None],
-            w2c[None],
-            k[None],
-            pts[None],
-            is_image=True,
-            render_depth=render_depth,
+            img, msk, w2c, k, pts, is_image=True, render_depth=render_depth
         )
         if render_depth:
-            return warped[0], mask2[0], depth[0]
-        return warped[0], mask2[0], jnp.zeros_like(img[0, 0])
+            return warped, mask2, depth
+        return warped, mask2, jnp.zeros_like(img[:, 0])
 
-    return jax.lax.map(one, (images, points, masks, w2cs, ks), batch_size=chunk)
+    return jax.lax.map(one, (w2cs, ks, frame_idx), batch_size=chunk)
 
 
 class Cache3DBase:
@@ -171,42 +174,56 @@ class Cache3DBase:
         """
         B, F, N, V, C, H, W = self.input_image.shape
         bs, F_t = target_w2cs.shape[:2]
-        assert bs == B and V == 1, "multi-view aggregation handled by selector"
+        assert bs == B == 1 and V == 1, (
+            "multi-view aggregation handled by selector; B=1 per render"
+        )
 
         w2cs = jnp.broadcast_to(
-            target_w2cs.reshape(B, F_t, 1, 4, 4), (B, F_t, N, 4, 4)
-        ).reshape(-1, 4, 4)
+            target_w2cs.reshape(F_t, 1, 4, 4), (F_t, N, 4, 4)
+        )
         ks = jnp.broadcast_to(
-            target_intrinsics.reshape(B, F_t, 1, 3, 3), (B, F_t, N, 3, 3)
-        ).reshape(-1, 3, 3)
+            target_intrinsics.reshape(F_t, 1, 3, 3), (F_t, N, 3, 3)
+        )
 
-        sl = slice(start_frame_idx, start_frame_idx + F_t)
-        images = jnp.broadcast_to(
-            self.input_image[:, sl], (B, F_t, N, V, C, H, W)
-        ).reshape(-1, C, H, W)
-        points = jnp.broadcast_to(
-            self.input_points[:, sl], (B, F_t, N, V, H, W, 3)
-        ).reshape(-1, H, W, 3)
-        if self.input_mask is not None:
-            masks = jnp.broadcast_to(
-                self.input_mask[:, sl], (B, F_t, N, V, 1, H, W)
-            ).reshape(-1, 1, H, W)
+        # source frame per target: static caches (F==1) always use frame 0;
+        # Cache4D indexes frame start_frame_idx + t (cache_3d.py:163-165)
+        if F == 1:
+            frame_idx = jnp.zeros((F_t,), jnp.int32)
         else:
-            masks = jnp.ones((B * F_t * N, 1, H, W), jnp.float32)
+            frame_idx = jnp.arange(
+                start_frame_idx, start_frame_idx + F_t, dtype=jnp.int32
+            )
+
+        images = self.input_image[0, :, :, 0]  # (F, N, C, H, W)
+        points = self.input_points[0, :, :, 0]
+        if self.input_mask is not None:
+            masks = self.input_mask[0, :, :, 0]
+        else:
+            masks = jnp.ones((F, N, 1, H, W), jnp.float32)
 
         warped, mask2, depth = _render_frames(
-            images, points, masks, w2cs, ks,
+            images, points, masks, w2cs, ks, frame_idx,
             render_depth=render_depth or self.foreground_masking,
         )
+        # shapes out of lax.map: (F_t, N, C, H, W)
 
         if self.foreground_masking and self.boundary_mask is not None:
             from gen3c_tpu.ops.raycast import apply_foreground_masking
 
             bmask = jnp.broadcast_to(
-                self.boundary_mask, (B, F_t, N, V, 1, H, W)
-            ).reshape(-1, H, W)
+                self.boundary_mask[0, :, :, 0],
+                (F, N, 1, H, W),
+            )
+            bmask_f = bmask[np.asarray(frame_idx)].reshape(-1, H, W)
+            pts_f = points[np.asarray(frame_idx)].reshape(-1, H, W, 3)
             warped, mask2, depth = apply_foreground_masking(
-                warped, mask2, depth, points, bmask, w2cs, ks
+                warped.reshape(-1, C, H, W),
+                mask2.reshape(-1, 1, H, W),
+                depth.reshape(-1, H, W),
+                pts_f,
+                bmask_f,
+                w2cs.reshape(-1, 4, 4),
+                ks.reshape(-1, 3, 3),
             )
 
         pixels = warped.reshape(B, F_t, N, C, H, W)

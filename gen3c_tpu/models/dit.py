@@ -351,8 +351,16 @@ def _attn_block(
     context: Optional[Array],
     num_heads: int,
     rope: Optional[Tuple[Array, Array]],
+    cp_axis: Optional[str] = None,
 ) -> Array:
-    """Self- or cross-attention with per-head RMSNorm on q,k."""
+    """Self- or cross-attention with per-head RMSNorm on q,k.
+
+    Under context parallelism (cp_axis set, inside shard_map) the token
+    axis is sharded: q stays local while k/v are all-gathered over the cp
+    axis (the all-gather-KV strategy replacing the reference's TE ring
+    attention, general_dit.py:524-543). RoPE tables must then be the
+    LOCAL shard for q/k before gathering — we rotate first, then gather.
+    """
     B, L, D = x.shape
     hd = D // num_heads
     dtype = x.dtype
@@ -365,6 +373,9 @@ def _attn_block(
     if context is None and rope is not None:
         q = apply_rope(q, *rope)
         k = apply_rope(k, *rope)
+    if context is None and cp_axis is not None:
+        k = jax.lax.all_gather(k, cp_axis, axis=1, tiled=True)
+        v = jax.lax.all_gather(v, cp_axis, axis=1, tiled=True)
     out = attention_op(q, k, v).reshape(B, L, D)
     return out @ p["out"]["w"].astype(dtype)
 
@@ -430,12 +441,17 @@ def dit_forward(
     padding_mask: Optional[Array] = None,
     rope_tables: Optional[Tuple[Array, Array]] = None,
     extra_pos_emb: Optional[Array] = None,
+    cp_axis: Optional[str] = None,
 ) -> Array:
     """Full GeneralDIT forward. Returns (B, out_channels, T, H, W).
 
-    rope_tables / extra_pos_emb may be precomputed (e.g. CP-sharded by the
-    caller, mirroring position_embedding.py:61-79); by default they are
-    built for the full (T', H', W') token grid.
+    rope_tables / extra_pos_emb may be precomputed; by default they are
+    built for the full (T', H', W') token grid. With cp_axis set (inside
+    a shard_map over that axis), x is the LOCAL latent-T shard: the
+    positional tables are generated for the full T'*cp grid and sliced to
+    this rank's contiguous chunk (parity with the reference's CP-aware
+    pos-emb, position_embedding.py:61-79), and self-attention gathers K/V
+    across the axis.
     """
     B, C, T, H, W = x.shape
     dtype = cfg.dtype
@@ -446,10 +462,24 @@ def dit_forward(
     L = Tp * Hp * Wp
     tokens = tokens.reshape(B, L, D)
 
+    cp_size = 1 if cp_axis is None else jax.lax.axis_size(cp_axis)
     if rope_tables is None:
-        rope_tables = rope_3d_table(cfg, Tp, Hp, Wp, fps=fps)
+        rope_tables = rope_3d_table(cfg, Tp * cp_size, Hp, Wp, fps=fps)
     if extra_pos_emb is None:
-        extra_pos_emb = build_extra_pos_emb(params, Tp, Hp, Wp)
+        extra_pos_emb = build_extra_pos_emb(params, Tp * cp_size, Hp, Wp)
+    if cp_axis is not None:
+        # slice this rank's contiguous latent-T chunk (token order is
+        # t-major so a T-chunk is an L-chunk)
+        idx = jax.lax.axis_index(cp_axis)
+        cos, sin = rope_tables
+        if cos.shape[0] != L:
+            cos = jax.lax.dynamic_slice_in_dim(cos, idx * L, L, 0)
+            sin = jax.lax.dynamic_slice_in_dim(sin, idx * L, L, 0)
+            rope_tables = (cos, sin)
+        if extra_pos_emb.shape[0] != Tp:
+            extra_pos_emb = jax.lax.dynamic_slice_in_dim(
+                extra_pos_emb, idx * Tp, Tp, 0
+            )
     extra = extra_pos_emb.astype(dtype)
     if extra.ndim == 4:  # (T,H,W,D) -> (1, L, D)
         extra = extra.reshape(1, L, D)
@@ -465,7 +495,9 @@ def dit_forward(
         tokens = tokens + extra
         tokens = _modulated_residual(
             tokens,
-            lambda t: _attn_block(blk["fa"], t, None, cfg.num_heads, rope_tables),
+            lambda t: _attn_block(
+                blk["fa"], t, None, cfg.num_heads, rope_tables, cp_axis
+            ),
             blk["fa"],
             emb,
             lora,

@@ -286,10 +286,16 @@ def attn_spatial(params: Params, name: str, x: Array) -> Array:
         return a.transpose(0, 2, 3, 4, 1).reshape(B * T, H * W, C)
 
     qf, kf, vf = flat(q), flat(k), flat(v)
-    logits = jnp.einsum("bqc,bkc->bqk", qf, kf).astype(jnp.float32)
-    logits = logits * (C ** -0.5)
-    probs = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
-    out = jnp.einsum("bqk,bkc->bqc", probs, vf)
+
+    def frame_attn(args):
+        qi, ki, vi = args  # (HW, C)
+        logits = (qi @ ki.T).astype(jnp.float32) * (C ** -0.5)
+        probs = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
+        return probs @ vi
+
+    # chunk over frames: at 720p the per-frame logits are 14080^2 fp32
+    # (~0.8 GB) — lax.map bounds the live set to one frame at a time.
+    out = jax.lax.map(frame_attn, (qf, kf, vf), batch_size=1)
     out = out.reshape(B, T, H, W, C).transpose(0, 4, 1, 2, 3)
     out = causal_conv3d(params, f"{name}.proj_out", out, (1, 1, 1), padding=0)
     return x + out

@@ -1,0 +1,124 @@
+"""Context-parallel denoising: latent-T sharded over the mesh 'cp' axis.
+
+TPU-native replacement for the reference CP machinery
+(reference: module/parallel.py:25-87 split_inputs_cp/cat_outputs_cp +
+TransformerEngine ring attention, general_dit.py:524-543, and the
+per-rank condition splits of model_v2w.py:126-128/241-244 and
+general_dit_video_conditioned.py:102-110):
+
+  * the whole sampling loop runs inside ONE shard_map over the mesh —
+    latents, condition masks and pose latents enter sharded on latent-T
+    (contiguous chunks, exactly split_inputs_cp semantics), text
+    embeddings and parameters replicated;
+  * self-attention uses the all-gather-KV strategy over the cp axis
+    (inside gen3c_tpu.models.dit._attn_block) — one collective per layer
+    riding ICI instead of TE's P2P ring;
+  * positional tables are generated for the full grid and sliced per
+    rank (position_embedding.py:61-79 parity);
+  * the final all-gather of samples (cat_outputs_cp) is implicit in the
+    shard_map output spec.
+
+Latent T (=16) must be divisible by the cp size (parallel.py:47 parity).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from gen3c_tpu.diffusion.sampler import generate_samples
+from gen3c_tpu.diffusion.scheduler import EDMEulerSchedule
+from gen3c_tpu.models.dit import DiTConfig, dit_forward
+
+Array = jax.Array
+
+
+def _cp_net_fn(bundle, x, t, ctx):
+    params, cfg = bundle
+    return dit_forward(params, cfg, x, t, ctx, fps=24.0, cp_axis="cp")
+
+
+def cp_generate_samples(
+    mesh: Mesh,
+    dit_params,
+    dit_cfg: DiTConfig,
+    init_noise: Array,
+    augment_noise: Array,
+    crossattn_cond: Array,
+    crossattn_uncond: Array,
+    gt_latent: Array,
+    condition_video_indicator: Array,
+    condition_video_input_mask: Array,
+    pose_latent_cond: Array,
+    pose_latent_uncond: Array,
+    num_steps: int = 35,
+    guidance: float = 1.0,
+    condition_augment_sigma: float = 0.001,
+    schedule: EDMEulerSchedule = EDMEulerSchedule(),
+) -> Array:
+    """Context-parallel version of sampler.generate_samples.
+
+    All tensor arguments are GLOBAL (full latent-T); sharding happens via
+    the shard_map specs. Returns the full samples (implicit all-gather).
+    """
+    T = init_noise.shape[2]
+    cp = mesh.shape["cp"]
+    assert T % cp == 0, f"latent T={T} must divide cp={cp}"
+
+    seq = P(None, None, "cp")  # (B, C, T, H, W) sharded on T
+    indic = P(None, None, "cp")  # (B, 1, T, 1, 1)
+    rep = P()
+
+    def body(
+        init_noise,
+        augment_noise,
+        crossattn_cond,
+        crossattn_uncond,
+        gt_latent,
+        indicator,
+        input_mask,
+        pose_cond,
+        pose_uncond,
+        params,
+    ):
+        return generate_samples(
+            net_fn=_cp_net_fn,
+            net_params=(params, dit_cfg),
+            init_noise=init_noise,
+            augment_noise=augment_noise,
+            crossattn_cond=crossattn_cond,
+            crossattn_uncond=crossattn_uncond,
+            gt_latent=gt_latent,
+            condition_video_indicator=indicator,
+            condition_video_input_mask=input_mask,
+            pose_latent_cond=pose_cond,
+            pose_latent_uncond=pose_uncond,
+            num_steps=num_steps,
+            guidance=guidance,
+            condition_augment_sigma=condition_augment_sigma,
+            schedule=schedule,
+        )
+
+    mapped = jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(seq, seq, rep, rep, seq, indic, seq, seq, seq, rep),
+        out_specs=seq,
+        check_vma=False,
+    )
+    return mapped(
+        init_noise,
+        augment_noise,
+        crossattn_cond,
+        crossattn_uncond,
+        gt_latent,
+        condition_video_indicator,
+        condition_video_input_mask,
+        pose_latent_cond,
+        pose_latent_uncond,
+        dit_params,
+    )
