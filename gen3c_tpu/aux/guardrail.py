@@ -1,0 +1,201 @@
+"""Content-safety guardrails: runner + text blocklist + model-gated stubs.
+
+Parity: cosmos_predict1/auxiliary/guardrail/ —
+  * GuardrailRunner chaining safety models + postprocessors
+    (common/core.py:33-80)
+  * Blocklist text filter (blocklist/blocklist.py): exact/partial word
+    match against profanity + custom word lists, lemmatization omitted
+  * Aegis/LlamaGuard3 text classifiers and the SigLIP video content
+    filter + RetinaFace face blur require their model checkpoints; they
+    are interface-complete here and raise with a clear message when
+    constructed without weights (the GEN3C entry points disable
+    guardrails by default: gen3c_single_image.py:491-492).
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import string
+from typing import Any, List, Optional, Tuple
+
+import numpy as np
+
+from gen3c_tpu.utils import log
+
+
+class ContentSafetyGuardrail:
+    def is_safe(self, x: Any) -> Tuple[bool, str]:
+        raise NotImplementedError
+
+
+class PostprocessingGuardrail:
+    def postprocess(self, frames: np.ndarray) -> np.ndarray:
+        raise NotImplementedError
+
+
+class GuardrailRunner:
+    """common/core.py:33-80 parity."""
+
+    def __init__(
+        self,
+        safety_models: Optional[List[ContentSafetyGuardrail]] = None,
+        generic_block_msg: str = "",
+        generic_safe_msg: str = "",
+        postprocessors: Optional[List[PostprocessingGuardrail]] = None,
+    ):
+        self.safety_models = safety_models
+        self.generic_block_msg = generic_block_msg
+        self.generic_safe_msg = generic_safe_msg or "Prompt is safe"
+        self.postprocessors = postprocessors
+
+    def run_safety_check(self, x: Any) -> Tuple[bool, str]:
+        if not self.safety_models:
+            log.warning("No safety models found, returning safe")
+            return True, self.generic_safe_msg
+        for guardrail in self.safety_models:
+            name = type(guardrail).__name__.upper()
+            safe, message = guardrail.is_safe(x)
+            if not safe:
+                return False, self.generic_block_msg or f"{name}: {message}"
+        return True, self.generic_safe_msg
+
+    def postprocess(self, frames: np.ndarray) -> np.ndarray:
+        if not self.postprocessors:
+            return frames
+        for pp in self.postprocessors:
+            frames = pp.postprocess(frames)
+        return frames
+
+    # convenience interface used by Gen3cPipeline
+    def run(self, x: Any):
+        is_safe, msg = self.run_safety_check(x)
+        if not is_safe:
+            log.error(f"GUARDRAIL BLOCKED: {msg}")
+            return None if not isinstance(x, str) else False
+        if isinstance(x, str):
+            return True
+        return self.postprocess(x)
+
+
+class Blocklist(ContentSafetyGuardrail):
+    """Word-blocklist text filter (blocklist/blocklist.py parity, minus
+    nltk lemmatization). Word lists load from <checkpoint_dir>/blocklist/
+    {custom,exact_match}/*.txt when present."""
+
+    def __init__(self, checkpoint_dir: Optional[str] = None,
+                 extra_words: Optional[List[str]] = None):
+        self.words = set(w.lower() for w in (extra_words or []))
+        if checkpoint_dir:
+            bl_dir = os.path.join(checkpoint_dir, "blocklist")
+            if os.path.isdir(bl_dir):
+                for root, _, files in os.walk(bl_dir):
+                    for f in files:
+                        if f.endswith(".txt"):
+                            with open(os.path.join(root, f)) as fh:
+                                for line in fh:
+                                    w = line.strip().lower()
+                                    if w:
+                                        self.words.add(w)
+
+    @staticmethod
+    def _tokens(prompt: str) -> List[str]:
+        table = str.maketrans("", "", string.punctuation)
+        return re.sub(r"\s+", " ", prompt).translate(table).lower().split()
+
+    def is_safe(self, prompt: str) -> Tuple[bool, str]:
+        for tok in self._tokens(prompt):
+            if tok in self.words:
+                return False, f"Prompt blocked by blocklist: {tok}"
+        return True, ""
+
+
+class LlamaGuard3(ContentSafetyGuardrail):
+    """LLM-based text safety classifier (llamaGuard3/ parity). Requires
+    the meta-llama/Llama-Guard-3-8B checkpoint."""
+
+    def __init__(self, checkpoint_dir: str):
+        path = os.path.join(checkpoint_dir, "meta-llama/Llama-Guard-3-8B")
+        if not os.path.isdir(path):
+            raise FileNotFoundError(
+                f"LlamaGuard3 checkpoint not found at {path}; run with "
+                "blocklist-only guardrails or download the checkpoint"
+            )
+        from transformers import AutoModelForCausalLM, AutoTokenizer
+
+        self.tokenizer = AutoTokenizer.from_pretrained(path)
+        self.model = AutoModelForCausalLM.from_pretrained(path)
+
+    def is_safe(self, prompt: str) -> Tuple[bool, str]:
+        import torch
+
+        chat = [{"role": "user", "content": prompt}]
+        ids = self.tokenizer.apply_chat_template(chat, return_tensors="pt")
+        with torch.no_grad():
+            out = self.model.generate(
+                ids, max_new_tokens=16, pad_token_id=0
+            )
+        text = self.tokenizer.decode(
+            out[0][ids.shape[-1]:], skip_special_tokens=True
+        )
+        safe = "unsafe" not in text.lower()
+        return safe, "" if safe else f"LlamaGuard3 verdict: {text.strip()}"
+
+
+class VideoContentSafetyFilter(ContentSafetyGuardrail):
+    """Frame-safety classifier (video_content_safety_filter/ parity:
+    SigLIP encoder + MLP head). Requires its checkpoint."""
+
+    def __init__(self, checkpoint_dir: str):
+        path = os.path.join(
+            checkpoint_dir, "nvidia/Cosmos-Guardrail1",
+            "video_content_safety_filter",
+        )
+        if not os.path.isdir(path):
+            raise FileNotFoundError(
+                f"Video content safety checkpoint not found at {path}"
+            )
+        raise NotImplementedError(
+            "SigLIP video filter inference not yet ported; disable video "
+            "guardrails (--disable_guardrail, the GEN3C default)"
+        )
+
+    def is_safe(self, frames: np.ndarray) -> Tuple[bool, str]:
+        raise NotImplementedError
+
+
+class RetinaFaceFilter(PostprocessingGuardrail):
+    """Face-blur postprocess (face_blur_filter/ parity). Requires the
+    RetinaFace checkpoint."""
+
+    def __init__(self, checkpoint_dir: str):
+        raise NotImplementedError(
+            "RetinaFace face blur not yet ported; disable video guardrails"
+        )
+
+
+def create_text_guardrail_runner(
+    checkpoint_dir: Optional[str] = None,
+) -> GuardrailRunner:
+    """presets.py:31-36 parity; degrades to blocklist-only when the
+    LlamaGuard checkpoint is absent."""
+    models: List[ContentSafetyGuardrail] = [Blocklist(checkpoint_dir)]
+    try:
+        models.append(LlamaGuard3(checkpoint_dir or "checkpoints"))
+    except (FileNotFoundError, ImportError) as e:
+        log.warning(f"LlamaGuard3 unavailable ({e}); blocklist-only")
+    return GuardrailRunner(safety_models=models)
+
+
+def create_video_guardrail_runner(
+    checkpoint_dir: Optional[str] = None,
+) -> GuardrailRunner:
+    """presets.py:38-42 parity; empty (pass-through) without checkpoints."""
+    try:
+        return GuardrailRunner(
+            safety_models=[VideoContentSafetyFilter(checkpoint_dir or "")],
+            postprocessors=[RetinaFaceFilter(checkpoint_dir or "")],
+        )
+    except (FileNotFoundError, NotImplementedError) as e:
+        log.warning(f"Video guardrail unavailable ({e}); pass-through")
+        return GuardrailRunner()

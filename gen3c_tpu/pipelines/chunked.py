@@ -1,0 +1,117 @@
+"""Shared autoregressive chunked-generation loop + buffer-video assembly.
+
+Factors the AR loop that all three GEN3C CLIs repeat (reference:
+gen3c_single_image.py:355-459, gen3c_dynamic.py:262-357,
+gen3c_multiview.py:232-320): generate a chunk, optionally update the 3D
+cache with re-estimated depth of the chunk's last frame, re-render the
+warp buffers for the next window (1-frame overlap), concatenate.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, List, Optional, Tuple
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from gen3c_tpu.utils import log
+
+
+def run_chunked_generation(
+    pipeline,
+    cache,
+    w2cs,  # (1, T_total, 4, 4)
+    ks,  # (1, T_total, 3, 3)
+    seed_frames: np.ndarray,  # (1, 3, T_seed, H, W) in [-1, 1]
+    prompt: str,
+    negative_prompt: Optional[str] = None,
+    update_cache_with_depth: Optional[Callable] = None,  # estimator or None
+    use_start_frame_idx: bool = False,  # Cache4D per-frame indexing
+    save_buffer: bool = False,
+) -> Tuple[np.ndarray, List[np.ndarray]]:
+    """Returns (video (T, H, W, 3) uint8, list of warp buffers)."""
+    chunk = pipeline.model.chunk_size
+    t_total = w2cs.shape[1]
+    assert (t_total - 1) % (chunk - 1) == 0
+
+    log.info(f"Generating frames 0 - {chunk}")
+    warp_images, warp_masks = cache.render_cache(
+        w2cs[:, 0:chunk], ks[:, 0:chunk], start_frame_idx=0
+    )
+    all_warps = [np.asarray(warp_images)] if save_buffer else []
+
+    out = pipeline.generate(
+        prompt=prompt,
+        image_frames=seed_frames,
+        rendered_warp_images=warp_images,
+        rendered_warp_masks=warp_masks,
+        negative_prompt=negative_prompt,
+    )
+    if out is None:
+        raise RuntimeError("Generation blocked by guardrail")
+    video, _ = out
+
+    num_iters = (t_total - 1) // (chunk - 1)
+    for it in range(1, num_iters):
+        start = it * (chunk - 1)
+        end = start + chunk
+        log.info(f"Generating frames {start} - {end}")
+        last = video[-1].astype(np.float32) / 255.0  # (H, W, 3) in [0, 1]
+
+        if update_cache_with_depth is not None:
+            pred_depth, _, _ = update_cache_with_depth(last)
+            cache.update_cache(
+                new_image=jnp.asarray(
+                    (last.transpose(2, 0, 1)[None] * 2 - 1).astype(np.float32)
+                ),
+                new_depth=jnp.asarray(pred_depth[None, None]),
+                new_w2c=w2cs[:, start],
+                new_intrinsics=ks[:, start],
+            )
+
+        warp_images, warp_masks = cache.render_cache(
+            w2cs[:, start:end],
+            ks[:, start:end],
+            start_frame_idx=start if use_start_frame_idx else 0,
+        )
+        if save_buffer:
+            all_warps.append(np.asarray(warp_images)[:, 1:])
+
+        seed = (last.transpose(2, 0, 1)[None, :, None] * 2 - 1).astype(
+            np.float32
+        )
+        out = pipeline.generate(
+            prompt=prompt,
+            image_frames=seed,
+            rendered_warp_images=warp_images,
+            rendered_warp_masks=warp_masks,
+            negative_prompt=negative_prompt,
+        )
+        video_new, _ = out
+        video = np.concatenate([video, video_new[1:]], axis=0)
+    return video, all_warps
+
+
+def compose_buffer_video(
+    video: np.ndarray, all_warps: List[np.ndarray], h: int, w: int
+) -> np.ndarray:
+    """Stack warp buffers left of the generated video
+    (gen3c_single_image.py:425-456 parity)."""
+    if not all_warps:
+        return video
+    n_max = max(t.shape[2] for t in all_warps)
+    padded = []
+    for t in all_warps:
+        tb = t[0]  # (T, n, C, H, W)
+        if tb.shape[1] < n_max:
+            pad = np.full(
+                (tb.shape[0], n_max - tb.shape[1], *tb.shape[2:]), -1.0,
+                tb.dtype,
+            )
+            tb = np.concatenate([tb, pad], axis=1)
+        padded.append(tb)
+    buf = np.concatenate(padded, axis=0)  # (T, n, C, H, W)
+    buf = buf.transpose(0, 3, 1, 4, 2).reshape(buf.shape[0], h, n_max * w, 3)
+    buf = ((buf * 0.5 + 0.5) * 255).clip(0, 255).astype(np.uint8)
+    return np.concatenate([buf, video], axis=2)

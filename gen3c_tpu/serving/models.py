@@ -1,0 +1,268 @@
+"""Serving-side inference models: the abstract interface, a deterministic
+debug model, and the GEN3C persistent model.
+
+Parity targets:
+  * InferenceModel interface + request queue semantics —
+    gui/api/server_base.py:121-203, server_cosmos_base.py:46-226
+  * DebugInferenceModel (deterministic fake: gradient test frames, ones
+    depth) — gui/api/server_debug.py:22-114 (the reference's only
+    mock-backend pattern; enables full API integration tests without a
+    TPU or checkpoints)
+  * Gen3cPersistentModel: load-once, seed from 1 image (depth estimator)
+    or N posed RGBD frames, inference_on_cameras AR loop —
+    cosmos_predict1/diffusion/inference/gen3c_persistent.py:55-569
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Optional
+
+import numpy as np
+
+from gen3c_tpu.serving.api_types import (
+    InferenceRequest,
+    InferenceResult,
+    SeedingRequest,
+    SeedingResult,
+)
+from gen3c_tpu.utils import log
+
+
+class InferenceModel:
+    """Abstract serving model."""
+
+    def seed_model(self, req: SeedingRequest) -> SeedingResult:
+        raise NotImplementedError
+
+    def run_inference(self, req: InferenceRequest) -> InferenceResult:
+        raise NotImplementedError
+
+    def clear_cache(self) -> None:
+        pass
+
+    def metadata(self) -> dict:
+        return {"model": type(self).__name__}
+
+    def get_latest_rgb(self) -> Optional[np.ndarray]:
+        return getattr(self, "_latest_rgb", None)
+
+
+class DebugInferenceModel(InferenceModel):
+    """Deterministic in-memory fake (server_debug.py parity): returns a
+    gradient test image per frame, ones-depth seeding results."""
+
+    def __init__(self, resolution=(64, 96)):
+        self.h, self.w = resolution
+        self.seeded = False
+        self._latest_rgb = None
+
+    def seed_model(self, req: SeedingRequest) -> SeedingResult:
+        self.seeded = True
+        n = len(req)
+        h, w = req.images.shape[1:3]
+        depths = np.ones((n, h, w), np.float32)
+        self._latest_rgb = np.asarray(req.images[0])
+        return SeedingResult.from_request(req, fallback_depths=depths)
+
+    def run_inference(self, req: InferenceRequest) -> InferenceResult:
+        n = len(req)
+        w, h = req.resolution()
+        t = np.linspace(0, 1, n)[:, None, None]
+        yy = np.linspace(0, 1, h)[None, :, None]
+        xx = np.linspace(0, 1, w)[None, None, :]
+        frames = np.stack(
+            [xx + 0 * yy + 0 * t, yy + 0 * xx + 0 * t, t + 0 * xx + 0 * yy],
+            axis=-1,
+        )
+        frames = np.broadcast_to(frames, (n, h, w, 3))
+        images = (frames * 255).astype(np.uint8)
+        self._latest_rgb = images[-1]
+        return InferenceResult(
+            request_id=req.request_id,
+            cameras_to_world=req.cameras_to_world,
+            focal_lengths=req.focal_lengths,
+            principal_points=req.principal_points,
+            resolutions=req.resolutions,
+            images=images,
+            depths=(
+                np.ones((n, h, w), np.float32) if req.return_depths else None
+            ),
+        )
+
+    def metadata(self) -> dict:
+        return {
+            "model": "DebugInferenceModel",
+            "seeded": self.seeded,
+            "inference_resolution": [self.w, self.h],
+            "mean_inference_time_per_frame": 0.0,
+        }
+
+
+class Gen3cPersistentModel(InferenceModel):
+    """Load-once GEN3C model serving many seeding/inference requests.
+
+    Parity: gen3c_persistent.py:55-569 — seeding from a single image
+    (depth estimated) or N posed RGBD frames; inference runs the chunked
+    AR loop over the user-authored camera path.
+    """
+
+    def __init__(
+        self,
+        model_preset: str = "gen3c_7b",
+        checkpoint_dir: Optional[str] = "checkpoints",
+        num_steps: int = 35,
+        guidance: float = 1.0,
+        seed: int = 0,
+        depth_source: str = "auto",
+    ):
+        from gen3c_tpu.pipelines.depth import make_depth_estimator
+        from gen3c_tpu.pipelines.factory import build_gen3c_model
+        from gen3c_tpu.pipelines.gen3c_pipeline import Gen3cPipeline
+
+        self.model, self.preset = build_gen3c_model(
+            model_preset, checkpoint_dir=checkpoint_dir, seed=seed
+        )
+        self.pipeline = Gen3cPipeline(
+            model=self.model,
+            guidance=guidance,
+            num_steps=num_steps,
+            height=self.preset.height,
+            width=self.preset.width,
+            seed=seed,
+        )
+        self.depth_estimator = make_depth_estimator(depth_source)
+        self.cache = None
+        self.seeding_request: Optional[SeedingRequest] = None
+        self._latest_rgb = None
+        self._inference_times = []
+
+    # -- seeding (gen3c_persistent.py:138-270) --
+
+    def seed_model(self, req: SeedingRequest) -> SeedingResult:
+        import jax.numpy as jnp
+
+        from gen3c_tpu.cache import Cache3DBuffer, Cache4D
+
+        h, w = self.preset.height, self.preset.width
+        images = req.images.astype(np.float32)
+        if images.max() > 1.5:
+            images = images / 255.0
+        n = len(req)
+        w2cs = req.world_to_cameras().astype(np.float32)
+        ks = req.intrinsics_matrix().astype(np.float32)
+
+        if req.depths is None:
+            depths = []
+            for i in range(n):
+                d, k_est, _ = self.depth_estimator(images[i])
+                depths.append(d)
+            depths = np.stack(depths)
+        else:
+            depths = req.depths.astype(np.float32)
+
+        imgs_bchw = images.transpose(0, 3, 1, 2) * 2 - 1
+        if n == 1:
+            self.cache = Cache3DBuffer(
+                frame_buffer_max=self.preset.frame_buffer_max,
+                input_image=jnp.asarray(imgs_bchw),
+                input_depth=jnp.asarray(depths[:, None]),
+                input_w2c=jnp.asarray(w2cs),
+                input_intrinsics=jnp.asarray(ks),
+            )
+        else:
+            self.cache = Cache4D(
+                input_image=jnp.asarray(imgs_bchw),
+                input_depth=jnp.asarray(depths[:, None]),
+                input_w2c=jnp.asarray(w2cs),
+                input_intrinsics=jnp.asarray(ks),
+                input_format=["F", "C", "H", "W"],
+            )
+        self.seeding_request = req
+        self._latest_rgb = (images[0] * 255).astype(np.uint8)
+        self._seed_frame = imgs_bchw[0:1][:, :, None]  # (1, 3, 1, H, W)
+        return SeedingResult.from_request(req, fallback_depths=depths)
+
+    # -- inference (gen3c_persistent.py:272-470) --
+
+    def run_inference(self, req: InferenceRequest) -> InferenceResult:
+        assert self.cache is not None, "seed the model first"
+        import jax.numpy as jnp
+
+        from gen3c_tpu.pipelines.chunked import run_chunked_generation
+
+        t0 = time.perf_counter()
+        chunk = self.model.chunk_size
+        n_req = len(req)
+        # pad the camera path so (n-1) % (chunk-1) == 0 (server pads,
+        # result is trimmed back: api_types pad/trim parity)
+        n_padded = max(chunk, ((n_req - 1 + chunk - 2) // (chunk - 1)) * (chunk - 1) + 1)
+        req.pad_to_frame_count(n_padded)
+
+        target_res = np.tile(
+            [[self.preset.width, self.preset.height]], (len(req), 1)
+        )
+        w2cs = jnp.asarray(req.world_to_cameras().astype(np.float32))[None]
+        ks = jnp.asarray(
+            req.intrinsics_matrix(for_resolutions=target_res).astype(
+                np.float32
+            )
+        )[None]
+
+        update = (
+            self.depth_estimator
+            if hasattr(self.cache, "update_cache")
+            and type(self.cache).__name__ == "Cache3DBuffer"
+            else None
+        )
+        video, _ = run_chunked_generation(
+            self.pipeline,
+            self.cache,
+            w2cs,
+            ks,
+            self._seed_frame,
+            prompt=req.prompt or "",
+            update_cache_with_depth=update,
+            use_start_frame_idx=type(self.cache).__name__ == "Cache4D",
+        )
+        video = video[:n_padded]
+        depths_out = None
+        if req.return_depths:
+            depths_out = np.stack(
+                [self.depth_estimator(f / 255.0)[0] for f in video]
+            )
+        result = InferenceResult(
+            request_id=req.request_id,
+            cameras_to_world=req.cameras_to_world,
+            focal_lengths=req.focal_lengths,
+            principal_points=req.principal_points,
+            resolutions=req.resolutions,
+            images=video,
+            depths=depths_out,
+            runtime_ms=(time.perf_counter() - t0) * 1000,
+        )
+        result.trim_to_original_frame_count(req.frame_count_without_padding)
+        self._latest_rgb = result.images[-1]
+        self._inference_times.append(
+            (time.perf_counter() - t0) / max(len(result), 1)
+        )
+        return result
+
+    def clear_cache(self) -> None:
+        self.cache = None
+        self.seeding_request = None
+
+    def metadata(self) -> dict:
+        mean_t = (
+            float(np.mean(self._inference_times))
+            if self._inference_times
+            else 4.0  # server_cosmos_base.py:246-248 placeholder parity
+        )
+        return {
+            "model": "Gen3cPersistentModel",
+            "preset": self.preset.name,
+            "seeded": self.cache is not None,
+            "inference_resolution": [self.preset.width, self.preset.height],
+            "chunk_size": self.model.chunk_size,
+            "mean_inference_time_per_frame": mean_t,
+        }

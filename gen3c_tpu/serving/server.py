@@ -1,0 +1,244 @@
+"""GEN3C inference HTTP server (stdlib http.server; FastAPI-free).
+
+Parity: gui/api/server.py:44-236 + server_base.py:121-203 — endpoints
+  POST /seed-model          (sync; returns SeedingResult)
+  POST /request-inference   (async job; ?sync=1 for synchronous)
+  GET  /inference-result?request_id=...  (503 until ready)
+  GET  /image?format=jpg|png|pickle      (latest RGB)
+  GET  /metadata
+Settings via GEN3C_* env vars (GEN3C_API_DEBUG=1 -> DebugInferenceModel,
+GEN3C_API_HOST/PORT, GEN3C_MODEL_PRESET, GEN3C_CHECKPOINT_DIR,
+GEN3C_NUM_STEPS, GEN3C_GUIDANCE, GEN3C_RESULT_CACHE_SIZE).
+
+Inference requests run on a single worker thread (the TPU is a serial
+resource); results land in a bounded LRU cache (server_base.py eviction
+parity). The reference's one-process-per-GPU fan-out (multi_gpu.py) is
+unnecessary: one JAX process drives all local TPU chips.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import os
+import pickle
+import queue
+import threading
+import traceback
+from collections import OrderedDict
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Optional
+from urllib.parse import parse_qs, urlparse
+
+import numpy as np
+
+from gen3c_tpu.serving.api_types import InferenceRequest, SeedingRequest
+from gen3c_tpu.serving.serialization import (
+    API_MEDIA_TYPE,
+    APIMessageError,
+    dumps_api_message,
+    loads_api_message,
+)
+from gen3c_tpu.utils import log
+
+
+class InferenceService:
+    """Async job queue + result cache around an InferenceModel."""
+
+    def __init__(self, model, result_cache_size: int = 8):
+        self.model = model
+        self.results: "OrderedDict[str, object]" = OrderedDict()
+        self.errors = {}
+        self.pending = set()
+        self.lock = threading.Lock()
+        self.jobs: "queue.Queue" = queue.Queue()
+        self.result_cache_size = result_cache_size
+        self.worker = threading.Thread(target=self._run, daemon=True)
+        self.worker.start()
+
+    def _run(self):
+        while True:
+            req = self.jobs.get()
+            if req is None:
+                return
+            try:
+                result = self.model.run_inference(req)
+                with self.lock:
+                    self.results[req.request_id] = result
+                    while len(self.results) > self.result_cache_size:
+                        self.results.popitem(last=False)  # evict oldest
+            except Exception as e:  # noqa: BLE001
+                log.error(f"inference failed: {e}\n{traceback.format_exc()}")
+                with self.lock:
+                    self.errors[req.request_id] = str(e)
+            finally:
+                with self.lock:
+                    self.pending.discard(req.request_id)
+
+    def submit(self, req: InferenceRequest):
+        with self.lock:
+            self.pending.add(req.request_id)
+        self.jobs.put(req)
+
+    def result_or_none(self, request_id: str):
+        with self.lock:
+            if request_id in self.errors:
+                raise RuntimeError(self.errors.pop(request_id))
+            return self.results.get(request_id)
+
+    def shutdown(self):
+        self.jobs.put(None)
+
+
+def build_model_from_env():
+    if os.environ.get("GEN3C_API_DEBUG", "0") == "1":
+        from gen3c_tpu.serving.models import DebugInferenceModel
+
+        return DebugInferenceModel()
+    from gen3c_tpu.serving.models import Gen3cPersistentModel
+
+    return Gen3cPersistentModel(
+        model_preset=os.environ.get("GEN3C_MODEL_PRESET", "gen3c_7b"),
+        checkpoint_dir=os.environ.get("GEN3C_CHECKPOINT_DIR", "checkpoints"),
+        num_steps=int(os.environ.get("GEN3C_NUM_STEPS", "35")),
+        guidance=float(os.environ.get("GEN3C_GUIDANCE", "1.0")),
+        seed=int(os.environ.get("GEN3C_SEED", "0")),
+        depth_source=os.environ.get("GEN3C_DEPTH_SOURCE", "auto"),
+    )
+
+
+def make_handler(service: InferenceService):
+    class Handler(BaseHTTPRequestHandler):
+        protocol_version = "HTTP/1.1"
+
+        def log_message(self, fmt, *args):  # route through our logger
+            log.debug(fmt % args)
+
+        def _send(self, code: int, body: bytes, ctype: str = "text/plain"):
+            self.send_response(code)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def _read_body(self) -> bytes:
+            n = int(self.headers.get("Content-Length", "0"))
+            return self.rfile.read(n)
+
+        def do_GET(self):  # noqa: N802
+            url = urlparse(self.path)
+            qs = parse_qs(url.query)
+            if url.path == "/metadata":
+                self._send(
+                    200,
+                    json.dumps(service.model.metadata()).encode(),
+                    "application/json",
+                )
+            elif url.path == "/inference-result":
+                request_id = qs.get("request_id", [""])[0]
+                try:
+                    result = service.result_or_none(request_id)
+                except Exception as e:  # noqa: BLE001
+                    self._send(500, str(e).encode())
+                    return
+                if result is None:
+                    self._send(503, b"Result not ready")
+                else:
+                    self._send(200, dumps_api_message(result), API_MEDIA_TYPE)
+            elif url.path == "/image":
+                fmt = qs.get("format", ["jpg"])[0]
+                image = service.model.get_latest_rgb()
+                if image is None:
+                    self._send(404, b"No image available yet.")
+                    return
+                if fmt == "pickle":
+                    self._send(
+                        200,
+                        pickle.dumps({"image": image}),
+                        "application/octet-stream",
+                    )
+                elif fmt in ("jpg", "png"):
+                    from PIL import Image
+
+                    buf = io.BytesIO()
+                    img = np.asarray(image)
+                    if img.dtype != np.uint8:
+                        img = (img * 255).clip(0, 255).astype(np.uint8)
+                    Image.fromarray(img).save(
+                        buf, format="JPEG" if fmt == "jpg" else "PNG"
+                    )
+                    self._send(200, buf.getvalue(), f"image/{fmt}")
+                else:
+                    self._send(400, f"Unsupported format {fmt}".encode())
+            else:
+                self._send(404, b"Not found")
+
+        def do_POST(self):  # noqa: N802
+            url = urlparse(self.path)
+            qs = parse_qs(url.query)
+            sync = qs.get("sync", ["0"])[0] in ("1", "true", "True")
+            body = self._read_body()
+            if url.path == "/seed-model":
+                try:
+                    req = loads_api_message(body, (SeedingRequest,))
+                except APIMessageError as e:
+                    self._send(400, str(e).encode())
+                    return
+                try:
+                    result = service.model.seed_model(req)
+                except Exception as e:  # noqa: BLE001
+                    log.error(f"seeding failed: {e}\n{traceback.format_exc()}")
+                    self._send(400, str(e).encode())
+                    return
+                self._send(200, dumps_api_message(result), API_MEDIA_TYPE)
+            elif url.path == "/request-inference":
+                try:
+                    req = loads_api_message(body, (InferenceRequest,))
+                except APIMessageError as e:
+                    self._send(400, str(e).encode())
+                    return
+                if sync:
+                    try:
+                        result = service.model.run_inference(req)
+                    except Exception as e:  # noqa: BLE001
+                        self._send(400, str(e).encode())
+                        return
+                    self._send(200, dumps_api_message(result), API_MEDIA_TYPE)
+                else:
+                    service.submit(req)
+                    self._send(202, b"Request accepted.")
+            elif url.path == "/clear-cache":
+                service.model.clear_cache()
+                self._send(200, b"Cache cleared.")
+            else:
+                self._send(404, b"Not found")
+
+    return Handler
+
+
+def serve(host: Optional[str] = None, port: Optional[int] = None, model=None):
+    host = host or os.environ.get("GEN3C_API_HOST", "127.0.0.1")
+    port = port or int(os.environ.get("GEN3C_API_PORT", "8000"))
+    model = model or build_model_from_env()
+    service = InferenceService(
+        model,
+        result_cache_size=int(os.environ.get("GEN3C_RESULT_CACHE_SIZE", "8")),
+    )
+    server = ThreadingHTTPServer((host, port), make_handler(service))
+    log.info(f"GEN3C inference server on http://{host}:{port}")
+    return server, service
+
+
+def main():
+    server, service = serve()
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        service.shutdown()
+        server.server_close()
+
+
+if __name__ == "__main__":
+    main()

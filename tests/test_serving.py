@@ -1,0 +1,174 @@
+"""API server integration tests against the debug + tiny real backends.
+
+Mirrors the reference's debug_api_check.py pattern (gui/api/server_debug.py
++ debug_api_check.py): drive the real HTTP routes against a deterministic
+fake model, then against the tiny GEN3C model.
+"""
+
+import json
+import threading
+import urllib.request
+
+import numpy as np
+import pytest
+
+from gen3c_tpu.serving.api_types import InferenceRequest, SeedingRequest
+from gen3c_tpu.serving.models import DebugInferenceModel, Gen3cPersistentModel
+from gen3c_tpu.serving.serialization import dumps_api_message, loads_api_message
+from gen3c_tpu.serving.server import InferenceService, make_handler, serve
+
+
+def _cameras(n, h, w):
+    c2w = np.tile(np.eye(4, dtype=np.float32)[:3], (n, 1, 1))
+    c2w[:, 0, 3] = np.linspace(0, 0.1, n)
+    fl = np.full((n, 2), 0.8 * w, np.float32)
+    pp = np.full((n, 2), 0.5, np.float32)
+    res = np.tile([[w, h]], (n, 1))
+    return c2w, fl, pp, res
+
+
+@pytest.fixture(scope="module")
+def debug_server():
+    server, service = serve(host="127.0.0.1", port=0, model=DebugInferenceModel())
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    yield f"http://127.0.0.1:{server.server_address[1]}"
+    server.shutdown()
+    service.shutdown()
+
+
+def _post(url, body):
+    req = urllib.request.Request(url, data=body, method="POST")
+    try:
+        with urllib.request.urlopen(req) as resp:
+            return resp.status, resp.read()
+    except urllib.error.HTTPError as e:
+        return e.code, e.read()
+
+
+def _get(url):
+    try:
+        with urllib.request.urlopen(url) as resp:
+            return resp.status, resp.read()
+    except urllib.error.HTTPError as e:
+        return e.code, e.read()
+
+
+def test_metadata_endpoint(debug_server):
+    status, body = _get(f"{debug_server}/metadata")
+    assert status == 200
+    meta = json.loads(body)
+    assert meta["model"] == "DebugInferenceModel"
+
+
+def test_seed_and_infer_roundtrip(debug_server):
+    h, w = 32, 48
+    c2w, fl, pp, res = _cameras(1, h, w)
+    seed_req = SeedingRequest(
+        request_id="seed-1",
+        cameras_to_world=c2w,
+        focal_lengths=fl,
+        principal_points=pp,
+        images=np.zeros((1, h, w, 3), np.uint8),
+    )
+    status, body = _post(
+        f"{debug_server}/seed-model", dumps_api_message(seed_req)
+    )
+    assert status == 200
+    result = loads_api_message(body)
+    assert result.depths.shape == (1, h, w)
+
+    c2w, fl, pp, res = _cameras(5, h, w)
+    inf_req = InferenceRequest(
+        request_id="job-1",
+        cameras_to_world=c2w,
+        focal_lengths=fl,
+        principal_points=pp,
+        resolutions=res,
+    )
+    status, _ = _post(
+        f"{debug_server}/request-inference", dumps_api_message(inf_req)
+    )
+    assert status == 202
+
+    import time
+
+    for _ in range(100):
+        status, body = _get(
+            f"{debug_server}/inference-result?request_id=job-1"
+        )
+        if status == 200:
+            break
+        assert status == 503
+        time.sleep(0.05)
+    assert status == 200
+    result = loads_api_message(body)
+    assert result.images.shape == (5, h, w, 3)
+
+    status, body = _get(f"{debug_server}/image?format=png")
+    assert status == 200
+    assert body[:4] == b"\x89PNG"
+
+
+def test_sync_inference(debug_server):
+    h, w = 32, 48
+    c2w, fl, pp, res = _cameras(3, h, w)
+    inf_req = InferenceRequest(
+        request_id="job-sync",
+        cameras_to_world=c2w,
+        focal_lengths=fl,
+        principal_points=pp,
+        resolutions=res,
+    )
+    status, body = _post(
+        f"{debug_server}/request-inference?sync=1", dumps_api_message(inf_req)
+    )
+    assert status == 200
+    result = loads_api_message(body)
+    assert result.images.shape == (3, h, w, 3)
+
+
+def test_bad_message_rejected(debug_server):
+    status, _ = _post(f"{debug_server}/seed-model", b"not json")
+    assert status == 400
+    status, _ = _post(
+        f"{debug_server}/seed-model",
+        json.dumps({"__type__": "EvilType"}).encode(),
+    )
+    assert status == 400
+
+
+def test_persistent_model_end_to_end():
+    """Seed + infer through Gen3cPersistentModel with the tiny preset."""
+    model = Gen3cPersistentModel(
+        model_preset="gen3c_tiny",
+        checkpoint_dir=None,
+        num_steps=2,
+        depth_source="heuristic",
+    )
+    h, w = model.preset.height, model.preset.width
+    c2w, fl, pp, res = _cameras(1, h, w)
+    rng = np.random.RandomState(0)
+    seed_req = SeedingRequest(
+        request_id="s",
+        cameras_to_world=c2w,
+        focal_lengths=fl,
+        principal_points=pp,
+        images=(rng.rand(1, h, w, 3) * 255).astype(np.uint8),
+    )
+    seed_res = model.seed_model(seed_req)
+    assert seed_res.depths.shape == (1, h, w)
+
+    c2w, fl, pp, res = _cameras(5, h, w)
+    inf_req = InferenceRequest(
+        request_id="i",
+        cameras_to_world=c2w,
+        focal_lengths=fl,
+        principal_points=pp,
+        resolutions=res,
+    )
+    result = model.run_inference(inf_req)
+    assert result.images.shape == (5, h, w, 3)  # trimmed from padded chunk
+    assert result.images.dtype == np.uint8
+    meta = model.metadata()
+    assert meta["seeded"] and meta["chunk_size"] == 9
