@@ -66,9 +66,9 @@ def generate_samples(
     crossattn_uncond: Array,  # (B, M, 1024)
     gt_latent: Array,  # (B, C, T, H, W)
     condition_video_indicator: Array,  # (B or 1, 1, T, 1, 1)
-    condition_video_input_mask: Array,  # (B, 1, T, H, W)
-    pose_latent_cond: Array,  # (B, P, T, H, W)
-    pose_latent_uncond: Array,  # (B, P, T, H, W)
+    condition_video_input_mask: Optional[Array] = None,  # (B, 1, T, H, W)
+    pose_latent_cond: Optional[Array] = None,  # (B, P, T, H, W)
+    pose_latent_uncond: Optional[Array] = None,  # (B, P, T, H, W)
     num_steps: int = 35,
     guidance: float = 1.0,
     condition_augment_sigma: float = 0.001,
@@ -108,16 +108,17 @@ def generate_samples(
         new_xt_scaled = new_xt * schedule.c_in(sigma)
 
         # single batched CFG forward: [cond | uncond] along batch
-        x_cond = jnp.concatenate(
-            [new_xt_scaled, condition_video_input_mask.astype(jnp.float32),
-             pose_latent_cond.astype(jnp.float32)],
-            axis=1,
-        )
-        x_uncond = jnp.concatenate(
-            [new_xt_scaled, condition_video_input_mask.astype(jnp.float32),
-             pose_latent_uncond.astype(jnp.float32)],
-            axis=1,
-        )
+        cond_parts = [new_xt_scaled]
+        uncond_parts = [new_xt_scaled]
+        if condition_video_input_mask is not None:
+            m = condition_video_input_mask.astype(jnp.float32)
+            cond_parts.append(m)
+            uncond_parts.append(m)
+        if pose_latent_cond is not None:
+            cond_parts.append(pose_latent_cond.astype(jnp.float32))
+            uncond_parts.append(pose_latent_uncond.astype(jnp.float32))
+        x_cond = jnp.concatenate(cond_parts, axis=1)
+        x_uncond = jnp.concatenate(uncond_parts, axis=1)
         x_in = jnp.concatenate([x_cond, x_uncond], axis=0)
         t_in = jnp.broadcast_to(t[None], (2 * B,))
         net_out = net_fn(net_params, x_in, t_in, crossattn_both).astype(

@@ -1,0 +1,158 @@
+"""Training loop: mesh-sharded EDM diffusion training with callbacks,
+async checkpointing and resume.
+
+Parity: utils/trainer.py:31-288 (+ training/train.py launch): distributed
+init -> config snapshot -> checkpoint load -> train loop with grad accum
+handled by optax, per-step callbacks, periodic async save, validation
+under EMA. DDP/FSDP wrapping is replaced by the mesh shardings baked into
+the jitted step (training/train_step.py).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from typing import Any, Callable, Iterable, Optional
+
+import jax
+import numpy as np
+
+from gen3c_tpu.training.callbacks import CallBackGroup, IterSpeed
+from gen3c_tpu.training.checkpointing import Checkpointer
+from gen3c_tpu.training.train_step import (
+    TrainState,
+    init_train_state,
+    make_optimizer,
+    make_sharded_train_step,
+)
+from gen3c_tpu.utils import log
+
+
+@dataclasses.dataclass
+class TrainerConfig:
+    job_dir: str = "runs/debug"
+    max_iter: int = 1000
+    save_every: int = 500
+    log_every: int = 10
+    validation_every: int = 0  # 0 = off
+    lr: float = 1e-4
+    weight_decay: float = 0.1
+    grad_clip: float = 1.0
+    warmup_steps: int = 100
+    seed: int = 0
+
+
+class Trainer:
+    def __init__(
+        self,
+        config: TrainerConfig,
+        mesh,
+        dit_cfg,
+        params,
+        callbacks: Optional[CallBackGroup] = None,
+    ):
+        self.config = config
+        self.mesh = mesh
+        self.dit_cfg = dit_cfg
+        os.makedirs(config.job_dir, exist_ok=True)
+        # config snapshot (utils/trainer.py config pkl/yaml dump parity)
+        with open(os.path.join(config.job_dir, "config.json"), "w") as f:
+            json.dump(dataclasses.asdict(config), f, indent=2, default=str)
+
+        self.optimizer = make_optimizer(
+            lr=config.lr,
+            weight_decay=config.weight_decay,
+            grad_clip=config.grad_clip,
+            warmup_steps=config.warmup_steps,
+        )
+        self.step_fn, self.param_shardings = make_sharded_train_step(
+            mesh, dit_cfg, self.optimizer, params
+        )
+        from gen3c_tpu.parallel.sharding import shard_params
+
+        params = shard_params(mesh, params)
+        self.state = init_train_state(params, self.optimizer)
+        self.checkpointer = Checkpointer(
+            os.path.join(config.job_dir, "checkpoints")
+        )
+        self.callbacks = callbacks or CallBackGroup(
+            [IterSpeed(config.log_every)]
+        )
+        self._rng = jax.random.PRNGKey(config.seed)
+
+    def maybe_resume(self) -> int:
+        restored = self.checkpointer.restore(self.state)
+        if restored is not None:
+            # restore may land on one device; re-apply the mesh shardings
+            # (leaves whose template sharding doesn't span the mesh — e.g.
+            # eagerly-created optimizer scalars — are replicated)
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            mesh_devices = set(np.asarray(self.mesh.devices).flat)
+            replicated = NamedSharding(self.mesh, PartitionSpec())
+
+            def reshard(cur, new):
+                sh = cur.sharding if hasattr(cur, "sharding") else None
+                if sh is None or set(sh.device_set) != mesh_devices:
+                    sh = replicated
+                return jax.device_put(new, sh)
+
+            self.state = jax.tree.map(reshard, self.state, restored)
+            return int(jax.device_get(self.state.step))
+        return 0
+
+    def train(
+        self,
+        dataloader: Iterable[dict],
+        validate_fn: Optional[Callable[[TrainState, int], dict]] = None,
+    ) -> TrainState:
+        cfg = self.config
+        start = self.maybe_resume()
+        self.callbacks.on_train_start(self)
+        it = iter(dataloader)
+        metrics = {}
+        for step in range(start + 1, cfg.max_iter + 1):
+            self.callbacks.on_training_step_start(self, step)
+            batch = next(it)
+            self._rng, sub = jax.random.split(self._rng)
+            self.state, metrics = self.step_fn(self.state, batch, sub)
+            self.callbacks.on_training_step_end(self, step, metrics)
+            if cfg.save_every and step % cfg.save_every == 0:
+                self.checkpointer.save(step, jax.device_get(self.state))
+            if (
+                validate_fn is not None
+                and cfg.validation_every
+                and step % cfg.validation_every == 0
+            ):
+                # validation under EMA weights (utils/trainer.py:280 parity)
+                self.callbacks.on_validation_start(self, step)
+                val = validate_fn(self.state, step)
+                self.callbacks.on_validation_end(self, step, val)
+        self.checkpointer.save(cfg.max_iter, jax.device_get(self.state))
+        self.checkpointer.wait()
+        self.callbacks.on_train_end(self)
+        return self.state
+
+
+def synthetic_latent_dataset(
+    batch: int, channels: int, t: int, h: int, w: int,
+    extra_channels: int = 65, ctx_len: int = 16, seed: int = 0,
+):
+    """Infinite synthetic batches in the train_step format (the pattern for
+    dataset_3D: pre-encoded latents + condition channels + text emb)."""
+    import jax.numpy as jnp
+
+    rng = np.random.RandomState(seed)
+    while True:
+        yield {
+            "x0": jnp.asarray(
+                rng.randn(batch, channels, t, h, w), jnp.float32
+            ),
+            "crossattn_emb": jnp.asarray(
+                rng.randn(batch, ctx_len, 1024), jnp.float32
+            ),
+            "extra_channels": jnp.asarray(
+                rng.randn(batch, extra_channels, t, h, w), jnp.float32
+            ),
+        }

@@ -1,0 +1,87 @@
+"""E2E tests: text2world/video2world CLIs + tokenizer CLI."""
+
+import os
+
+import numpy as np
+import pytest
+
+
+def test_text2world_tiny(tmp_path):
+    from gen3c_tpu.pipelines import text2world as cli
+
+    args = cli.create_parser().parse_args(
+        [
+            "--prompt", "a calm lake at sunrise",
+            "--model_preset", "cosmos_t2w_tiny",
+            "--checkpoint_dir", str(tmp_path / "none"),
+            "--num_steps", "2",
+            "--video_save_folder", str(tmp_path / "out"),
+        ]
+    )
+    path = cli.demo(args)
+    assert os.path.exists(path) or os.path.isdir(os.path.splitext(path)[0])
+
+
+def test_video2world_tiny(tmp_path):
+    from PIL import Image
+
+    from gen3c_tpu.pipelines import text2world as cli
+
+    img = tmp_path / "seed.png"
+    Image.fromarray(
+        (np.random.RandomState(0).rand(96, 160, 3) * 255).astype(np.uint8)
+    ).save(img)
+    args = cli.create_parser().parse_args(
+        [
+            "--mode", "video2world",
+            "--prompt", "the camera pans right",
+            "--model_preset", "cosmos_v2w_tiny",
+            "--checkpoint_dir", str(tmp_path / "none"),
+            "--input_image_path", str(img),
+            "--num_steps", "2",
+            "--video_save_folder", str(tmp_path / "out"),
+        ]
+    )
+    path = cli.demo(args)
+    assert os.path.exists(path) or os.path.isdir(os.path.splitext(path)[0])
+
+
+def test_tokenizer_cli_roundtrip(tmp_path, capsys):
+    from PIL import Image
+
+    from gen3c_tpu.pipelines import tokenizer_cli
+
+    # write a 9-frame tiny "video" as PNG frames; save via imageio gif
+    frames = (np.random.RandomState(0).rand(9, 64, 64, 3) * 255).astype(
+        np.uint8
+    )
+    import imageio
+
+    src = tmp_path / "in.gif"
+    imageio.mimsave(str(src), list(frames))
+
+    out = tmp_path / "latent.npz"
+    tokenizer_cli.main(
+        [
+            "--mode", "encode",
+            "--input", str(src),
+            "--output", str(out),
+            "--vae_preset", "tiny",
+            "--chunk_duration", "9",
+        ]
+    )
+    assert out.exists()
+    lat = np.load(out)["latent"]
+    assert lat.shape == (1, 16, 2, 8, 8)
+
+    recon = tmp_path / "recon.mp4"
+    tokenizer_cli.main(
+        [
+            "--mode", "decode",
+            "--input", str(out),
+            "--output", str(recon),
+            "--vae_preset", "tiny",
+            "--chunk_duration", "9",
+        ]
+    )
+    assert recon.exists() or os.path.isdir(str(tmp_path / "recon"))
