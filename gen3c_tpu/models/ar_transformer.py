@@ -1,0 +1,329 @@
+"""Llama-style autoregressive transformer over discrete video tokens.
+
+Parity: cosmos_predict1/autoregressive/networks/transformer.py +
+modules/{attention,mlp}.py — GQA attention (wq/wk/wv/wo, no bias,
+optional per-head RMSNorm on q/k), RMSNorm pre-norms, SwiGLU MLP
+(w1/w2/w3), 1D or 3D RoPE, optional cross-attention to T5 context,
+KV-cache incremental decoding with temperature / top-k / top-p sampling
+(utils/sampling.py parity).
+
+TPU-native: functional params, a jitted single-token decode step driven
+by lax.scan (the KV cache is a carried pytree, not module state), and
+Megatron-style TP via the same PartitionSpec scheme as the DiT
+(reference: autoregressive/modules/linear.py column/row parallel).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from functools import partial
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Array = jax.Array
+Params = Dict[str, Any]
+
+
+@dataclasses.dataclass(frozen=True)
+class ARConfig:
+    dim: int = 4096
+    n_layers: int = 32
+    n_heads: int = 32
+    n_kv_heads: int = 8
+    vocab_size: int = 64000
+    ffn_hidden_size: int = 14336
+    norm_eps: float = 1e-5
+    rope_theta: float = 500000.0
+    max_seq_len: int = 8192
+    use_qk_normalization: bool = True
+    context_dim: int = 0  # >0 enables cross-attention (video2world)
+    rope_dim: str = "1D"  # "1D" | "3D"
+    latent_shape: Tuple[int, int, int] = (0, 0, 0)  # (T,H,W) for 3D rope
+    dtype: Any = jnp.bfloat16
+
+    @property
+    def head_dim(self) -> int:
+        return self.dim // self.n_heads
+
+
+jax.tree_util.register_static(ARConfig)
+
+AR_TINY = ARConfig(
+    dim=128, n_layers=2, n_heads=4, n_kv_heads=2, vocab_size=512,
+    ffn_hidden_size=256, max_seq_len=256, dtype=jnp.float32,
+)
+
+
+class KVCache(NamedTuple):
+    k: Array  # (layers, B, max_seq, kv_heads, head_dim)
+    v: Array
+    pos: Array  # () int32 — current length
+
+
+def init_ar_params(key: Array, cfg: ARConfig, dtype=jnp.float32) -> Params:
+    keys = iter(jax.random.split(key, 8 + cfg.n_layers * 12))
+
+    def lin(i, o, std=0.02):
+        return jax.random.normal(next(keys), (i, o), dtype) * std
+
+    hd = cfg.head_dim
+
+    def layer():
+        p = {
+            "attention_norm": {"scale": jnp.ones((cfg.dim,), dtype)},
+            "ffn_norm": {"scale": jnp.ones((cfg.dim,), dtype)},
+            "wq": lin(cfg.dim, cfg.n_heads * hd),
+            "wk": lin(cfg.dim, cfg.n_kv_heads * hd),
+            "wv": lin(cfg.dim, cfg.n_kv_heads * hd),
+            "wo": lin(cfg.n_heads * hd, cfg.dim),
+            "w1": lin(cfg.dim, cfg.ffn_hidden_size),
+            "w2": lin(cfg.ffn_hidden_size, cfg.dim),
+            "w3": lin(cfg.dim, cfg.ffn_hidden_size),
+        }
+        if cfg.use_qk_normalization:
+            p["q_norm"] = {"scale": jnp.ones((hd,), dtype)}
+            p["k_norm"] = {"scale": jnp.ones((hd,), dtype)}
+        if cfg.context_dim:
+            p["cross_norm"] = {"scale": jnp.ones((cfg.dim,), dtype)}
+            p["cwq"] = lin(cfg.dim, cfg.n_heads * hd)
+            p["cwk"] = lin(cfg.context_dim, cfg.n_kv_heads * hd)
+            p["cwv"] = lin(cfg.context_dim, cfg.n_kv_heads * hd)
+            p["cwo"] = lin(cfg.n_heads * hd, cfg.dim)
+        return p
+
+    return {
+        "tok_embeddings": lin(cfg.vocab_size, cfg.dim, 0.02),
+        "layers": [layer() for _ in range(cfg.n_layers)],
+        "norm": {"scale": jnp.ones((cfg.dim,), dtype)},
+        "output": lin(cfg.dim, cfg.vocab_size),
+    }
+
+
+def _rms(x: Array, scale: Array, eps: float) -> Array:
+    xf = x.astype(jnp.float32)
+    var = jnp.mean(xf * xf, axis=-1, keepdims=True)
+    return (xf * jax.lax.rsqrt(var + eps) * scale.astype(jnp.float32)).astype(
+        x.dtype
+    )
+
+
+def rope_tables(cfg: ARConfig) -> Tuple[Array, Array]:
+    """cos/sin of shape (max_seq_len, head_dim). 3D rope splits the head
+    dim across (T, H, W) axes of the latent token grid (transformer.py
+    rope_dim '3D' parity)."""
+    d = cfg.head_dim
+    if cfg.rope_dim == "1D":
+        freqs = 1.0 / (
+            cfg.rope_theta ** (np.arange(0, d, 2)[: d // 2] / d)
+        )
+        t = np.arange(cfg.max_seq_len)
+        ang = np.outer(t, freqs)
+        ang = np.concatenate([ang, ang], axis=-1)
+    else:
+        T, H, W = cfg.latent_shape
+        assert T * H * W > 0, "latent_shape required for 3D rope"
+        dim_h = d // 6 * 2
+        dim_w = dim_h
+        dim_t = d - 2 * dim_h
+        h_rng = np.arange(0, dim_h, 2)[: dim_h // 2] / dim_h
+        t_rng = np.arange(0, dim_t, 2)[: dim_t // 2] / dim_t
+        fh = 1.0 / cfg.rope_theta**h_rng
+        ft = 1.0 / cfg.rope_theta**t_rng
+        tt = np.repeat(np.arange(T), H * W)
+        hh = np.tile(np.repeat(np.arange(H), W), T)
+        ww = np.tile(np.arange(W), T * H)
+        ang = np.concatenate(
+            [np.outer(tt, ft), np.outer(hh, fh), np.outer(ww, fh)], axis=-1
+        )
+        ang = np.concatenate([ang, ang], axis=-1)
+        pad = cfg.max_seq_len - ang.shape[0]
+        if pad > 0:
+            ang = np.concatenate([ang, np.zeros((pad, d))], axis=0)
+        ang = ang[: cfg.max_seq_len]
+    return (
+        jnp.asarray(np.cos(ang), jnp.float32),
+        jnp.asarray(np.sin(ang), jnp.float32),
+    )
+
+
+def _apply_rope(x: Array, cos: Array, sin: Array) -> Array:
+    d = x.shape[-1]
+    x1, x2 = x[..., : d // 2], x[..., d // 2 :]
+    rot = jnp.concatenate([-x2, x1], axis=-1)
+    out = x.astype(jnp.float32) * cos[None, :, None, :] + rot.astype(
+        jnp.float32
+    ) * sin[None, :, None, :]
+    return out.astype(x.dtype)
+
+
+def _gqa_attention(q, k, v, causal_offset: Optional[Array] = None):
+    """q: (B, Lq, Hq, d); k/v: (B, Lk, Hkv, d) with Hq % Hkv == 0.
+
+    causal_offset: absolute position of q[0] (None => full causal square).
+    """
+    B, Lq, Hq, d = q.shape
+    Lk, Hkv = k.shape[1], k.shape[2]
+    rep = Hq // Hkv
+    k = jnp.repeat(k, rep, axis=2)
+    v = jnp.repeat(v, rep, axis=2)
+    logits = jnp.einsum("bqhd,bkhd->bhqk", q, k).astype(jnp.float32)
+    logits = logits / math.sqrt(d)
+    if causal_offset is not None:
+        qpos = jnp.arange(Lq)[:, None] + causal_offset
+        kpos = jnp.arange(Lk)[None, :]
+        mask = kpos <= qpos
+        logits = jnp.where(mask[None, None], logits, -1e30)
+    probs = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+    return jnp.einsum("bhqk,bkhd->bqhd", probs, v)
+
+
+def ar_forward(
+    params: Params,
+    cfg: ARConfig,
+    tokens: Array,  # (B, L) int32
+    rope: Tuple[Array, Array],
+    cache: Optional[KVCache] = None,
+    context: Optional[Array] = None,  # (B, M, context_dim)
+) -> Tuple[Array, Optional[KVCache]]:
+    """Returns (logits (B, L, vocab), updated cache).
+
+    Without a cache: full causal prefill (cache is created when one is
+    passed in — positions [pos, pos+L) are written).
+    """
+    B, L = tokens.shape
+    dtype = cfg.dtype
+    h = params["tok_embeddings"].astype(dtype)[tokens]
+    cos_full, sin_full = rope
+    pos0 = cache.pos if cache is not None else jnp.asarray(0, jnp.int32)
+    cos = jax.lax.dynamic_slice_in_dim(cos_full, pos0, L, 0)
+    sin = jax.lax.dynamic_slice_in_dim(sin_full, pos0, L, 0)
+
+    new_k, new_v = [], []
+    hd = cfg.head_dim
+    for li, lp in enumerate(params["layers"]):
+        x = _rms(h, lp["attention_norm"]["scale"], cfg.norm_eps)
+        q = (x @ lp["wq"].astype(dtype)).reshape(B, L, cfg.n_heads, hd)
+        k = (x @ lp["wk"].astype(dtype)).reshape(B, L, cfg.n_kv_heads, hd)
+        v = (x @ lp["wv"].astype(dtype)).reshape(B, L, cfg.n_kv_heads, hd)
+        if cfg.use_qk_normalization:
+            q = _rms(q, lp["q_norm"]["scale"], cfg.norm_eps)
+            k = _rms(k, lp["k_norm"]["scale"], cfg.norm_eps)
+        q = _apply_rope(q, cos, sin)
+        k = _apply_rope(k, cos, sin)
+
+        if cache is not None:
+            ck = jax.lax.dynamic_update_slice_in_dim(
+                cache.k[li], k.astype(cache.k.dtype), pos0, axis=1
+            )
+            cv = jax.lax.dynamic_update_slice_in_dim(
+                cache.v[li], v.astype(cache.v.dtype), pos0, axis=1
+            )
+            new_k.append(ck)
+            new_v.append(cv)
+            attn = _gqa_attention(
+                q, ck.astype(dtype), cv.astype(dtype), causal_offset=pos0
+            )
+        else:
+            attn = _gqa_attention(q, k, v, causal_offset=jnp.asarray(0))
+        h = h + attn.reshape(B, L, -1) @ lp["wo"].astype(dtype)
+
+        if cfg.context_dim and context is not None:
+            x = _rms(h, lp["cross_norm"]["scale"], cfg.norm_eps)
+            cq = (x @ lp["cwq"].astype(dtype)).reshape(B, L, cfg.n_heads, hd)
+            ckx = (context.astype(dtype) @ lp["cwk"].astype(dtype)).reshape(
+                B, -1, cfg.n_kv_heads, hd
+            )
+            cvx = (context.astype(dtype) @ lp["cwv"].astype(dtype)).reshape(
+                B, -1, cfg.n_kv_heads, hd
+            )
+            cattn = _gqa_attention(cq, ckx, cvx, causal_offset=None)
+            h = h + cattn.reshape(B, L, -1) @ lp["cwo"].astype(dtype)
+
+        x = _rms(h, lp["ffn_norm"]["scale"], cfg.norm_eps)
+        gate = jax.nn.silu(x @ lp["w1"].astype(dtype))
+        up = x @ lp["w3"].astype(dtype)
+        h = h + (gate * up) @ lp["w2"].astype(dtype)
+
+    h = _rms(h, params["norm"]["scale"], cfg.norm_eps)
+    logits = (h @ params["output"].astype(dtype)).astype(jnp.float32)
+    out_cache = None
+    if cache is not None:
+        out_cache = KVCache(
+            k=jnp.stack(new_k), v=jnp.stack(new_v), pos=pos0 + L
+        )
+    return logits, out_cache
+
+
+def init_kv_cache(cfg: ARConfig, batch: int, dtype=jnp.bfloat16) -> KVCache:
+    shape = (cfg.n_layers, batch, cfg.max_seq_len, cfg.n_kv_heads,
+             cfg.head_dim)
+    return KVCache(
+        k=jnp.zeros(shape, dtype),
+        v=jnp.zeros(shape, dtype),
+        pos=jnp.asarray(0, jnp.int32),
+    )
+
+
+def sample_logits(
+    key: Array, logits: Array, temperature: float = 1.0,
+    top_k: int = 0, top_p: float = 0.0,
+) -> Array:
+    """Temperature / top-k / top-p sampling (utils/sampling.py parity)."""
+    if temperature <= 0:
+        return jnp.argmax(logits, axis=-1)
+    logits = logits / temperature
+    if top_k > 0:
+        kth = jnp.sort(logits, axis=-1)[..., -top_k][..., None]
+        logits = jnp.where(logits < kth, -1e30, logits)
+    if top_p > 0:
+        sorted_logits = jnp.sort(logits, axis=-1)[..., ::-1]
+        probs = jax.nn.softmax(sorted_logits, axis=-1)
+        cum = jnp.cumsum(probs, axis=-1)
+        cutoff_idx = jnp.sum(cum < top_p, axis=-1, keepdims=True)
+        cutoff = jnp.take_along_axis(sorted_logits, cutoff_idx, axis=-1)
+        logits = jnp.where(logits < cutoff, -1e30, logits)
+    return jax.random.categorical(key, logits, axis=-1)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("cfg", "max_new_tokens", "temperature", "top_k", "top_p"),
+)
+def generate(
+    params: Params,
+    cfg: ARConfig,
+    prompt_tokens: Array,  # (B, L0)
+    key: Array,
+    max_new_tokens: int,
+    temperature: float = 1.0,
+    top_k: int = 0,
+    top_p: float = 0.0,
+    context: Optional[Array] = None,
+) -> Array:
+    """Prefill + lax.scan KV-cache decode. Returns (B, L0+new) tokens."""
+    B, L0 = prompt_tokens.shape
+    rope = rope_tables(cfg)
+    cache = init_kv_cache(cfg, B, dtype=cfg.dtype)
+    logits, cache = ar_forward(
+        params, cfg, prompt_tokens, rope, cache, context
+    )
+    first = sample_logits(key, logits[:, -1], temperature, top_k, top_p)
+
+    def step(carry, k_i):
+        cache, tok = carry
+        logits, cache = ar_forward(
+            params, cfg, tok[:, None], rope, cache, context
+        )
+        nxt = sample_logits(k_i, logits[:, -1], temperature, top_k, top_p)
+        return (cache, nxt), nxt
+
+    keys = jax.random.split(jax.random.fold_in(key, 1), max_new_tokens - 1)
+    (_, _), rest = jax.lax.scan(step, (cache, first), keys)
+    new_tokens = jnp.concatenate(
+        [first[:, None], jnp.swapaxes(rest, 0, 1)], axis=1
+    )
+    return jnp.concatenate([prompt_tokens, new_tokens], axis=1)

@@ -35,17 +35,26 @@ class VideoExtendCondition:
 
 
 def add_condition_video_indicator_and_input_mask(
-    latent_state: Array, condition: VideoExtendCondition, num_condition_t: int
+    latent_state: Array,
+    condition: VideoExtendCondition,
+    num_condition_t: int,
+    condition_location: str = "first_n",
 ) -> VideoExtendCondition:
-    """Mark the first num_condition_t latent frames as the condition region.
+    """Mark the condition region in latent time.
 
     Parity: DiffusionV2WModel.add_condition_video_indicator_and_video_input_mask
-    (model_v2w.py:32-82).
+    (model_v2w.py:32-82) for "first_n"; "first_and_last_1" is the
+    world-interpolator variant (model_world_interpolator.py): both the
+    first num_condition_t and the last latent frame are conditioned.
     """
     B, C, T, H, W = latent_state.shape
     dtype = latent_state.dtype
     indicator = jnp.zeros((1, 1, T, 1, 1), dtype)
     indicator = indicator.at[:, :, :num_condition_t].set(1.0)
+    if condition_location == "first_and_last_1":
+        indicator = indicator.at[:, :, -1:].set(1.0)
+    elif condition_location != "first_n":
+        raise ValueError(f"Unknown condition_location {condition_location}")
     condition.gt_latent = latent_state
     condition.condition_video_indicator = indicator
     if condition.video_cond_bool:

@@ -1,0 +1,116 @@
+"""World interpolator: generate the video between two key frames.
+
+Parity: cosmos_predict1/diffusion/inference/world_interpolator.py +
+model_world_interpolator.py — conditioning location "first_and_last_1":
+the first and last latent frames are pinned to the two input images and
+the sampler fills the middle.
+
+Usage:
+  python -m gen3c_tpu.pipelines.world_interpolator \
+      --first_image a.png --last_image b.png [--model_preset cosmos_v2w_tiny]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from gen3c_tpu.diffusion.sampler import arch_invariant_randn, generate_samples
+from gen3c_tpu.models.conditioner import (
+    VideoExtendCondition,
+    add_condition_video_indicator_and_input_mask,
+)
+from gen3c_tpu.models.gen3c import _dit_net_fn
+from gen3c_tpu.pipelines.factory import build_gen3c_model
+from gen3c_tpu.pipelines.text2world import T2W_PRESETS
+from gen3c_tpu.utils import io as io_utils
+from gen3c_tpu.utils import log
+
+
+def create_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="Cosmos world interpolator (TPU)")
+    p.add_argument("--first_image", type=str, required=True)
+    p.add_argument("--last_image", type=str, required=True)
+    p.add_argument("--model_preset", type=str, default="cosmos_v2w_7b",
+                   choices=sorted(T2W_PRESETS))
+    p.add_argument("--checkpoint_dir", type=str, default="checkpoints")
+    p.add_argument("--prompt", type=str, default="")
+    p.add_argument("--guidance", type=float, default=7.0)
+    p.add_argument("--num_steps", type=int, default=35)
+    p.add_argument("--fps", type=int, default=24)
+    p.add_argument("--seed", type=int, default=1)
+    p.add_argument("--video_save_name", type=str, default="output")
+    p.add_argument("--video_save_folder", type=str, default="outputs/")
+    return p
+
+
+def demo(args) -> str:
+    preset = T2W_PRESETS[args.model_preset]
+    assert preset.dit.in_channels >= 17, "interpolation needs a v2w preset"
+    model, preset = build_gen3c_model(
+        preset, checkpoint_dir=args.checkpoint_dir, seed=args.seed
+    )
+    h, w = preset.height, preset.width
+    C, T, Hl, Wl = preset.state_shape
+    B = 1
+
+    first = io_utils.read_image_bcthw(args.first_image, h, w)
+    last = io_utils.read_image_bcthw(args.last_image, h, w)
+
+    # encode each end into its own latent chunk (inference_utils.py:736-757
+    # first_and_last_1 path: each end is zero-padded and encoded separately)
+    lat_first = model.create_condition_latent_from_input_frames(
+        jnp.asarray(first), 1
+    )
+    lat_last = model.create_condition_latent_from_input_frames(
+        jnp.asarray(last), 1
+    )
+    gt = jnp.concatenate(
+        [
+            lat_first[:, :, :1],
+            jnp.zeros((B, C, T - 2, Hl, Wl), lat_first.dtype),
+            lat_last[:, :, :1],
+        ],
+        axis=2,
+    )
+
+    cond = VideoExtendCondition(
+        crossattn_emb=jnp.zeros((B, 512, 1024), jnp.float32)
+    )
+    cond = add_condition_video_indicator_and_input_mask(
+        gt, cond, num_condition_t=1, condition_location="first_and_last_1"
+    )
+
+    init_noise = np.random.RandomState(args.seed).standard_normal(
+        (B, C, T, Hl, Wl)
+    ).astype(np.float32)
+    samples = generate_samples(
+        net_fn=_dit_net_fn,
+        net_params=(model.dit_params, model.dit_cfg),
+        init_noise=jnp.asarray(init_noise),
+        augment_noise=jnp.asarray(
+            arch_invariant_randn((B, C, T, Hl, Wl), args.seed)
+        ),
+        crossattn_cond=cond.crossattn_emb,
+        crossattn_uncond=jnp.zeros_like(cond.crossattn_emb),
+        gt_latent=cond.gt_latent,
+        condition_video_indicator=cond.condition_video_indicator,
+        condition_video_input_mask=cond.condition_video_input_mask,
+        num_steps=args.num_steps,
+        guidance=args.guidance,
+    )
+    video = model.decode(samples)
+    video = np.asarray(video[0]).transpose(1, 2, 3, 0)
+    video = ((video + 1) / 2 * 255).clip(0, 255).astype(np.uint8)
+    path = os.path.join(args.video_save_folder, f"{args.video_save_name}.mp4")
+    io_utils.save_video(video, args.fps, path)
+    log.info(f"Saved interpolated video to {path}")
+    return path
+
+
+if __name__ == "__main__":
+    demo(create_parser().parse_args())
