@@ -252,16 +252,14 @@ def bilinear_splatting(
     vals4 = jnp.tile(vals, (1, 1, 4)) * wts[:, None, :]  # (b,c,4hw)
 
     def scatter_one(v_c4, idx_b, wts_b):
-        # v_c4: (c, 4hw); idx_b: (4hw,); wts_b: (4hw,)
-        buf = jnp.zeros((n_pix, c), dtype)
-        buf = buf.at[idx_b].add(v_c4.T)
-        wbuf = jnp.zeros((n_pix,), dtype)
-        wbuf = wbuf.at[idx_b].add(wts_b)
-        return buf, wbuf
+        # one fused scatter-add of (values | weight) rows: (4hw, c+1)
+        rows = jnp.concatenate([v_c4.T, wts_b[:, None]], axis=1)
+        buf = jnp.zeros((n_pix, c + 1), dtype)
+        return buf.at[idx_b].add(rows)
 
-    warped_flat, weights_flat = jax.vmap(scatter_one)(vals4, idx, wts)
-    warped = warped_flat.reshape(b, h + 2, W2, c)
-    weights = weights_flat.reshape(b, h + 2, W2, 1)
+    flat = jax.vmap(scatter_one)(vals4, idx, wts)
+    warped = flat[..., :c].reshape(b, h + 2, W2, c)
+    weights = flat[..., c:].reshape(b, h + 2, W2, 1)
 
     cropped = jnp.moveaxis(warped, 3, 1)[:, :, 1:-1, 1:-1]
     cropped_w = jnp.moveaxis(weights, 3, 1)[:, :, 1:-1, 1:-1]

@@ -1,0 +1,215 @@
+"""GEN3C inference client: seeding upload, camera-path authoring,
+inference requests, result download.
+
+Parity: gui/api/client.py (the pyngp-viewer glue, 897 LoC) re-scoped
+headless: the C++ viewer's GEN3C-relevant duties — seeding from an image,
+authoring a camera path (keyframe spline via the native engine or preset
+trajectories), submitting InferenceRequests, polling and saving results —
+are all here and scriptable. httpx transport (httpx_utils.py parity).
+
+CLI:
+  python -m gen3c_tpu.serving.client --server http://127.0.0.1:8000 \
+      --image seed.png --trajectory left --num_frames 17 --output out/
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+import uuid
+from typing import Optional, Tuple
+
+import numpy as np
+
+from gen3c_tpu.serving.api_types import (
+    InferenceRequest,
+    InferenceResult,
+    SeedingRequest,
+    SeedingResult,
+)
+from gen3c_tpu.serving.serialization import dumps_api_message, loads_api_message
+from gen3c_tpu.utils import log
+
+
+class Gen3cClient:
+    def __init__(self, base_url: str, timeout: float = 600.0):
+        import httpx
+
+        self.base_url = base_url.rstrip("/")
+        self.http = httpx.Client(base_url=self.base_url, timeout=timeout)
+
+    # -- server info --
+
+    def metadata(self) -> dict:
+        r = self.http.get("/metadata")
+        r.raise_for_status()
+        return r.json()
+
+    # -- seeding --
+
+    def seed_from_image(
+        self,
+        image: np.ndarray,  # (H, W, 3) uint8
+        c2w: Optional[np.ndarray] = None,  # (3, 4) or (4, 4)
+        focal_length: Optional[float] = None,
+        depth: Optional[np.ndarray] = None,
+    ) -> SeedingResult:
+        h, w = image.shape[:2]
+        if c2w is None:
+            c2w = np.eye(4, dtype=np.float32)
+        c2w = np.asarray(c2w, np.float32)[:3, :4][None]
+        fl = focal_length or 0.8 * w
+        req = SeedingRequest(
+            request_id=str(uuid.uuid4()),
+            cameras_to_world=c2w,
+            focal_lengths=np.full((1, 2), fl, np.float32),
+            principal_points=np.full((1, 2), 0.5, np.float32),
+            images=image[None],
+            depths=None if depth is None else depth[None],
+        )
+        r = self.http.post("/seed-model", content=dumps_api_message(req))
+        r.raise_for_status()
+        return loads_api_message(r.content)
+
+    # -- inference --
+
+    def request_inference(
+        self,
+        c2ws: np.ndarray,  # (N, 3, 4) camera-to-world
+        resolution: Tuple[int, int],  # (width, height)
+        focal_lengths: Optional[np.ndarray] = None,
+        fovs_deg: Optional[np.ndarray] = None,
+        prompt: str = "",
+        framerate: float = 24.0,
+        return_depths: bool = False,
+        sync: bool = False,
+    ) -> str | InferenceResult:
+        n = len(c2ws)
+        w, h = resolution
+        if focal_lengths is None:
+            if fovs_deg is not None:
+                f = 0.5 * w / np.tan(np.radians(fovs_deg) / 2)
+                focal_lengths = np.stack([f, f], axis=-1).astype(np.float32)
+            else:
+                focal_lengths = np.full((n, 2), 0.8 * w, np.float32)
+        req = InferenceRequest(
+            request_id=str(uuid.uuid4()),
+            cameras_to_world=np.asarray(c2ws, np.float32),
+            focal_lengths=focal_lengths,
+            principal_points=np.full((n, 2), 0.5, np.float32),
+            resolutions=np.tile([[w, h]], (n, 1)),
+            prompt=prompt,
+            framerate=framerate,
+            return_depths=return_depths,
+        )
+        url = "/request-inference" + ("?sync=1" if sync else "")
+        r = self.http.post(url, content=dumps_api_message(req))
+        r.raise_for_status()
+        if sync:
+            return loads_api_message(r.content)
+        return req.request_id
+
+    def wait_for_result(
+        self, request_id: str, poll_s: float = 1.0, timeout_s: float = 3600.0
+    ) -> InferenceResult:
+        t0 = time.monotonic()
+        while True:
+            r = self.http.get(
+                "/inference-result", params={"request_id": request_id}
+            )
+            if r.status_code == 200:
+                return loads_api_message(r.content)
+            if r.status_code != 503:
+                r.raise_for_status()
+            if time.monotonic() - t0 > timeout_s:
+                raise TimeoutError(f"result {request_id} not ready")
+            time.sleep(poll_s)
+
+    def latest_image(self) -> Optional[np.ndarray]:
+        import io
+
+        from PIL import Image
+
+        r = self.http.get("/image", params={"format": "png"})
+        if r.status_code == 404:
+            return None
+        r.raise_for_status()
+        return np.asarray(Image.open(io.BytesIO(r.content)))
+
+
+def camera_path_from_trajectory(
+    trajectory: str, n_frames: int, movement_distance: float = 0.3,
+    camera_rotation: str = "center_facing", center_depth: float = 2.0,
+) -> np.ndarray:
+    """Author a (N, 3, 4) c2w path from a preset trajectory, smoothed
+    through the native keyframe spline (the GUI authoring flow)."""
+    from gen3c_tpu.native.camera_path import CameraPath
+    from gen3c_tpu.ops.camera import generate_camera_trajectory
+
+    w2cs, _ = generate_camera_trajectory(
+        trajectory,
+        np.eye(4, dtype=np.float32),
+        np.array([[100.0, 0, 50], [0, 100.0, 50], [0, 0, 1]], np.float32),
+        num_frames=max(4, n_frames // 4),  # sparse keyframes
+        movement_distance=movement_distance,
+        camera_rotation=camera_rotation,
+        center_depth=center_depth,
+    )
+    path = CameraPath()
+    for w2c in np.asarray(w2cs[0]):
+        c2w = np.linalg.inv(w2c)
+        path.add_keyframe_from_c2w(c2w[:3])
+    c2ws, _ = path.sample(n_frames)
+    return c2ws
+
+
+def main(argv=None) -> None:
+    p = argparse.ArgumentParser(description="GEN3C client")
+    p.add_argument("--server", default="http://127.0.0.1:8000")
+    p.add_argument("--image", required=True)
+    p.add_argument("--trajectory", default="left")
+    p.add_argument("--camera_path_json", default=None,
+                   help="load a saved keyframe path instead of a preset")
+    p.add_argument("--num_frames", type=int, default=17)
+    p.add_argument("--movement_distance", type=float, default=0.3)
+    p.add_argument("--prompt", default="")
+    p.add_argument("--output", default="outputs/client")
+    args = p.parse_args(argv)
+
+    from PIL import Image
+
+    client = Gen3cClient(args.server)
+    log.info(f"server metadata: {client.metadata()}")
+
+    image = np.asarray(Image.open(args.image).convert("RGB"))
+    seed_res = client.seed_from_image(image)
+    log.info(
+        "seeded; estimated depth range "
+        f"{None if seed_res.depths is None else (float(seed_res.depths.min()), float(seed_res.depths.max()))}"
+    )
+
+    if args.camera_path_json:
+        from gen3c_tpu.native.camera_path import CameraPath
+
+        path = CameraPath()
+        path.load(args.camera_path_json)
+        c2ws, _ = path.sample(args.num_frames)
+    else:
+        c2ws = camera_path_from_trajectory(
+            args.trajectory, args.num_frames, args.movement_distance
+        )
+
+    meta = client.metadata()
+    w, h = meta.get("inference_resolution", [image.shape[1], image.shape[0]])
+    request_id = client.request_inference(
+        c2ws, (w, h), prompt=args.prompt
+    )
+    log.info(f"inference request {request_id} submitted; polling...")
+    result = client.wait_for_result(request_id)
+    log.info(f"got {len(result.images)} frames ({result.runtime_ms:.0f} ms)")
+    result.save_images(args.output)
+    log.info(f"saved frames to {args.output}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,129 @@
+"""Training datasets: GEN3C RGBD clips -> diffusion training batches.
+
+Parity: diffusion/training/datasets/dataset_3D.py + dataset_video.py —
+the reference trains from (video, depth, poses, intrinsics) clips plus
+precomputed T5 embedding pickles; per sample it renders warped condition
+buffers from the 3D cache at the clip's own cameras and encodes
+everything to latents. Here the same preprocessing runs through the JAX
+cache + tokenizer, producing batches in the train_step format:
+
+  x0             (B, 16, T', H', W')   clean video latent (sigma_data-scaled)
+  crossattn_emb  (B, 512, 1024)        T5 embedding (or zeros)
+  extra_channels (B, 65, T', H', W')   [condition mask | pose latents]
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Iterator, List, Optional
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from gen3c_tpu.utils import log
+
+
+def build_gen3c_train_batch(
+    model,
+    image: np.ndarray,  # (F, 3, H, W) in [-1, 1]
+    depth: np.ndarray,  # (F, 1, H, W)
+    w2c: np.ndarray,  # (F, 4, 4)
+    intrinsics: np.ndarray,  # (F, 3, 3)
+    t5_embedding: Optional[np.ndarray] = None,  # (512, 1024)
+    mask: Optional[np.ndarray] = None,
+    num_condition_t: int = 1,
+    seed: int = 0,
+) -> dict:
+    """One training sample from an RGBD clip (dataset_3D sample parity):
+    the clip's first frame seeds a Cache3DBuffer, the clip's own cameras
+    render the warp buffers, everything is VAE-encoded."""
+    from gen3c_tpu.cache import Cache3DBuffer
+
+    F = image.shape[0]
+    assert F == model.chunk_size, (F, model.chunk_size)
+
+    cache = Cache3DBuffer(
+        frame_buffer_max=model.frame_buffer_max,
+        seed=seed,
+        input_image=jnp.asarray(image[:1]),
+        input_depth=jnp.asarray(depth[:1]),
+        input_mask=jnp.asarray(mask[:1]) if mask is not None else None,
+        input_w2c=jnp.asarray(w2c[:1]),
+        input_intrinsics=jnp.asarray(intrinsics[:1]),
+    )
+    warp_images, warp_masks = cache.render_cache(
+        jnp.asarray(w2c[None]), jnp.asarray(intrinsics[None])
+    )
+
+    video = jnp.asarray(image.transpose(1, 0, 2, 3)[None])  # (1,3,F,H,W)
+    x0 = model.encode(video)
+    pose_latent = model.encode_warped_frames(warp_images, warp_masks)
+
+    C, T, Hl, Wl = x0.shape[1:]
+    indicator = jnp.zeros((1, 1, T, 1, 1), x0.dtype)
+    indicator = indicator.at[:, :, :num_condition_t].set(1.0)
+    in_mask = jnp.broadcast_to(indicator, (1, 1, T, Hl, Wl))
+    extra = jnp.concatenate([in_mask, pose_latent.astype(x0.dtype)], axis=1)
+
+    if t5_embedding is None:
+        t5_embedding = np.zeros((512, 1024), np.float32)
+    return {
+        "x0": x0.astype(jnp.float32),
+        "crossattn_emb": jnp.asarray(t5_embedding[None], jnp.float32),
+        "extra_channels": extra.astype(jnp.float32),
+    }
+
+
+class Gen3CClipDataset:
+    """Iterate training batches over a directory of packaged clips.
+
+    Layout: <root>/*.npz (data_loaders packaged format) with optional
+    sibling <clip>.t5.npy embedding files (the precompute pattern of
+    scripts/get_t5_embeddings.py).
+    """
+
+    def __init__(self, root: str, model, batch_size: int = 1, seed: int = 0):
+        self.root = root
+        self.model = model
+        self.batch_size = batch_size
+        self.clips: List[str] = sorted(
+            os.path.join(root, f)
+            for f in os.listdir(root)
+            if f.endswith((".npz", ".pt")) and not f.endswith(".t5.npy")
+        )
+        assert self.clips, f"no clips under {root}"
+        self.rng = np.random.RandomState(seed)
+        log.info(f"Gen3CClipDataset: {len(self.clips)} clips in {root}")
+
+    def _load_sample(self, path: str) -> dict:
+        from gen3c_tpu.pipelines.data_loaders import load_data_packaged_format
+
+        image, depth, mask, w2c, k = load_data_packaged_format(path)
+        t5 = None
+        t5_path = os.path.splitext(path)[0] + ".t5.npy"
+        if os.path.exists(t5_path):
+            t5 = np.load(t5_path)
+        chunk = self.model.chunk_size
+        assert image.shape[0] >= chunk, (image.shape, chunk)
+        start = self.rng.randint(0, image.shape[0] - chunk + 1)
+        sl = slice(start, start + chunk)
+        return build_gen3c_train_batch(
+            self.model,
+            image[sl],
+            depth[sl],
+            w2c[sl],
+            k[sl],
+            t5_embedding=t5,
+            mask=mask[sl] if mask is not None else None,
+            seed=int(self.rng.randint(0, 2**31)),
+        )
+
+    def __iter__(self) -> Iterator[dict]:
+        while True:
+            picks = self.rng.choice(len(self.clips), self.batch_size)
+            samples = [self._load_sample(self.clips[i]) for i in picks]
+            yield {
+                k: jnp.concatenate([s[k] for s in samples], axis=0)
+                for k in samples[0]
+            }
