@@ -289,22 +289,53 @@ def apply_rope(x: Array, cos: Array, sin: Array) -> Array:
     return out.astype(x.dtype)
 
 
+def _pick_block(n: int, candidates) -> int:
+    for c in candidates:
+        if n % c == 0:
+            return c
+    return n
+
+
 def attention_op(q: Array, k: Array, v: Array) -> Array:
     """Scaled dot-product attention. q: (B, Lq, h, d), k/v: (B, Lk, h, d).
 
-    Uses the Pallas TPU flash-attention kernel on TPU backends, XLA
-    attention elsewhere. Replaces the reference's TransformerEngine
-    DotProductAttention (attention.py:228-238).
+    TPU: splash-attention Pallas kernel for self-attention-sized inputs
+    (Lq == Lk, ~143 TF/s at the GEN3C shape), flash-attention kernel for
+    cross-attention, XLA elsewhere. Replaces the reference's
+    TransformerEngine DotProductAttention (attention.py:228-238).
     """
     scale = 1.0 / math.sqrt(q.shape[-1])
     # Backend dispatch is a trace-time (static) decision.
-    use_flash = (
+    on_tpu = (
         jax.default_backend() == "tpu"
         and q.shape[1] % 128 == 0
         and k.shape[1] % 128 == 0
         and q.shape[-1] % 128 == 0
     )
-    if use_flash:
+    if on_tpu and q.shape[1] == k.shape[1] and q.shape[1] >= 1024:
+        from jax.experimental.pallas.ops.tpu.splash_attention import (
+            splash_attention_kernel as sk,
+            splash_attention_mask as sm,
+        )
+
+        B, L, H, D = q.shape
+        bq = _pick_block(L, (1408, 1024, 512, 256, 128))
+        bkv = _pick_block(L, (1024, 512, 256, 128))
+        bs = sk.BlockSizes(
+            block_q=bq, block_kv=bkv, block_kv_compute=bkv,
+            block_q_dkv=bq, block_kv_dkv=bkv, block_kv_dkv_compute=bkv,
+            block_q_dq=bq, block_kv_dq=bkv,
+        )
+        mmask = sm.MultiHeadMask([sm.FullMask((L, L))] * H)
+        kernel = sk.make_splash_mha(
+            mask=mmask, head_shards=1, q_seq_shards=1, block_sizes=bs
+        )
+        qt = jnp.swapaxes(q, 1, 2) * scale  # (B, h, L, d), pre-scaled
+        kt = jnp.swapaxes(k, 1, 2)
+        vt = jnp.swapaxes(v, 1, 2)
+        out = jax.vmap(kernel)(qt, kt, vt)
+        return jnp.swapaxes(out, 1, 2)
+    if on_tpu:
         from jax.experimental.pallas.ops.tpu.flash_attention import (
             BlockSizes,
             flash_attention,
