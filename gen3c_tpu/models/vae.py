@@ -159,21 +159,15 @@ def _haar_kernels(dtype):
 
 
 def _grouped_conv3d_1axis(x: Array, k: Array, axis: int, stride: int) -> Array:
-    """Depthwise conv along one of (T,H,W) with a length-2 kernel."""
-    g = x.shape[1]
-    shape = [1, 1, 1, 1, 1]
-    shape[2 + axis] = k.shape[0]
-    w = jnp.broadcast_to(k.reshape(shape), (g, 1, *shape[2:]))
-    strides = [1, 1, 1]
-    strides[axis] = stride
-    return jax.lax.conv_general_dilated(
-        x,
-        w.astype(x.dtype),
-        window_strides=tuple(strides),
-        padding="VALID",
-        dimension_numbers=("NCDHW", "OIDHW", "NCDHW"),
-        feature_group_count=g,
-    )
+    """Depthwise length-2 stride-2 correlation along one of (T,H,W):
+    y[i] = k0*x[2i] + k1*x[2i+1], implemented with strided slices (XLA's
+    grouped-conv lowering materializes multi-GB scratch here)."""
+    assert k.shape[0] == 2 and stride == 2
+    dim = 2 + axis
+    n = x.shape[dim]
+    even = jax.lax.slice_in_dim(x, 0, n - 1, 2, dim)
+    odd = jax.lax.slice_in_dim(x, 1, n, 2, dim)
+    return k[0] * even + k[1] * odd
 
 
 def _dwt3d(x: Array) -> Array:
@@ -204,27 +198,15 @@ def _idwt3d(x: Array) -> Array:
     subs = jnp.split(x, 8, axis=1)
 
     def up(a: Array, k: Array, axis: int) -> Array:
-        # torch conv_transpose3d(stride=2, padding=0) parity: dilate the
-        # input by 2 along `axis` and correlate with the FLIPPED kernel
-        # under full (k-1) padding.
-        gg = a.shape[1]
-        kn = k.shape[0]
-        shape = [1, 1, 1, 1, 1]
-        shape[2 + axis] = kn
-        w = jnp.broadcast_to(k[::-1].reshape(shape), (gg, 1, *shape[2:]))
-        lhs_dil = [1, 1, 1]
-        lhs_dil[axis] = 2
-        pad = [(0, 0), (0, 0), (0, 0)]
-        pad[axis] = (kn - 1, kn - 1)
-        return jax.lax.conv_general_dilated(
-            a,
-            w.astype(a.dtype),
-            window_strides=(1, 1, 1),
-            padding=pad,
-            lhs_dilation=tuple(lhs_dil),
-            dimension_numbers=("NCDHW", "OIDHW", "NCDHW"),
-            feature_group_count=gg,
-        )
+        # torch conv_transpose3d(kernel=2, stride=2, padding=0) parity:
+        # y[2i] = k0*x[i], y[2i+1] = k1*x[i] — a pure interleave.
+        dim = 2 + axis
+        e = k[0] * a
+        o = k[1] * a
+        stacked = jnp.stack([e, o], axis=dim + 1)
+        new_shape = list(a.shape)
+        new_shape[dim] = a.shape[dim] * 2
+        return stacked.reshape(new_shape)
 
     xlll, xllh, xlhl, xlhh, xhll, xhlh, xhhl, xhhh = subs
     xll = up(xlll, hl, 2) + up(xllh, hh, 2)
