@@ -65,6 +65,8 @@ def create_parser() -> argparse.ArgumentParser:
     p.add_argument("--filter_points_threshold", type=float, default=0.05)
     p.add_argument("--foreground_masking", action="store_true")
     p.add_argument("--save_buffer", action="store_true")
+    p.add_argument("--batch_input_path", type=str, default=None,
+                   help="JSONL with one {\"prompt\",\"visual_input\"} per line")
     # TPU-rebuild extras
     p.add_argument("--depth_source", type=str, default="auto",
                    choices=["auto", "moge", "file", "heuristic"])
@@ -86,8 +88,6 @@ def demo(args) -> str:
         args.model_preset, checkpoint_dir=args.checkpoint_dir, seed=args.seed
     )
     validate_args(args, preset.chunk_size)
-    chunk = preset.chunk_size
-    h, w = preset.height, preset.width
 
     text_encoder = None
     if not args.disable_prompt_encoder:
@@ -100,14 +100,37 @@ def demo(args) -> str:
         text_encoder=text_encoder,
         guidance=args.guidance,
         num_steps=args.num_steps,
-        height=h,
-        width=w,
+        height=preset.height,
+        width=preset.width,
         fps=args.fps,
         seed=args.seed,
     )
 
+    # batch mode: one {"prompt", "visual_input"} JSON per line
+    # (gen3c_single_image.py:291-310 parity)
+    if args.batch_input_path:
+        inputs = io_utils.read_prompts_from_file(args.batch_input_path)
+    else:
+        inputs = [
+            {"prompt": args.prompt, "visual_input": args.input_image_path}
+        ]
+    save_path = ""
+    for i, d in enumerate(inputs):
+        name = str(i) if args.batch_input_path else args.video_save_name
+        save_path = _generate_one(
+            args, preset, pipeline,
+            image_path=d.get("visual_input"),
+            prompt=d.get("prompt", ""),
+            save_name=name,
+        )
+    return save_path
+
+
+def _generate_one(args, preset, pipeline, image_path, prompt, save_name) -> str:
+    chunk = preset.chunk_size
+    h, w = preset.height, preset.width
     # --- seed image + depth -> 3D cache (gen3c_single_image.py:312-334) ---
-    image_b3thw = io_utils.read_image_bcthw(args.input_image_path, h, w)
+    image_b3thw = io_utils.read_image_bcthw(image_path, h, w)
     image_hwc01 = (image_b3thw[0, :, 0].transpose(1, 2, 0) + 1.0) / 2.0
     estimator = make_depth_estimator(
         args.depth_source, args.depth_path
@@ -144,7 +167,7 @@ def demo(args) -> str:
     all_warps = [np.asarray(warp_images)] if args.save_buffer else []
 
     out = pipeline.generate(
-        prompt=args.prompt,
+        prompt=prompt,
         image_frames=image_b3thw[:, :, :1],
         rendered_warp_images=warp_images,
         rendered_warp_masks=warp_masks,
@@ -179,7 +202,7 @@ def demo(args) -> str:
             np.float32
         )
         out = pipeline.generate(
-            prompt=args.prompt,
+            prompt=prompt,
             image_frames=seed_frames,
             rendered_warp_images=warp_images,
             rendered_warp_masks=warp_masks,
@@ -209,9 +232,7 @@ def demo(args) -> str:
         buf = ((buf * 0.5 + 0.5) * 255).clip(0, 255).astype(np.uint8)
         final_video = np.concatenate([buf, final_video], axis=2)
 
-    save_path = os.path.join(
-        args.video_save_folder, f"{args.video_save_name}.mp4"
-    )
+    save_path = os.path.join(args.video_save_folder, f"{save_name}.mp4")
     io_utils.save_video(final_video, args.fps, save_path)
     log.info(f"Saved video to {save_path}")
     return save_path

@@ -1,0 +1,88 @@
+"""Training CLI entry point.
+
+Parity: cosmos_predict1/diffusion/training/train.py —
+`python -m gen3c_tpu.training.train -- experiment=gen3c_tiny
+trainer.max_iter=1000 ...` selects a registered experiment preset and
+applies dotted overrides (config_helper.override parity via
+utils.registry.apply_overrides).
+
+Data: --data_root with packaged clips (Gen3CClipDataset) or --synthetic
+for the synthetic latent stream.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+import jax
+
+from gen3c_tpu.parallel.mesh import make_mesh, maybe_distributed_init
+from gen3c_tpu.training.trainer import (
+    Trainer,
+    TrainerConfig,
+    synthetic_latent_dataset,
+)
+from gen3c_tpu.utils import log, registry
+
+
+def main(argv=None) -> None:
+    argv = list(sys.argv[1:] if argv is None else argv)
+    # split "--"-style overrides (training/train.py parity)
+    overrides = [a for a in argv if "=" in a and not a.startswith("--")]
+    flags = [a for a in argv if a not in overrides and a != "--"]
+
+    p = argparse.ArgumentParser()
+    p.add_argument("--data_root", type=str, default=None)
+    p.add_argument("--synthetic", action="store_true")
+    p.add_argument("--dp", type=int, default=1)
+    p.add_argument("--cp", type=int, default=None)
+    p.add_argument("--tp", type=int, default=1)
+    p.add_argument("--batch_size", type=int, default=1)
+    args = p.parse_args(flags)
+
+    exp_overrides = {}
+    exp_name = "gen3c_tiny"
+    t_cfg = TrainerConfig()
+    for ov in list(overrides):
+        key, _, val = ov.partition("=")
+        if key == "experiment":
+            exp_name = val
+            overrides.remove(ov)
+        elif key.startswith("trainer."):
+            t_cfg = registry.apply_overrides(
+                t_cfg, [ov[len("trainer."):]]
+            )
+            overrides.remove(ov)
+    preset = registry.get("experiment", exp_name)
+    if overrides:
+        preset = registry.apply_overrides(preset, overrides)
+
+    maybe_distributed_init()
+    mesh = make_mesh(dp=args.dp, cp=args.cp, tp=args.tp)
+    log.info(f"experiment={exp_name} mesh={dict(mesh.shape)}")
+
+    from gen3c_tpu.models.dit import init_dit_params
+
+    params = init_dit_params(jax.random.PRNGKey(t_cfg.seed), preset.dit)
+    trainer = Trainer(t_cfg, mesh, preset.dit, params)
+
+    if args.data_root:
+        from gen3c_tpu.pipelines.factory import build_gen3c_model
+        from gen3c_tpu.training.datasets import Gen3CClipDataset
+
+        model, _ = build_gen3c_model(preset, checkpoint_dir=None)
+        data = iter(Gen3CClipDataset(args.data_root, model, args.batch_size))
+    else:
+        C, T, Hl, Wl = preset.state_shape
+        extra = preset.dit.in_channels - C
+        data = synthetic_latent_dataset(
+            args.batch_size, C, T, Hl, Wl, extra_channels=extra
+        )
+
+    state = trainer.train(data)
+    log.info(f"training done at step {int(jax.device_get(state.step))}")
+
+
+if __name__ == "__main__":
+    main()

@@ -34,6 +34,7 @@ def get_logger() -> logging.Logger:
             )
             logger.addHandler(handler)
             logger.setLevel(os.environ.get("GEN3C_LOG_LEVEL", "INFO"))
+            logger.propagate = False  # avoid double prints via root logger
         _LOGGER = logger
     return _LOGGER
 
