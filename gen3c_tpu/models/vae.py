@@ -643,6 +643,21 @@ class VideoTokenizer:
             * self.pixel_chunk_duration
         )
 
+    def encode_image(self, image: Array) -> Array:
+        """(B, 3, H, W) -> (B, C, 1, H/8, W/8): the shared image path
+        (JointImageVideoSharedJITTokenizer parity, pretrained_vae.py:508-
+        611 — T=1 through the same causal weights)."""
+        latent = self._encode(params=self.params, x=image[:, :, None])
+        mean = self.latent_mean[:, :, :1].astype(latent.dtype)
+        std = self.latent_std[:, :, :1].astype(latent.dtype)
+        return (latent - mean) / std
+
+    def decode_image(self, latent: Array) -> Array:
+        """(B, C, 1, H', W') -> (B, 3, H, W)."""
+        mean = self.latent_mean[:, :, :1].astype(latent.dtype)
+        std = self.latent_std[:, :, :1].astype(latent.dtype)
+        return self._decode(params=self.params, z=latent * std + mean)[:, :, 0]
+
     def encode(self, state: Array) -> Array:
         """(B, 3, N*chunk, H, W) in [-1,1] -> normalized latent."""
         B, C, T, H, W = state.shape

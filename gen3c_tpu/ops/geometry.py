@@ -55,7 +55,7 @@ def pixel_rays(h: int, w: int, intrinsic: Array) -> Array:
     grid = create_grid(h, w, dtype)  # (2,h,w)
     pos = jnp.stack([grid[0], grid[1], jnp.ones((h, w), dtype)], axis=-1)  # (h,w,3)
     k_inv = _inv44(intrinsic)  # (b,3,3)
-    unnorm = jnp.einsum("bij,hwj->bhwi", k_inv, pos)
+    unnorm = jnp.einsum("bij,hwj->bhwi", k_inv, pos, precision=jax.lax.Precision.HIGHEST)
     norm = jnp.linalg.norm(unnorm, axis=-1, keepdims=True)
     norm = jnp.where(norm == 0, jnp.ones_like(norm), norm)
     return unnorm / norm
@@ -95,14 +95,14 @@ def unproject_points(
     grid = create_grid(h, w, dtype)
     pos = jnp.stack([grid[0], grid[1], jnp.ones((h, w), dtype)], axis=-1)  # (h,w,3)
     k_inv = _inv44(intrinsic)
-    unnorm = jnp.einsum("bij,hwj->bhwi", k_inv, pos)  # (b,h,w,3)
+    unnorm = jnp.einsum("bij,hwj->bhwi", k_inv, pos, precision=jax.lax.Precision.HIGHEST)  # (b,h,w,3)
     if is_depth:
         cam = depth[:, 0, :, :, None] * unnorm
     else:
         norm = jnp.linalg.norm(unnorm, axis=-1, keepdims=True)
         cam = depth[:, 0, :, :, None] * (unnorm / (norm + 1e-8))
     c2w = _inv44(w2c)
-    world = jnp.einsum("bij,bhwj->bhwi", c2w[:, :3, :3], cam) + c2w[:, None, None, :3, 3]
+    world = jnp.einsum("bij,bhwj->bhwi", c2w[:, :3, :3], cam, precision=jax.lax.Precision.HIGHEST) + c2w[:, None, None, :3, 3]
     return jnp.where(mask[..., None], world, jnp.zeros_like(world))
 
 
@@ -122,10 +122,10 @@ def project_points(
     Parity: project_points (forward_warp_utils_pytorch.py:462-486).
     """
     cam = (
-        jnp.einsum("bij,bhwj->bhwi", w2c[:, :3, :3], world_points)
+        jnp.einsum("bij,bhwj->bhwi", w2c[:, :3, :3], world_points, precision=jax.lax.Precision.HIGHEST)
         + w2c[:, None, None, :3, 3]
     )
-    proj = jnp.einsum("bij,bhwj->bhwi", intrinsic, cam)
+    proj = jnp.einsum("bij,bhwj->bhwi", intrinsic, cam, precision=jax.lax.Precision.HIGHEST)
     return proj, cam
 
 
@@ -147,22 +147,25 @@ def compute_transformed_points(
     if intrinsic2 is None:
         intrinsic2 = intrinsic1
     transformation = jnp.einsum(
-        "bij,bjk->bik", transformation2, _inv44(transformation1)
+        "bij,bjk->bik",
+        transformation2,
+        _inv44(transformation1),
+        precision=jax.lax.Precision.HIGHEST,
     )
     grid = create_grid(h, w, dtype)
     pos = jnp.stack([grid[0], grid[1], jnp.ones((h, w), dtype)], axis=-1)
     k_inv = _inv44(intrinsic1)
-    unnorm = jnp.einsum("bij,hwj->bhwi", k_inv, pos)
+    unnorm = jnp.einsum("bij,hwj->bhwi", k_inv, pos, precision=jax.lax.Precision.HIGHEST)
     if is_depth:
         cam1 = depth[:, 0, :, :, None] * unnorm
     else:
         norm = jnp.linalg.norm(unnorm, axis=-1, keepdims=True)
         cam1 = depth[:, 0, :, :, None] * (unnorm / norm)
     cam2 = (
-        jnp.einsum("bij,bhwj->bhwi", transformation[:, :3, :3], cam1)
+        jnp.einsum("bij,bhwj->bhwi", transformation[:, :3, :3], cam1, precision=jax.lax.Precision.HIGHEST)
         + transformation[:, None, None, :3, 3]
     )
-    proj = jnp.einsum("bij,bhwj->bhwi", intrinsic2, cam2)
+    proj = jnp.einsum("bij,bhwj->bhwi", intrinsic2, cam2, precision=jax.lax.Precision.HIGHEST)
     return proj, cam2
 
 
@@ -311,6 +314,45 @@ def bilinear_splatting(
     if is_image:
         out = jnp.clip(out, -1.0, 1.0)
     return out, mask2
+
+
+def double_forward_warp(
+    frame1: Array,
+    mask1: Optional[Array],
+    depth1: Array,
+    intrinsic1: Array,
+    double_proj_w2cs: Array,
+) -> Tuple[Array, Array, Array, Array]:
+    """Warp to a target view and back (cycle-consistency probe).
+
+    Parity: double_forward_warp (forward_warp_utils_pytorch.py:355-407):
+    warp frame1 to double_proj_w2cs, splat the flow field itself, warp the
+    intermediate back with the negated splatted flow. Returns
+    (twice_warped_frame1, twice_warped_mask1, warped_frame2, mask2).
+    """
+    b, c, h, w = frame1.shape
+    dtype = frame1.dtype
+    if mask1 is None:
+        mask1 = jnp.ones((b, 1, h, w), dtype)
+    identity = jnp.broadcast_to(jnp.eye(4, dtype=dtype), (b, 4, 4))
+    trans_points, _ = compute_transformed_points(
+        depth1, identity, double_proj_w2cs, intrinsic1, True, intrinsic1
+    )
+    trans_coords = trans_points[..., :2] / (trans_points[..., 2:3] + 1e-7)
+    trans_depth = trans_points[..., 2][:, None]
+    grid = create_grid(h, w, dtype)[None]
+    flow12 = jnp.moveaxis(trans_coords, 3, 1) - grid
+
+    warped_frame2, mask2 = bilinear_splatting(
+        frame1, mask1, trans_depth, flow12, None, is_image=True
+    )
+    warped_flow, _ = bilinear_splatting(
+        flow12, mask1, trans_depth, flow12, None, is_image=False
+    )
+    twice_warped, twice_mask = bilinear_splatting(
+        warped_frame2, mask2, depth1, -warped_flow, None, is_image=True
+    )
+    return twice_warped, twice_mask, warped_frame2, mask2
 
 
 def reliable_depth_mask(
