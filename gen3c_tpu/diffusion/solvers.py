@@ -1,0 +1,118 @@
+"""Multi-solver samplers over the EDM sigma schedule.
+
+Parity: cosmos_predict1/diffusion/modules/res_sampler.py +
+functional/{multi_step,runge_kutta}.py — the in-repo Sampler supporting
+multiple ODE solvers (EDM Euler / Heun, DDIM, DPM-style multistep,
+Runge-Kutta) over a Karras sigma schedule. GEN3C inference itself uses
+the Euler loop in diffusion/sampler.py; these solvers cover the wider
+Cosmos sampling surface (text2world quality sampling, ablations).
+
+All solvers consume a denoiser x0_fn(x, sigma) -> x0 prediction and run
+the whole loop inside jit via lax.fori_loop.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+from gen3c_tpu.diffusion.scheduler import EDMEulerSchedule
+
+Array = jax.Array
+X0Fn = Callable[[Array, Array], Array]
+
+SOLVERS = ("euler", "heun", "dpm2m", "rk4", "ddim")
+
+
+def _to_x0_steps(schedule: EDMEulerSchedule, num_steps: int) -> Array:
+    return jnp.asarray(schedule.sigmas(num_steps))
+
+
+@partial(jax.jit, static_argnames=("x0_fn", "solver", "num_steps", "schedule"))
+def sample_ode(
+    x0_fn: X0Fn,
+    init_noise: Array,  # ~N(0,1), same shape as the latent
+    num_steps: int = 35,
+    solver: str = "euler",
+    schedule: EDMEulerSchedule = EDMEulerSchedule(),
+) -> Array:
+    """Integrate the probability-flow ODE dx/dsigma = (x - x0(x,sigma))/sigma
+    from sigma_max to 0 with the chosen solver."""
+    assert solver in SOLVERS, solver
+    sigmas = _to_x0_steps(schedule, num_steps)
+    x = init_noise.astype(jnp.float32) * schedule.init_noise_sigma
+
+    def d(x, sigma):
+        return (x - x0_fn(x, sigma)) / sigma
+
+    if solver in ("euler", "ddim"):
+        # DDIM (eta=0) in sigma parameterization == Euler on the PF-ODE
+
+        def body(i, x):
+            s, s1 = sigmas[i], sigmas[i + 1]
+            return x + (s1 - s) * d(x, s)
+
+        return jax.lax.fori_loop(0, num_steps, body, x)
+
+    if solver == "heun":
+        # EDM 2nd-order (Karras Alg. 1): trapezoidal correction except at
+        # the final step to sigma=0
+
+        def body(i, x):
+            s, s1 = sigmas[i], sigmas[i + 1]
+            d0 = d(x, s)
+            x_euler = x + (s1 - s) * d0
+
+            def correct(_):
+                d1 = d(x_euler, s1)
+                return x + (s1 - s) * 0.5 * (d0 + d1)
+
+            return jax.lax.cond(s1 > 0, correct, lambda _: x_euler, None)
+
+        return jax.lax.fori_loop(0, num_steps, body, x)
+
+    if solver == "rk4":
+
+        def body(i, x):
+            s, s1 = sigmas[i], sigmas[i + 1]
+            h = s1 - s
+            sm = s + 0.5 * h
+            k1 = d(x, s)
+
+            def full(_):
+                k2 = d(x + 0.5 * h * k1, sm)
+                k3 = d(x + 0.5 * h * k2, sm)
+                k4 = d(x + h * k3, jnp.maximum(s1, 1e-8))
+                return x + h / 6.0 * (k1 + 2 * k2 + 2 * k3 + k4)
+
+            return jax.lax.cond(s1 > 0, full, lambda _: x + h * k1, None)
+
+        return jax.lax.fori_loop(0, num_steps, body, x)
+
+    # dpm2m: DPM-Solver++(2M) in log-sigma time with x0 predictions
+    lam = jnp.log(jnp.maximum(sigmas, 1e-10))
+
+    def body(i, carry):
+        x, prev_x0 = carry
+        s, s1 = sigmas[i], sigmas[i + 1]
+        x0 = x0_fn(x, s)
+
+        def first_or_last(_):
+            return x * (s1 / s) + (1 - s1 / s) * x0
+
+        def multistep(_):
+            h = lam[i + 1] - lam[i]
+            h_last = lam[i] - lam[i - 1]
+            r = h_last / h
+            x0_bar = (1 + 1 / (2 * r)) * x0 - (1 / (2 * r)) * prev_x0
+            return x * (s1 / s) + (1 - s1 / s) * x0_bar
+
+        use_multi = jnp.logical_and(i > 0, s1 > 0)
+        x_next = jax.lax.cond(use_multi, multistep, first_or_last, None)
+        return (x_next, x0)
+
+    (x, _), = (jax.lax.fori_loop(0, num_steps, body, (x, x)),)
+    return x

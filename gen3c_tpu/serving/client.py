@@ -125,6 +125,28 @@ class Gen3cClient:
                 raise TimeoutError(f"result {request_id} not ready")
             time.sleep(poll_s)
 
+    def render_preview(
+        self,
+        c2ws: np.ndarray,
+        resolution: Tuple[int, int],
+        focal_lengths: Optional[np.ndarray] = None,
+    ) -> InferenceResult:
+        """Instant (no-diffusion) point-cloud preview along a path."""
+        n = len(c2ws)
+        w, h = resolution
+        if focal_lengths is None:
+            focal_lengths = np.full((n, 2), 0.8 * w, np.float32)
+        req = InferenceRequest(
+            request_id=str(uuid.uuid4()),
+            cameras_to_world=np.asarray(c2ws, np.float32),
+            focal_lengths=focal_lengths,
+            principal_points=np.full((n, 2), 0.5, np.float32),
+            resolutions=np.tile([[w, h]], (n, 1)),
+        )
+        r = self.http.post("/render-preview", content=dumps_api_message(req))
+        r.raise_for_status()
+        return loads_api_message(r.content)
+
     def latest_image(self) -> Optional[np.ndarray]:
         import io
 

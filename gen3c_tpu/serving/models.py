@@ -248,6 +248,37 @@ class Gen3cPersistentModel(InferenceModel):
         )
         return result
 
+    def render_preview(self, req: InferenceRequest) -> InferenceResult:
+        """Instant point-cloud preview along the camera path: the splat
+        render of the seeded cache WITHOUT diffusion — the live preview
+        the C++ viewer displays (testbed.cu cache-rendering display,
+        gui/src/testbed.cu:380-386)."""
+        assert self.cache is not None, "seed the model first"
+        import jax.numpy as jnp
+
+        t0 = time.perf_counter()
+        target_res = np.tile(
+            [[self.preset.width, self.preset.height]], (len(req), 1)
+        )
+        w2cs = jnp.asarray(req.world_to_cameras().astype(np.float32))[None]
+        ks = jnp.asarray(
+            req.intrinsics_matrix(for_resolutions=target_res).astype(
+                np.float32
+            )
+        )[None]
+        px, _ = self.cache.render_cache(w2cs, ks)
+        frames = np.asarray(px)[0, :, 0].transpose(0, 2, 3, 1)
+        frames = ((frames + 1) / 2 * 255).clip(0, 255).astype(np.uint8)
+        return InferenceResult(
+            request_id=req.request_id,
+            cameras_to_world=req.cameras_to_world,
+            focal_lengths=req.focal_lengths,
+            principal_points=req.principal_points,
+            resolutions=req.resolutions,
+            images=frames,
+            runtime_ms=(time.perf_counter() - t0) * 1000,
+        )
+
     def clear_cache(self) -> None:
         self.cache = None
         self.seeding_request = None

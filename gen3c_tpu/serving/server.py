@@ -207,6 +207,17 @@ def make_handler(service: InferenceService):
                 else:
                     service.submit(req)
                     self._send(202, b"Request accepted.")
+            elif url.path == "/render-preview":
+                try:
+                    req = loads_api_message(body, (InferenceRequest,))
+                    result = service.model.render_preview(req)
+                except APIMessageError as e:
+                    self._send(400, str(e).encode())
+                    return
+                except (AssertionError, AttributeError) as e:
+                    self._send(400, str(e).encode())
+                    return
+                self._send(200, dumps_api_message(result), API_MEDIA_TYPE)
             elif url.path == "/clear-cache":
                 service.model.clear_cache()
                 self._send(200, b"Cache cleared.")
@@ -218,7 +229,8 @@ def make_handler(service: InferenceService):
 
 def serve(host: Optional[str] = None, port: Optional[int] = None, model=None):
     host = host or os.environ.get("GEN3C_API_HOST", "127.0.0.1")
-    port = port or int(os.environ.get("GEN3C_API_PORT", "8000"))
+    if port is None:  # note: port=0 means "any free port"
+        port = int(os.environ.get("GEN3C_API_PORT", "8000"))
     model = model or build_model_from_env()
     service = InferenceService(
         model,
