@@ -110,6 +110,13 @@ GEN3C_7B = DiTConfig(
     rope_t_extrapolation_ratio=2.0,
 )
 
+# FADITV2 14B (config/base/net.py:46-49): 5120ch x 36 blocks x 40 heads
+FADITV2_14B = DiTConfig(
+    model_channels=5120,
+    num_heads=40,
+    num_blocks=36,
+)
+
 
 # ------------------------------ init ------------------------------
 

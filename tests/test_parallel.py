@@ -120,3 +120,31 @@ def test_cp_rope_slicing_consistency():
     np.testing.assert_allclose(
         np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-4
     )
+
+
+def test_sharded_cache_render_matches_single_device():
+    import jax.numpy as jnp
+
+    from gen3c_tpu.cache import Cache3DBuffer
+    from gen3c_tpu.parallel.cache_sharding import sharded_render_cache
+    from tests.test_geometry import _rand_scene
+
+    image, depth, k, w2c, _ = _rand_scene(b=1, smooth_depth=True)
+    cache = Cache3DBuffer(
+        frame_buffer_max=2,
+        input_image=jnp.asarray(image),
+        input_depth=jnp.asarray(depth),
+        input_w2c=jnp.asarray(w2c),
+        input_intrinsics=jnp.asarray(k),
+    )
+    from tests.test_cache3d import _targets
+
+    w2cs, ks = _targets(k, n_frames=6)
+    ref_px, ref_mk = cache.render_cache(jnp.asarray(w2cs), jnp.asarray(ks))
+
+    mesh = make_mesh(dp=1, cp=4, tp=1, devices=jax.devices()[:4])
+    px, mk = sharded_render_cache(cache, mesh, w2cs, ks)
+    np.testing.assert_allclose(
+        np.asarray(px), np.asarray(ref_px), rtol=1e-4, atol=1e-4
+    )
+    np.testing.assert_allclose(np.asarray(mk), np.asarray(ref_mk), atol=1e-5)
