@@ -208,6 +208,14 @@ def init_dit_params(key: Array, cfg: DiTConfig, param_dtype=jnp.float32) -> Para
 # --------------------------- building blocks ---------------------------
 
 
+def _w(entry, dtype):
+    """Weight resolver: plain {"w"} or int8-quantized {"q","scale"} entries
+    (gen3c_tpu.models.quantize)."""
+    if "q" in entry:
+        return entry["q"].astype(dtype) * entry["scale"].astype(dtype)
+    return entry["w"].astype(dtype)
+
+
 def _rms_norm(x: Array, scale: Array, eps: float = 1e-6) -> Array:
     """TE-style RMSNorm: fp32 statistics, learnable scale."""
     xf = x.astype(jnp.float32)
@@ -416,9 +424,9 @@ def _attn_block(
     hd = D // num_heads
     dtype = x.dtype
     ctx = x if context is None else context
-    q = (x @ p["q"]["w"].astype(dtype)).reshape(B, L, num_heads, hd)
-    k = (ctx @ p["k"]["w"].astype(dtype)).reshape(B, ctx.shape[1], num_heads, hd)
-    v = (ctx @ p["v"]["w"].astype(dtype)).reshape(B, ctx.shape[1], num_heads, hd)
+    q = (x @ _w(p["q"], dtype)).reshape(B, L, num_heads, hd)
+    k = (ctx @ _w(p["k"], dtype)).reshape(B, ctx.shape[1], num_heads, hd)
+    v = (ctx @ _w(p["v"], dtype)).reshape(B, ctx.shape[1], num_heads, hd)
     q = _rms_norm(q, p["q_norm"]["scale"])
     k = _rms_norm(k, p["k_norm"]["scale"])
     if context is None and rope is not None:
@@ -428,14 +436,14 @@ def _attn_block(
         k = jax.lax.all_gather(k, cp_axis, axis=1, tiled=True)
         v = jax.lax.all_gather(v, cp_axis, axis=1, tiled=True)
     out = attention_op(q, k, v).reshape(B, L, D)
-    return out @ p["out"]["w"].astype(dtype)
+    return out @ _w(p["out"], dtype)
 
 
 def _mlp_block(p: Params, x: Array) -> Array:
     dtype = x.dtype
-    h = x @ p["fc1"]["w"].astype(dtype)
+    h = x @ _w(p["fc1"], dtype)
     h = jax.nn.gelu(h, approximate=False)
-    return h @ p["fc2"]["w"].astype(dtype)
+    return h @ _w(p["fc2"], dtype)
 
 
 def _modulated_residual(x, sub_out_fn, p_sub, emb, lora):
@@ -467,7 +475,7 @@ def patchify(cfg: DiTConfig, params: Params, x: Array,
     x = x.reshape(B, C, T // pt, pt, H // ps, ps, W // ps, ps)
     x = x.transpose(0, 2, 4, 6, 1, 3, 5, 7)  # B t h w c r m n
     x = x.reshape(B, T // pt, H // ps, W // ps, C * pt * ps * ps)
-    return x @ params["x_embedder"]["w"].astype(x.dtype)
+    return x @ _w(params["x_embedder"], x.dtype)
 
 
 def unpatchify(cfg: DiTConfig, x: Array, T: int, H: int, W: int) -> Array:
@@ -537,9 +545,9 @@ def dit_forward(
 
     # timestep embedding: affine emb = RMSNorm(sincos), lora = MLP output
     sincos = timestep_sincos(timesteps.reshape(-1), D)  # (B, D) fp32
-    h = sincos @ params["t_embedder"]["linear_1"]["w"].astype(jnp.float32)
+    h = sincos @ _w(params["t_embedder"]["linear_1"], jnp.float32)
     h = jax.nn.silu(h)
-    lora = h @ params["t_embedder"]["linear_2"]["w"].astype(jnp.float32)  # (B,3D)
+    lora = h @ _w(params["t_embedder"]["linear_2"], jnp.float32)  # (B,3D)
     emb = _rms_norm(sincos, params["affline_norm"]["scale"])  # (B, D) fp32
 
     for blk in params["blocks"]:
@@ -572,7 +580,7 @@ def dit_forward(
     tokens = (
         normed.astype(jnp.float32) * (1 + fscale[:, None, :]) + fshift[:, None, :]
     ).astype(dtype)
-    tokens = tokens @ params["final"]["linear"]["w"].astype(dtype)
+    tokens = tokens @ _w(params["final"]["linear"], dtype)
     tokens = tokens.reshape(B, Tp, Hp, Wp, -1)
     return unpatchify(cfg, tokens, T, H, W)
 
