@@ -150,7 +150,20 @@ def bench_cache_render() -> float:
 
 
 def main() -> None:
+    import os
+
     import jax
+
+    # persistent compilation cache: first run pays the (slow, remote)
+    # compiles; later runs start from disk
+    cache_dir = os.environ.get(
+        "JAX_COMPILATION_CACHE_DIR", "/tmp/gen3c_tpu_jax_cache"
+    )
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    except Exception as e:  # noqa: BLE001
+        log(f"compilation cache unavailable: {e}")
 
     log(f"backend: {jax.default_backend()}, devices: {jax.devices()}")
     try:

@@ -60,6 +60,7 @@ class Gen3CModel:
     schedule: EDMEulerSchedule = dataclasses.field(
         default_factory=EDMEulerSchedule
     )
+    mesh: Optional[object] = None  # jax.sharding.Mesh -> CP denoising
 
     def __post_init__(self):
         # stable closure identity so the jitted sampler doesn't retrace
@@ -177,6 +178,30 @@ class Gen3CModel:
                 (B,) + state_shape
             ).astype(np.float32)
         augment_noise = arch_invariant_randn((B,) + state_shape, seed)
+
+        if self.mesh is not None and self.mesh.shape.get("cp", 1) > 1:
+            # context-parallel denoise over the mesh (torchrun --num_gpus
+            # parity; gen3c_tpu.parallel.cp — bit-exact vs single device)
+            from gen3c_tpu.parallel.cp import cp_generate_samples
+
+            return cp_generate_samples(
+                self.mesh,
+                self.dit_params,
+                self.dit_cfg,
+                init_noise=jnp.asarray(init_noise),
+                augment_noise=jnp.asarray(augment_noise),
+                crossattn_cond=cond.crossattn_emb,
+                crossattn_uncond=uncond.crossattn_emb,
+                gt_latent=cond.gt_latent,
+                condition_video_indicator=cond.condition_video_indicator,
+                condition_video_input_mask=cond.condition_video_input_mask,
+                pose_latent_cond=cond.condition_video_pose,
+                pose_latent_uncond=uncond.condition_video_pose,
+                num_steps=num_steps,
+                guidance=guidance,
+                condition_augment_sigma=condition_augment_sigma,
+                schedule=self.schedule,
+            )
 
         return generate_samples(
             net_fn=self._net_fn,

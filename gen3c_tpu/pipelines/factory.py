@@ -91,6 +91,8 @@ def build_gen3c_model(
     checkpoint_dir: Optional[str] = None,
     seed: int = 0,
     param_dtype: Any = jnp.bfloat16,
+    num_devices: int = 1,
+    quantize: bool = False,
 ) -> Tuple[Gen3CModel, Gen3CPreset]:
     """Build a Gen3CModel from a preset, loading weights if available.
 
@@ -178,6 +180,20 @@ def build_gen3c_model(
         spatial_resolution=(preset.height, preset.width),
     )
 
+    if quantize:
+        from gen3c_tpu.models.quantize import quantize_dit_params_inplace
+
+        log.info("quantizing DiT weights to int8 (weight-only)")
+        dit_params = quantize_dit_params_inplace(dit_params)
+
+    mesh = None
+    if num_devices > 1:
+        from gen3c_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(dp=1, cp=num_devices, tp=1,
+                         devices=jax.devices()[:num_devices])
+        log.info(f"context-parallel denoising over {num_devices} devices")
+
     model = Gen3CModel(
         dit_params=dit_params,
         dit_cfg=dit_cfg,
@@ -185,5 +201,6 @@ def build_gen3c_model(
         frame_buffer_max=preset.frame_buffer_max,
         chunk_size=preset.chunk_size,
         state_shape=preset.state_shape,
+        mesh=mesh,
     )
     return model, preset

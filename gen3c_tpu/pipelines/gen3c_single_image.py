@@ -71,6 +71,11 @@ def create_parser() -> argparse.ArgumentParser:
     p.add_argument("--depth_source", type=str, default="auto",
                    choices=["auto", "moge", "file", "heuristic"])
     p.add_argument("--depth_path", type=str, default=None)
+    p.add_argument("--num_devices", type=int, default=1,
+                   help="context-parallel denoise over N devices "
+                        "(torchrun --num_gpus parity)")
+    p.add_argument("--quantize_int8", action="store_true",
+                   help="int8 weight-only DiT (fits the 7B on one chip)")
     return p
 
 
@@ -85,7 +90,11 @@ def validate_args(args, chunk_size: int) -> None:
 
 def demo(args) -> str:
     model, preset = build_gen3c_model(
-        args.model_preset, checkpoint_dir=args.checkpoint_dir, seed=args.seed
+        args.model_preset,
+        checkpoint_dir=args.checkpoint_dir,
+        seed=args.seed,
+        num_devices=args.num_devices,
+        quantize=args.quantize_int8,
     )
     validate_args(args, preset.chunk_size)
 

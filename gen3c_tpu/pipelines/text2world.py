@@ -193,10 +193,19 @@ def demo(args) -> str:
     condition_latent = None
     num_condition_t = 0
     if args.mode == "video2world":
-        assert args.input_image_path, "video2world needs --input_image_path"
-        frames = io_utils.read_image_bcthw(
-            args.input_image_path, preset.height, preset.width
+        assert args.input_image_path, (
+            "video2world needs --input_image_path (image or video)"
         )
+        ext = args.input_image_path.rsplit(".", 1)[-1].lower()
+        if ext in ("mp4", "mov", "avi", "gif", "webm"):
+            frames, _ = io_utils.read_video_bcthw(
+                args.input_image_path, preset.height, preset.width
+            )
+            frames = frames[:, :, -args.num_input_frames :]
+        else:
+            frames = io_utils.read_image_bcthw(
+                args.input_image_path, preset.height, preset.width
+            )
         condition_latent = model.create_condition_latent_from_input_frames(
             jnp.asarray(frames), num_frames_condition=frames.shape[2]
         )
