@@ -23,3 +23,25 @@ hot ops.
 """
 
 __version__ = "0.1.0"
+
+
+def __getattr__(name):
+    """Lazy convenience exports (avoid importing jax at package import)."""
+    lazy = {
+        "Cache3DBuffer": "gen3c_tpu.cache",
+        "Cache3DBufferSelector": "gen3c_tpu.cache",
+        "Cache4D": "gen3c_tpu.cache",
+        "Gen3CModel": "gen3c_tpu.models.gen3c",
+        "Gen3cPipeline": "gen3c_tpu.pipelines.gen3c_pipeline",
+        "build_gen3c_model": "gen3c_tpu.pipelines.factory",
+        "generate_camera_trajectory": "gen3c_tpu.ops.camera",
+        "VideoTokenizer": "gen3c_tpu.models.vae",
+        "DiTConfig": "gen3c_tpu.models.dit",
+        "EDMEulerSchedule": "gen3c_tpu.diffusion.scheduler",
+        "make_mesh": "gen3c_tpu.parallel.mesh",
+    }
+    if name in lazy:
+        import importlib
+
+        return getattr(importlib.import_module(lazy[name]), name)
+    raise AttributeError(f"module 'gen3c_tpu' has no attribute {name!r}")

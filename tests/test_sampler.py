@@ -129,3 +129,26 @@ def test_cfg_combination():
     # denoised = c_skip*x + c_out*5; x=0 -> denoised = c_out(80)*5
     expect = float(sched.c_out(80.0) * 5.0)
     np.testing.assert_allclose(np.asarray(out1), expect, rtol=1e-5)
+
+
+def test_negative_prompt_conditioning():
+    """Negative prompt replaces the uncond text embedding
+    (conditioner.get_condition_with_negative_prompt parity)."""
+    import jax.numpy as jnp
+
+    from gen3c_tpu.models.conditioner import make_condition_pair
+
+    latent = jnp.zeros((1, 4, 4, 2, 2))
+    t5 = jnp.ones((1, 8, 16))
+    neg = -2.0 * jnp.ones((1, 8, 16))
+    pose = jnp.ones((1, 8, 4, 2, 2))
+    cond, uncond = make_condition_pair(latent, t5, 1, pose_latent=pose)
+    assert float(jnp.sum(uncond.crossattn_emb)) == 0.0  # zeros w/o neg
+    assert float(jnp.sum(uncond.condition_video_pose)) == 0.0
+    cond, uncond = make_condition_pair(
+        latent, t5, 1, pose_latent=pose, neg_t5_embeddings=neg
+    )
+    np.testing.assert_array_equal(np.asarray(uncond.crossattn_emb),
+                                  np.asarray(neg))
+    np.testing.assert_array_equal(np.asarray(cond.crossattn_emb),
+                                  np.asarray(t5))
