@@ -138,11 +138,11 @@ def bench_cache_render() -> float:
     w2cs, ks = generate_camera_trajectory(
         "left", np.eye(4, dtype=np.float32), k, 121, 0.3, "center_facing", 2.0
     )
-    px, m = cache.render_cache(w2cs, ks)  # compile
-    jax.block_until_ready(px)
+    px, m = cache.render_cache(w2cs, ks)  # compile + warm
+    float(jnp.sum(px))  # force host read: block_until_ready can lie here
     t0 = time.perf_counter()
     px, m = cache.render_cache(w2cs, ks)
-    jax.block_until_ready(px)
+    float(jnp.sum(px))
     dt = time.perf_counter() - t0
     fps = 121 / dt
     log(f"  cache render: {dt:.2f}s for 121 frames = {fps:.1f} fps")
@@ -157,7 +157,8 @@ def main() -> None:
     # persistent compilation cache: first run pays the (slow, remote)
     # compiles; later runs start from disk
     cache_dir = os.environ.get(
-        "JAX_COMPILATION_CACHE_DIR", "/tmp/gen3c_tpu_jax_cache"
+        "JAX_COMPILATION_CACHE_DIR",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
     )
     try:
         jax.config.update("jax_compilation_cache_dir", cache_dir)
