@@ -167,11 +167,20 @@ def main() -> None:
         log(f"compilation cache unavailable: {e}")
 
     log(f"backend: {jax.default_backend()}, devices: {jax.devices()}")
-    try:
-        step = bench_denoise_step_full_int8()
-    except Exception as e:  # noqa: BLE001
-        log(f"full int8 bench failed ({e}); falling back to block scaling")
-        step = bench_denoise_step()
+    # the remote compile helper occasionally 500s; retry each method
+    step = None
+    for attempt, fn in enumerate(
+        [bench_denoise_step_full_int8, bench_denoise_step_full_int8,
+         bench_denoise_step, bench_denoise_step]
+    ):
+        try:
+            step = fn()
+            break
+        except Exception as e:  # noqa: BLE001
+            log(f"bench attempt {attempt} ({fn.__name__}) failed: {e}")
+            jax.clear_caches()
+    if step is None:
+        raise SystemExit("all denoise bench attempts failed")
     import gc
 
     gc.collect()
