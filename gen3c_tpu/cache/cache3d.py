@@ -265,7 +265,8 @@ class Cache3DBuffer(Cache3DBase):
             target_w2cs, target_intrinsics, render_depth
         )
         if not render_depth and self.noise_aug_strength > 0:
-            # Per-buffer noise, strongest on the oldest buffer
+            # Per-buffer noise, coefficient (N-1-i)*strength: buffer 0
+            # (the NEWEST, ring is newest-first) gets the strongest noise
             # (cache_3d.py:337-342).
             self._rng, sub = jax.random.split(self._rng)
             noise = jax.random.normal(sub, pixels.shape, pixels.dtype)

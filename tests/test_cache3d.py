@@ -168,3 +168,71 @@ def test_cache4d_per_frame_rendering():
     )
     ref_px, _ = ref.render_cache(torch.from_numpy(t_w2cs), torch.from_numpy(t_ks))
     assert _psnr(np.asarray(px), ref_px.numpy()) > 35.0
+
+
+def test_cache4d_start_frame_idx_chunks():
+    """Later AR chunks index later cache frames (cache_3d.py:163-165)."""
+    image, depth, k, w2c, _ = _rand_scene(b=1, smooth_depth=True)
+    images = np.stack([image[0] * (1 - 0.2 * f) for f in range(5)])[None]
+    depths = np.stack([depth[0]] * 5)[None]
+    w2cs_src = np.stack([w2c[0]] * 5)[None]
+    ks_src = np.stack([k[0]] * 5)[None]
+    c4 = Cache4D(
+        input_image=jnp.asarray(images),
+        input_depth=jnp.asarray(depths),
+        input_w2c=jnp.asarray(w2cs_src),
+        input_intrinsics=jnp.asarray(ks_src),
+        input_format=["B", "F", "C", "H", "W"],
+    )
+    t_w2cs, t_ks = _targets(k, n_frames=2)
+    px0, _ = c4.render_cache(jnp.asarray(t_w2cs), jnp.asarray(t_ks),
+                             start_frame_idx=0)
+    px3, _ = c4.render_cache(jnp.asarray(t_w2cs), jnp.asarray(t_ks),
+                             start_frame_idx=3)
+    # identity first pose: rendering frame f reproduces source frame f
+    src0 = images[0, 0]
+    src3 = images[0, 3]
+    got0 = np.asarray(px0)[0, 0, 0]
+    got3 = np.asarray(px3)[0, 0, 0]
+    assert np.abs(got0 - src0).mean() < np.abs(got0 - src3).mean()
+    assert np.abs(got3 - src3).mean() < np.abs(got3 - src0).mean()
+
+
+def test_noise_augmentation_ordering():
+    """Older buffers get stronger noise (cache_3d.py:337-342)."""
+    image, depth, k, w2c, _ = _rand_scene(b=1, smooth_depth=True)
+    cache = Cache3DBuffer(
+        frame_buffer_max=2,
+        noise_aug_strength=0.5,
+        input_image=jnp.asarray(image),
+        input_depth=jnp.asarray(depth),
+        input_w2c=jnp.asarray(w2c),
+        input_intrinsics=jnp.asarray(k),
+    )
+    cache.update_cache(
+        jnp.asarray(image * 0.5), jnp.asarray(depth), jnp.asarray(w2c),
+        new_intrinsics=jnp.asarray(k), depth_alignment=False,
+    )
+    t_w2cs, t_ks = _targets(k, n_frames=1)
+    noisy, _ = cache.render_cache(jnp.asarray(t_w2cs), jnp.asarray(t_ks))
+    cache.noise_aug_strength = 0.0
+    clean, _ = cache.render_cache(jnp.asarray(t_w2cs), jnp.asarray(t_ks))
+    d = np.abs(np.asarray(noisy) - np.asarray(clean))[0, 0]  # (N,C,H,W)
+    # newest-first: buffer 0 (newest) noise strength = 1*0.5, buffer 1 = 0
+    assert d[1].mean() < 1e-6 <= d[0].mean()
+
+
+def test_frame_buffer_max_one_replaces():
+    image, depth, k, w2c, _ = _rand_scene(b=1, smooth_depth=True)
+    cache = Cache3DBuffer(
+        frame_buffer_max=1,
+        input_image=jnp.asarray(image),
+        input_depth=jnp.asarray(depth),
+        input_w2c=jnp.asarray(w2c),
+        input_intrinsics=jnp.asarray(k),
+    )
+    cache.update_cache(
+        jnp.asarray(image * 0.1), jnp.asarray(depth), jnp.asarray(w2c),
+        new_intrinsics=jnp.asarray(k), depth_alignment=False,
+    )
+    assert cache.input_image.shape[2] == 1  # replaced, not grown
