@@ -104,7 +104,9 @@ def build_gen3c_model(
     Missing weights -> random init (clearly logged).
     """
     from gen3c_tpu.models.dit import init_dit_params
+    from gen3c_tpu.utils.jax_setup import setup_jax
 
+    setup_jax()
     if isinstance(preset, str):
         preset = PRESETS[preset]
 
