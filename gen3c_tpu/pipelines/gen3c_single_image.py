@@ -71,9 +71,19 @@ def create_parser() -> argparse.ArgumentParser:
     p.add_argument("--depth_source", type=str, default="auto",
                    choices=["auto", "moge", "file", "heuristic"])
     p.add_argument("--depth_path", type=str, default=None)
-    p.add_argument("--num_devices", type=int, default=1,
+    p.add_argument("--num_devices", "--num_gpus", type=int, default=1,
+                   dest="num_devices",
                    help="context-parallel denoise over N devices "
                         "(torchrun --num_gpus parity)")
+    # reference offload flags accepted for CLI compatibility; on TPU the
+    # tokenizer/text-encoder/guardrails are host-side or absent, so these
+    # are no-ops (inference_utils.py:53-170 offload args)
+    for flag in ("offload_diffusion_transformer", "offload_tokenizer",
+                 "offload_text_encoder_model", "offload_prompt_upsampler",
+                 "offload_guardrail_models", "disable_guardrail",
+                 "disable_prompt_upsampler"):
+        p.add_argument(f"--{flag}", action="store_true",
+                       help="accepted for reference-CLI compatibility")
     p.add_argument("--quantize_int8", action="store_true",
                    help="int8 weight-only DiT (fits the 7B on one chip)")
     return p

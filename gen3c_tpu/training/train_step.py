@@ -40,15 +40,20 @@ def make_optimizer(
     betas: Tuple[float, float] = (0.9, 0.99),
     grad_clip: float = 1.0,
     warmup_steps: int = 1000,
+    grad_accum_steps: int = 1,
 ) -> optax.GradientTransformation:
     """AdamW + grad-clip + linear warmup (FusedAdam + GradClip callback +
-    lr_scheduler parity)."""
+    lr_scheduler parity); grad_accum_steps > 1 wraps in optax.MultiSteps
+    (the reference's grad-accumulation window, utils/trainer.py:240)."""
     schedule = optax.linear_schedule(0.0, lr, warmup_steps)
-    return optax.chain(
+    opt = optax.chain(
         optax.clip_by_global_norm(grad_clip),
         optax.adamw(schedule, b1=betas[0], b2=betas[1],
                     weight_decay=weight_decay),
     )
+    if grad_accum_steps > 1:
+        opt = optax.MultiSteps(opt, every_k_schedule=grad_accum_steps)
+    return opt
 
 
 def init_train_state(params, optimizer) -> TrainState:

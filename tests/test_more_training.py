@@ -92,3 +92,34 @@ def test_double_forward_warp_matches_reference():
         a, b = np.asarray(a), b.numpy()
         diff = np.abs(a - b)
         assert np.quantile(diff, 0.95) < 1e-2, np.quantile(diff, 0.95)
+
+
+def test_grad_accumulation_optimizer():
+    """MultiSteps wrapper: params update only every k steps."""
+    from gen3c_tpu.training.train_step import make_optimizer
+
+    opt = make_optimizer(lr=1e-2, warmup_steps=1, grad_accum_steps=2)
+    params = {"w": jnp.ones((4,))}
+    state = opt.init(params)
+    g = {"w": jnp.ones((4,))}
+    up1, state = opt.update(g, state, params)
+    p1 = optax.apply_updates(params, up1)
+    np.testing.assert_array_equal(np.asarray(p1["w"]), np.asarray(params["w"]))
+    # warmup lr is 0 at the first applied step; run two full accumulation
+    # windows so the second applied update uses lr > 0
+    p = p1
+    for _ in range(3):
+        up, state = opt.update(g, state, p)
+        p = optax.apply_updates(p, up)
+    assert np.abs(np.asarray(p["w"]) - np.asarray(params["w"])).max() > 0
+
+
+def test_cli_accepts_reference_flags():
+    from gen3c_tpu.pipelines import gen3c_single_image as cli
+
+    args = cli.create_parser().parse_args(
+        ["--input_image_path", "x.png", "--num_gpus", "4",
+         "--offload_tokenizer", "--disable_guardrail"]
+    )
+    assert args.num_devices == 4
+    assert args.offload_tokenizer is True
