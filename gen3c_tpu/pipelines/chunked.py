@@ -18,6 +18,10 @@ import jax.numpy as jnp
 from gen3c_tpu.utils import log
 
 
+class GenerationCancelled(Exception):
+    """Raised when a cancel_event is set between AR chunks."""
+
+
 def run_chunked_generation(
     pipeline,
     cache,
@@ -29,12 +33,27 @@ def run_chunked_generation(
     update_cache_with_depth: Optional[Callable] = None,  # estimator or None
     use_start_frame_idx: bool = False,  # Cache4D per-frame indexing
     save_buffer: bool = False,
+    on_chunk: Optional[Callable] = None,  # (done, total, video_so_far)
+    cancel_event=None,  # threading.Event-like; checked between chunks
 ) -> Tuple[np.ndarray, List[np.ndarray]]:
-    """Returns (video (T, H, W, 3) uint8, list of warp buffers)."""
+    """Returns (video (T, H, W, 3) uint8, list of warp buffers).
+
+    `on_chunk(chunks_done, num_chunks, video_so_far)` fires after every
+    completed AR chunk (serving progress + partial-result streaming);
+    `cancel_event.is_set()` is polled between chunks and raises
+    GenerationCancelled — the TPU finishes at a chunk boundary, matching
+    the reference's per-request granularity (the reference has no
+    cancellation at all: gui/api/server_base.py runs jobs to completion).
+    """
     chunk = pipeline.model.chunk_size
     t_total = w2cs.shape[1]
     assert (t_total - 1) % (chunk - 1) == 0
 
+    def _check_cancel():
+        if cancel_event is not None and cancel_event.is_set():
+            raise GenerationCancelled()
+
+    _check_cancel()
     log.info(f"Generating frames 0 - {chunk}")
     warp_images, warp_masks = cache.render_cache(
         w2cs[:, 0:chunk], ks[:, 0:chunk], start_frame_idx=0
@@ -53,9 +72,12 @@ def run_chunked_generation(
     video, _ = out
 
     num_iters = (t_total - 1) // (chunk - 1)
+    if on_chunk is not None:
+        on_chunk(1, num_iters, video)
     for it in range(1, num_iters):
         start = it * (chunk - 1)
         end = start + chunk
+        _check_cancel()
         log.info(f"Generating frames {start} - {end}")
         last = video[-1].astype(np.float32) / 255.0  # (H, W, 3) in [0, 1]
 
@@ -90,6 +112,8 @@ def run_chunked_generation(
         )
         video_new, _ = out
         video = np.concatenate([video, video_new[1:]], axis=0)
+        if on_chunk is not None:
+            on_chunk(it + 1, num_iters, video)
     return video, all_warps
 
 

@@ -110,10 +110,18 @@ class Gen3cClient:
         return req.request_id
 
     def wait_for_result(
-        self, request_id: str, poll_s: float = 1.0, timeout_s: float = 3600.0
+        self,
+        request_id: str,
+        poll_s: float = 1.0,
+        timeout_s: float = 3600.0,
+        on_progress=None,  # callback(status_dict) per poll
     ) -> InferenceResult:
         t0 = time.monotonic()
         while True:
+            if on_progress is not None:
+                st = self.job_status(request_id)
+                if st is not None:
+                    on_progress(st)
             r = self.http.get(
                 "/inference-result", params={"request_id": request_id}
             )
@@ -124,6 +132,33 @@ class Gen3cClient:
             if time.monotonic() - t0 > timeout_s:
                 raise TimeoutError(f"result {request_id} not ready")
             time.sleep(poll_s)
+
+    def job_status(self, request_id: str) -> Optional[dict]:
+        r = self.http.get("/job-status", params={"request_id": request_id})
+        if r.status_code == 404:
+            return None
+        r.raise_for_status()
+        return r.json()
+
+    def partial_result(self, request_id: str) -> Optional[InferenceResult]:
+        """Frames of completed AR chunks (206), the final result (200), or
+        None if nothing is available yet."""
+        r = self.http.get(
+            "/inference-result",
+            params={"request_id": request_id, "partial": "1"},
+        )
+        if r.status_code in (200, 206):
+            return loads_api_message(r.content)
+        if r.status_code == 503:
+            return None
+        r.raise_for_status()
+        return None
+
+    def cancel_inference(self, request_id: str) -> bool:
+        r = self.http.post(
+            "/cancel-inference", params={"request_id": request_id}
+        )
+        return r.status_code == 200
 
     def render_preview(
         self,

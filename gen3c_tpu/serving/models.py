@@ -35,7 +35,12 @@ class InferenceModel:
     def seed_model(self, req: SeedingRequest) -> SeedingResult:
         raise NotImplementedError
 
-    def run_inference(self, req: InferenceRequest) -> InferenceResult:
+    def run_inference(
+        self,
+        req: InferenceRequest,
+        on_chunk=None,  # (chunks_done, num_chunks, frames_so_far uint8)
+        cancel_event=None,  # threading.Event; honored at chunk boundaries
+    ) -> InferenceResult:
         raise NotImplementedError
 
     def clear_cache(self) -> None:
@@ -65,7 +70,13 @@ class DebugInferenceModel(InferenceModel):
         self._latest_rgb = np.asarray(req.images[0])
         return SeedingResult.from_request(req, fallback_depths=depths)
 
-    def run_inference(self, req: InferenceRequest) -> InferenceResult:
+    def run_inference(
+        self, req: InferenceRequest, on_chunk=None, cancel_event=None
+    ) -> InferenceResult:
+        from gen3c_tpu.pipelines.chunked import GenerationCancelled
+
+        if cancel_event is not None and cancel_event.is_set():
+            raise GenerationCancelled()
         n = len(req)
         w, h = req.resolution()
         t = np.linspace(0, 1, n)[:, None, None]
@@ -77,6 +88,8 @@ class DebugInferenceModel(InferenceModel):
         )
         frames = np.broadcast_to(frames, (n, h, w, 3))
         images = (frames * 255).astype(np.uint8)
+        if on_chunk is not None:  # single "chunk": full progress report
+            on_chunk(1, 1, images)
         self._latest_rgb = images[-1]
         return InferenceResult(
             request_id=req.request_id,
@@ -185,7 +198,9 @@ class Gen3cPersistentModel(InferenceModel):
 
     # -- inference (gen3c_persistent.py:272-470) --
 
-    def run_inference(self, req: InferenceRequest) -> InferenceResult:
+    def run_inference(
+        self, req: InferenceRequest, on_chunk=None, cancel_event=None
+    ) -> InferenceResult:
         assert self.cache is not None, "seed the model first"
         import jax.numpy as jnp
 
@@ -224,6 +239,8 @@ class Gen3cPersistentModel(InferenceModel):
             prompt=req.prompt or "",
             update_cache_with_depth=update,
             use_start_frame_idx=type(self.cache).__name__ == "Cache4D",
+            on_chunk=on_chunk,
+            cancel_event=cancel_event,
         )
         video = video[:n_padded]
         depths_out = None

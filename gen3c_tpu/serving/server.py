@@ -3,7 +3,10 @@
 Parity: gui/api/server.py:44-236 + server_base.py:121-203 — endpoints
   POST /seed-model          (sync; returns SeedingResult)
   POST /request-inference   (async job; ?sync=1 for synchronous)
-  GET  /inference-result?request_id=...  (503 until ready)
+  GET  /inference-result?request_id=...  (503 until ready; &partial=1
+                            returns 206 + frames of completed AR chunks)
+  GET  /job-status?request_id=...        (state + chunk progress)
+  POST /cancel-inference?request_id=...  (cancels at a chunk boundary)
   GET  /image?format=jpg|png|pickle      (latest RGB)
   GET  /metadata
 Settings via GEN3C_* env vars (GEN3C_API_DEBUG=1 -> DebugInferenceModel,
@@ -43,42 +46,125 @@ from gen3c_tpu.utils import log
 
 
 class InferenceService:
-    """Async job queue + result cache around an InferenceModel."""
+    """Async job queue + result cache around an InferenceModel.
+
+    Hardening beyond the reference's server_base.py: per-job status
+    (`pending/running/done/error/cancelled`) with chunk-level progress,
+    cooperative cancellation honored at AR-chunk boundaries, and partial
+    results (frames of completed chunks stream back before the job ends).
+    """
 
     def __init__(self, model, result_cache_size: int = 8):
         self.model = model
         self.results: "OrderedDict[str, object]" = OrderedDict()
         self.errors = {}
-        self.pending = set()
+        self.status = {}  # request_id -> {state, progress, frames_done}
+        self.partials = {}  # request_id -> np.ndarray frames so far
+        self.requests = {}  # request_id -> InferenceRequest (for partials)
+        self.cancel_events = {}  # request_id -> threading.Event
         self.lock = threading.Lock()
         self.jobs: "queue.Queue" = queue.Queue()
         self.result_cache_size = result_cache_size
         self.worker = threading.Thread(target=self._run, daemon=True)
         self.worker.start()
 
+    def _set_status(self, rid: str, **kw):
+        with self.lock:
+            self.status.setdefault(
+                rid, {"state": "pending", "progress": 0.0, "frames_done": 0}
+            ).update(kw)
+
     def _run(self):
+        from gen3c_tpu.pipelines.chunked import GenerationCancelled
+
         while True:
             req = self.jobs.get()
             if req is None:
                 return
-            try:
-                result = self.model.run_inference(req)
+            rid = req.request_id
+            with self.lock:
+                cancelled = self.status.get(rid, {}).get("state") == "cancelled"
+                event = self.cancel_events.setdefault(rid, threading.Event())
+            if cancelled:
+                continue
+            self._set_status(rid, state="running")
+
+            def on_chunk(done, total, video, rid=rid):
                 with self.lock:
-                    self.results[req.request_id] = result
+                    self.partials[rid] = video
+                self._set_status(
+                    rid, progress=done / total, frames_done=int(len(video))
+                )
+
+            try:
+                result = self.model.run_inference(
+                    req, on_chunk=on_chunk, cancel_event=event
+                )
+                with self.lock:
+                    self.results[rid] = result
                     while len(self.results) > self.result_cache_size:
-                        self.results.popitem(last=False)  # evict oldest
+                        evicted, _ = self.results.popitem(last=False)
+                        self.status.pop(evicted, None)
+                self._set_status(rid, state="done", progress=1.0)
+            except GenerationCancelled:
+                log.info(f"inference {rid} cancelled")
+                self._set_status(rid, state="cancelled")
             except Exception as e:  # noqa: BLE001
                 log.error(f"inference failed: {e}\n{traceback.format_exc()}")
                 with self.lock:
-                    self.errors[req.request_id] = str(e)
+                    self.errors[rid] = str(e)
+                self._set_status(rid, state="error", error=str(e))
             finally:
                 with self.lock:
-                    self.pending.discard(req.request_id)
+                    self.partials.pop(rid, None)
+                    self.requests.pop(rid, None)
+                    self.cancel_events.pop(rid, None)
 
     def submit(self, req: InferenceRequest):
+        self._set_status(req.request_id, state="pending")
         with self.lock:
-            self.pending.add(req.request_id)
+            self.requests[req.request_id] = req
         self.jobs.put(req)
+
+    def cancel(self, request_id: str) -> bool:
+        """Cancel a pending or running job. Returns False if unknown or
+        already finished."""
+        with self.lock:
+            st = self.status.get(request_id)
+            if st is None or st["state"] in ("done", "error", "cancelled"):
+                return False
+            if st["state"] == "pending":
+                st["state"] = "cancelled"
+                return True
+            self.cancel_events.setdefault(
+                request_id, threading.Event()
+            ).set()
+            return True
+
+    def job_status(self, request_id: str) -> Optional[dict]:
+        with self.lock:
+            st = self.status.get(request_id)
+            return dict(st) if st is not None else None
+
+    def partial_or_none(self, request_id: str):
+        """InferenceResult of completed-chunk frames, or None."""
+        with self.lock:
+            frames = self.partials.get(request_id)
+            req = self.requests.get(request_id)
+            if frames is None or req is None:
+                return None
+            frames = frames.copy()
+        from gen3c_tpu.serving.api_types import InferenceResult
+
+        n = min(len(frames), len(req))
+        return InferenceResult(
+            request_id=request_id,
+            cameras_to_world=req.cameras_to_world[:n],
+            focal_lengths=req.focal_lengths[:n],
+            principal_points=req.principal_points[:n],
+            resolutions=req.resolutions[:n],
+            images=frames[:n],
+        )
 
     def result_or_none(self, request_id: str):
         with self.lock:
@@ -119,7 +205,12 @@ def make_handler(service: InferenceService):
             self.send_header("Content-Type", ctype)
             self.send_header("Content-Length", str(len(body)))
             self.end_headers()
-            self.wfile.write(body)
+            # write big payloads (multi-MB frame stacks) in 1 MiB pieces:
+            # keeps socket buffering bounded and lets the client start
+            # consuming immediately
+            mv = memoryview(body)
+            for off in range(0, len(mv), 1 << 20):
+                self.wfile.write(mv[off : off + (1 << 20)])
 
         def _read_body(self) -> bytes:
             n = int(self.headers.get("Content-Length", "0"))
@@ -136,15 +227,33 @@ def make_handler(service: InferenceService):
                 )
             elif url.path == "/inference-result":
                 request_id = qs.get("request_id", [""])[0]
+                partial_ok = qs.get("partial", ["0"])[0] in ("1", "true")
                 try:
                     result = service.result_or_none(request_id)
                 except Exception as e:  # noqa: BLE001
                     self._send(500, str(e).encode())
                     return
-                if result is None:
-                    self._send(503, b"Result not ready")
-                else:
+                if result is not None:
                     self._send(200, dumps_api_message(result), API_MEDIA_TYPE)
+                    return
+                if partial_ok:
+                    part = service.partial_or_none(request_id)
+                    if part is not None:
+                        # 206 Partial Content: frames of completed chunks
+                        self._send(
+                            206, dumps_api_message(part), API_MEDIA_TYPE
+                        )
+                        return
+                self._send(503, b"Result not ready")
+            elif url.path == "/job-status":
+                request_id = qs.get("request_id", [""])[0]
+                st = service.job_status(request_id)
+                if st is None:
+                    self._send(404, b"Unknown request_id")
+                else:
+                    self._send(
+                        200, json.dumps(st).encode(), "application/json"
+                    )
             elif url.path == "/image":
                 fmt = qs.get("format", ["jpg"])[0]
                 image = service.model.get_latest_rgb()
@@ -218,6 +327,12 @@ def make_handler(service: InferenceService):
                     self._send(400, str(e).encode())
                     return
                 self._send(200, dumps_api_message(result), API_MEDIA_TYPE)
+            elif url.path == "/cancel-inference":
+                request_id = qs.get("request_id", [""])[0]
+                if service.cancel(request_id):
+                    self._send(200, b"Cancellation requested.")
+                else:
+                    self._send(404, b"Unknown or finished request_id")
             elif url.path == "/clear-cache":
                 service.model.clear_cache()
                 self._send(200, b"Cache cleared.")

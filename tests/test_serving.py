@@ -172,3 +172,177 @@ def test_persistent_model_end_to_end():
     assert result.images.dtype == np.uint8
     meta = model.metadata()
     assert meta["seeded"] and meta["chunk_size"] == 9
+
+
+class _SlowChunkedModel(DebugInferenceModel):
+    """Debug model that emits frames chunk-by-chunk with a delay —
+    exercises progress / partial-result / cancellation plumbing."""
+
+    def __init__(self, n_chunks=4, chunk_delay_s=0.15, **kw):
+        super().__init__(**kw)
+        self.n_chunks = n_chunks
+        self.chunk_delay_s = chunk_delay_s
+
+    def run_inference(self, req, on_chunk=None, cancel_event=None):
+        import time as _time
+
+        from gen3c_tpu.pipelines.chunked import GenerationCancelled
+
+        result = super().run_inference(req)
+        n = len(result.images)
+        per = max(1, n // self.n_chunks)
+        for c in range(self.n_chunks):
+            if cancel_event is not None and cancel_event.is_set():
+                raise GenerationCancelled()
+            _time.sleep(self.chunk_delay_s)
+            done = min(n, (c + 1) * per) if c < self.n_chunks - 1 else n
+            if on_chunk is not None:
+                on_chunk(c + 1, self.n_chunks, result.images[:done])
+        return result
+
+
+@pytest.fixture()
+def slow_server():
+    server, service = serve(
+        host="127.0.0.1", port=0, model=_SlowChunkedModel()
+    )
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    yield f"http://127.0.0.1:{server.server_address[1]}"
+    server.shutdown()
+    service.shutdown()
+
+
+def _submit(base, rid, n=8, h=32, w=48):
+    c2w, fl, pp, res = _cameras(n, h, w)
+    req = InferenceRequest(
+        request_id=rid,
+        cameras_to_world=c2w,
+        focal_lengths=fl,
+        principal_points=pp,
+        resolutions=res,
+    )
+    status, _ = _post(f"{base}/request-inference", dumps_api_message(req))
+    assert status == 202
+
+
+def test_job_status_and_partial_results(slow_server):
+    import time
+
+    _submit(slow_server, "prog-1")
+    saw_running = saw_partial = False
+    for _ in range(200):
+        status, body = _get(f"{slow_server}/job-status?request_id=prog-1")
+        assert status == 200
+        st = json.loads(body)
+        if st["state"] == "running" and 0 < st["progress"] < 1:
+            saw_running = True
+            code, pbody = _get(
+                f"{slow_server}/inference-result?request_id=prog-1&partial=1"
+            )
+            if code == 206:
+                part = loads_api_message(pbody)
+                assert 0 < len(part.images) <= 8
+                assert len(part.cameras_to_world) == len(part.images)
+                saw_partial = True
+        if st["state"] == "done":
+            break
+        time.sleep(0.02)
+    assert st["state"] == "done" and st["progress"] == 1.0
+    assert saw_running and saw_partial
+    code, body = _get(f"{slow_server}/inference-result?request_id=prog-1")
+    assert code == 200
+    assert len(loads_api_message(body).images) == 8
+
+
+def test_cancel_running_job(slow_server):
+    import time
+
+    _submit(slow_server, "cancel-1")
+    # wait until it is actually running, then cancel
+    for _ in range(100):
+        _, body = _get(f"{slow_server}/job-status?request_id=cancel-1")
+        if json.loads(body)["state"] == "running":
+            break
+        time.sleep(0.02)
+    code, _ = _post(f"{slow_server}/cancel-inference?request_id=cancel-1", b"")
+    assert code == 200
+    for _ in range(200):
+        _, body = _get(f"{slow_server}/job-status?request_id=cancel-1")
+        st = json.loads(body)
+        if st["state"] == "cancelled":
+            break
+        time.sleep(0.02)
+    assert st["state"] == "cancelled"
+    code, _ = _get(f"{slow_server}/inference-result?request_id=cancel-1")
+    assert code == 503  # no result was produced
+    # cancelling a finished/unknown job reports 404
+    code, _ = _post(f"{slow_server}/cancel-inference?request_id=cancel-1", b"")
+    assert code == 404
+    code, _ = _post(f"{slow_server}/cancel-inference?request_id=nope", b"")
+    assert code == 404
+
+
+def test_cancel_pending_job(slow_server):
+    _submit(slow_server, "run-first")
+    _submit(slow_server, "queued")  # sits behind run-first in the queue
+    code, _ = _post(f"{slow_server}/cancel-inference?request_id=queued", b"")
+    assert code == 200
+    import time
+
+    for _ in range(300):
+        _, body = _get(f"{slow_server}/job-status?request_id=run-first")
+        if json.loads(body)["state"] == "done":
+            break
+        time.sleep(0.02)
+    _, body = _get(f"{slow_server}/job-status?request_id=queued")
+    assert json.loads(body)["state"] == "cancelled"
+
+
+def test_chunked_generation_cancel_event():
+    """cancel_event stops run_chunked_generation at a chunk boundary."""
+    import threading as _threading
+
+    from gen3c_tpu.pipelines.chunked import (
+        GenerationCancelled,
+        run_chunked_generation,
+    )
+
+    model = Gen3cPersistentModel(
+        model_preset="gen3c_tiny",
+        checkpoint_dir=None,
+        num_steps=2,
+        depth_source="heuristic",
+    )
+    h, w = model.preset.height, model.preset.width
+    c2w, fl, pp, res = _cameras(1, h, w)
+    rng = np.random.RandomState(0)
+    model.seed_model(
+        SeedingRequest(
+            request_id="s",
+            cameras_to_world=c2w,
+            focal_lengths=fl,
+            principal_points=pp,
+            images=(rng.rand(1, h, w, 3) * 255).astype(np.uint8),
+        )
+    )
+    chunk = model.model.chunk_size
+    n = 2 * (chunk - 1) + 1  # two AR chunks
+    c2w, fl, pp, res = _cameras(n, h, w)
+    req = InferenceRequest(
+        request_id="i",
+        cameras_to_world=c2w,
+        focal_lengths=fl,
+        principal_points=pp,
+        resolutions=res,
+    )
+    progress = []
+    ev = _threading.Event()
+
+    def on_chunk(done, total, video):
+        progress.append((done, total, len(video)))
+        ev.set()  # cancel after the first chunk
+
+    with pytest.raises(GenerationCancelled):
+        model.run_inference(req, on_chunk=on_chunk, cancel_event=ev)
+    assert progress[0][0] == 1 and progress[0][1] == 2
