@@ -209,11 +209,23 @@ def init_dit_params(key: Array, cfg: DiTConfig, param_dtype=jnp.float32) -> Para
 
 
 def _w(entry, dtype):
-    """Weight resolver: plain {"w"} or int8-quantized {"q","scale"} entries
-    (gen3c_tpu.models.quantize)."""
-    if "q" in entry:
-        return entry["q"].astype(dtype) * entry["scale"].astype(dtype)
+    """Weight resolver: plain {"w"} or int8-quantized {"q"|"q8","scale"}
+    entries (gen3c_tpu.models.quantize)."""
+    if "q" in entry or "q8" in entry:
+        q = entry.get("q", entry.get("q8"))
+        return q.astype(dtype) * entry["scale"].astype(dtype)
     return entry["w"].astype(dtype)
+
+
+def _linear(x, entry, dtype):
+    """x @ W for a params entry. "q8"-marked entries run W8A8 (dynamic
+    per-token int8 activations x int8 weights on the MXU, 1.5x bf16 on
+    the GEN3C MLP shape); others dequantize/cast and matmul in bf16."""
+    if "q8" in entry:
+        from gen3c_tpu.models.quantize import w8a8_matmul
+
+        return w8a8_matmul(x, entry, dtype)
+    return x @ _w(entry, dtype)
 
 
 def _rms_norm(x: Array, scale: Array, eps: float = 1e-6) -> Array:
@@ -424,9 +436,9 @@ def _attn_block(
     hd = D // num_heads
     dtype = x.dtype
     ctx = x if context is None else context
-    q = (x @ _w(p["q"], dtype)).reshape(B, L, num_heads, hd)
-    k = (ctx @ _w(p["k"], dtype)).reshape(B, ctx.shape[1], num_heads, hd)
-    v = (ctx @ _w(p["v"], dtype)).reshape(B, ctx.shape[1], num_heads, hd)
+    q = _linear(x, p["q"], dtype).reshape(B, L, num_heads, hd)
+    k = _linear(ctx, p["k"], dtype).reshape(B, ctx.shape[1], num_heads, hd)
+    v = _linear(ctx, p["v"], dtype).reshape(B, ctx.shape[1], num_heads, hd)
     q = _rms_norm(q, p["q_norm"]["scale"])
     k = _rms_norm(k, p["k_norm"]["scale"])
     if context is None and rope is not None:
@@ -436,14 +448,14 @@ def _attn_block(
         k = jax.lax.all_gather(k, cp_axis, axis=1, tiled=True)
         v = jax.lax.all_gather(v, cp_axis, axis=1, tiled=True)
     out = attention_op(q, k, v).reshape(B, L, D)
-    return out @ _w(p["out"], dtype)
+    return _linear(out, p["out"], dtype)
 
 
 def _mlp_block(p: Params, x: Array) -> Array:
     dtype = x.dtype
-    h = x @ _w(p["fc1"], dtype)
+    h = _linear(x, p["fc1"], dtype)
     h = jax.nn.gelu(h, approximate=False)
-    return h @ _w(p["fc2"], dtype)
+    return _linear(h, p["fc2"], dtype)
 
 
 def _modulated_residual(x, sub_out_fn, p_sub, emb, lora):
@@ -501,6 +513,7 @@ def dit_forward(
     rope_tables: Optional[Tuple[Array, Array]] = None,
     extra_pos_emb: Optional[Array] = None,
     cp_axis: Optional[str] = None,
+    remat: bool = False,
 ) -> Array:
     """Full GeneralDIT forward. Returns (B, out_channels, T, H, W).
 
@@ -550,7 +563,7 @@ def dit_forward(
     lora = h @ _w(params["t_embedder"]["linear_2"], jnp.float32)  # (B,3D)
     emb = _rms_norm(sincos, params["affline_norm"]["scale"])  # (B, D) fp32
 
-    for blk in params["blocks"]:
+    def block_step(tokens, blk, emb, lora, extra, ctx_emb):
         tokens = tokens + extra
         tokens = _modulated_residual(
             tokens,
@@ -563,16 +576,25 @@ def dit_forward(
         )
         tokens = _modulated_residual(
             tokens,
-            lambda t: _attn_block(
-                blk["ca"], t, crossattn_emb.astype(dtype), cfg.num_heads, None
-            ),
+            lambda t: _attn_block(blk["ca"], t, ctx_emb, cfg.num_heads, None),
             blk["ca"],
             emb,
             lora,
         )
-        tokens = _modulated_residual(
+        return _modulated_residual(
             tokens, lambda t: _mlp_block(blk["mlp"], t), blk["mlp"], emb, lora
         )
+
+    if remat:
+        # rematerialize per block during training: activations of the 28
+        # blocks are recomputed in the backward pass instead of stored
+        # (replaces the reference's forward_blocks_memory_save path,
+        # training/networks/general_dit.py:736-849)
+        block_step = jax.checkpoint(block_step)
+
+    ctx_emb = crossattn_emb.astype(dtype)
+    for blk in params["blocks"]:
+        tokens = block_step(tokens, blk, emb, lora, extra, ctx_emb)
 
     # final layer (blocks.py:189-242)
     fshift, fscale = _adaln_modulation(params["final"]["adaln"], emb, lora, 2)

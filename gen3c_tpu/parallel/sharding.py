@@ -24,25 +24,53 @@ import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
-def dit_param_pspecs(params: Any, tp_axis: str = "tp") -> Any:
-    """PartitionSpec pytree matching a DiT param pytree."""
+# leaves with at least this many elements get FSDP-sharded
+_FSDP_MIN_SIZE = 1 << 16
+
+
+def dit_param_pspecs(
+    params: Any, tp_axis: str = "tp", fsdp_axis: str | None = None
+) -> Any:
+    """PartitionSpec pytree matching a DiT param pytree.
+
+    With `fsdp_axis` set, large weights additionally shard their non-TP
+    dim over that axis (typically 'dp'): ZeRO-3/FSDP-style fully-sharded
+    parameters + optimizer state (the declarative replacement for the
+    reference's torch FSDP wrap, training/models/model.py:661+,
+    utils/fsdp_checkpointer.py). XLA all-gathers weights where a matmul
+    needs them and reduce-scatters the grads.
+    """
 
     def spec_for(path: tuple, leaf) -> P:
         keys = [str(getattr(k, "key", getattr(k, "idx", k))) for k in path]
         name = "/".join(keys)
         if any(s in name for s in ("/q/w", "/k/w", "/v/w", "fc1/w")):
-            return P(None, tp_axis)
+            return P(fsdp_axis, tp_axis)
         if any(s in name for s in ("/out/w", "fc2/w")):
-            return P(tp_axis, None)
+            return P(tp_axis, fsdp_axis)
+        if (
+            fsdp_axis is not None
+            and hasattr(leaf, "ndim")
+            and leaf.ndim == 2
+            and leaf.size >= _FSDP_MIN_SIZE
+        ):
+            # remaining big 2D weights (embedders, adaLN, final): shard
+            # the larger dim over fsdp
+            if leaf.shape[0] >= leaf.shape[1]:
+                return P(fsdp_axis, None)
+            return P(None, fsdp_axis)
         return P()
 
     return jax.tree_util.tree_map_with_path(spec_for, params)
 
 
-def dit_param_shardings(mesh: Mesh, params: Any, tp_axis: str = "tp") -> Any:
+def dit_param_shardings(
+    mesh: Mesh, params: Any, tp_axis: str = "tp",
+    fsdp_axis: str | None = None,
+) -> Any:
     return jax.tree.map(
         lambda spec: NamedSharding(mesh, spec),
-        dit_param_pspecs(params, tp_axis),
+        dit_param_pspecs(params, tp_axis, fsdp_axis),
         is_leaf=lambda x: isinstance(x, P),
     )
 
@@ -59,7 +87,10 @@ def batch_pspec(dp_axis: str = "dp", cp_axis: str | None = None) -> P:
     return P(dp_axis, None, cp_axis)
 
 
-def shard_params(mesh: Mesh, params: Any, tp_axis: str = "tp") -> Any:
-    """Device-put a param pytree with its TP shardings."""
-    shardings = dit_param_shardings(mesh, params, tp_axis)
+def shard_params(
+    mesh: Mesh, params: Any, tp_axis: str = "tp",
+    fsdp_axis: str | None = None,
+) -> Any:
+    """Device-put a param pytree with its TP (+ optional FSDP) shardings."""
+    shardings = dit_param_shardings(mesh, params, tp_axis, fsdp_axis)
     return jax.tree.map(jax.device_put, params, shardings)

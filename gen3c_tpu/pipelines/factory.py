@@ -92,7 +92,7 @@ def build_gen3c_model(
     seed: int = 0,
     param_dtype: Any = jnp.bfloat16,
     num_devices: int = 1,
-    quantize: bool = False,
+    quantize: bool | str = False,
 ) -> Tuple[Gen3CModel, Gen3CPreset]:
     """Build a Gen3CModel from a preset, loading weights if available.
 
@@ -185,8 +185,12 @@ def build_gen3c_model(
     if quantize:
         from gen3c_tpu.models.quantize import quantize_dit_params_inplace
 
-        log.info("quantizing DiT weights to int8 (weight-only)")
-        dit_params = quantize_dit_params_inplace(dit_params)
+        # quantize=True/"int8": weight-only; "w8a8": + dynamic int8
+        # activations on the MXU (1.5x matmul speedup, ~1% per-matmul err)
+        act = quantize == "w8a8"
+        log.info("quantizing DiT weights to int8 "
+                 + ("(W8A8 dynamic activations)" if act else "(weight-only)"))
+        dit_params = quantize_dit_params_inplace(dit_params, act_quant=act)
 
     mesh = None
     if num_devices > 1:

@@ -86,6 +86,9 @@ def create_parser() -> argparse.ArgumentParser:
                        help="accepted for reference-CLI compatibility")
     p.add_argument("--quantize_int8", action="store_true",
                    help="int8 weight-only DiT (fits the 7B on one chip)")
+    p.add_argument("--quantize_w8a8", action="store_true",
+                   help="int8 weights + dynamic int8 activations (fastest; "
+                        "~1%% per-matmul error)")
     return p
 
 
@@ -104,7 +107,7 @@ def demo(args) -> str:
         checkpoint_dir=args.checkpoint_dir,
         seed=args.seed,
         num_devices=args.num_devices,
-        quantize=args.quantize_int8,
+        quantize="w8a8" if args.quantize_w8a8 else args.quantize_int8,
     )
     validate_args(args, preset.chunk_size)
 

@@ -128,13 +128,15 @@ class Gen3cPersistentModel(InferenceModel):
         guidance: float = 1.0,
         seed: int = 0,
         depth_source: str = "auto",
+        quantize: bool | str = False,
     ):
         from gen3c_tpu.pipelines.depth import make_depth_estimator
         from gen3c_tpu.pipelines.factory import build_gen3c_model
         from gen3c_tpu.pipelines.gen3c_pipeline import Gen3cPipeline
 
         self.model, self.preset = build_gen3c_model(
-            model_preset, checkpoint_dir=checkpoint_dir, seed=seed
+            model_preset, checkpoint_dir=checkpoint_dir, seed=seed,
+            quantize=quantize,
         )
         self.pipeline = Gen3cPipeline(
             model=self.model,

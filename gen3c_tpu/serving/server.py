@@ -190,6 +190,7 @@ def build_model_from_env():
         guidance=float(os.environ.get("GEN3C_GUIDANCE", "1.0")),
         seed=int(os.environ.get("GEN3C_SEED", "0")),
         depth_source=os.environ.get("GEN3C_DEPTH_SOURCE", "auto"),
+        quantize=os.environ.get("GEN3C_QUANTIZE", "") or False,
     )
 
 

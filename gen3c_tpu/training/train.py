@@ -39,6 +39,10 @@ def main(argv=None) -> None:
     p.add_argument("--cp", type=int, default=None)
     p.add_argument("--tp", type=int, default=1)
     p.add_argument("--batch_size", type=int, default=1)
+    p.add_argument("--fsdp", action="store_true",
+                   help="shard params/opt/EMA over dp (ZeRO-3)")
+    p.add_argument("--remat", action="store_true",
+                   help="activation-checkpoint DiT blocks")
     args = p.parse_args(flags)
 
     exp_overrides = {}
@@ -57,9 +61,18 @@ def main(argv=None) -> None:
     preset = registry.get("experiment", exp_name)
     if overrides:
         preset = registry.apply_overrides(preset, overrides)
+    if args.fsdp:
+        t_cfg = registry.apply_overrides(t_cfg, ["fsdp=True"])
+    if args.remat:
+        t_cfg = registry.apply_overrides(t_cfg, ["remat=True"])
 
     maybe_distributed_init()
     mesh = make_mesh(dp=args.dp, cp=args.cp, tp=args.tp)
+    if args.batch_size % args.dp:
+        raise SystemExit(
+            f"--batch_size {args.batch_size} must be divisible by "
+            f"--dp {args.dp}"
+        )
     log.info(f"experiment={exp_name} mesh={dict(mesh.shape)}")
 
     from gen3c_tpu.models.dit import init_dit_params

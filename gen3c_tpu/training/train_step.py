@@ -69,8 +69,8 @@ def init_train_state(params, optimizer) -> TrainState:
 
 
 def _net(bundle, x, t, ctx):
-    params, cfg = bundle
-    return dit_forward(params, cfg, x, t, ctx, fps=24.0)
+    params, cfg, remat = bundle
+    return dit_forward(params, cfg, x, t, ctx, fps=24.0, remat=remat)
 
 
 def train_step(
@@ -80,6 +80,7 @@ def train_step(
     cfg: DiTConfig,
     optimizer: optax.GradientTransformation,
     schedule: EDMEulerSchedule = EDMEulerSchedule(),
+    remat: bool = False,
 ) -> Tuple[TrainState, dict]:
     """One optimizer step. batch keys:
     x0 (B,16,T,H,W), crossattn_emb (B,M,1024), extra_channels
@@ -93,7 +94,7 @@ def train_step(
     def loss_fn(params):
         loss, per_sample = edm_loss(
             _net,
-            (params, cfg),
+            (params, cfg, remat),
             batch["x0"].astype(jnp.float32),
             sigma,
             noise,
@@ -124,16 +125,21 @@ def make_sharded_train_step(
     cfg: DiTConfig,
     optimizer: optax.GradientTransformation,
     params_template: Any,
+    remat: bool = False,
+    fsdp_axis: Optional[str] = None,
 ):
     """jit the train step with (dp, tp) shardings over the mesh.
 
     Params/opt-state/EMA shard Megatron-style on 'tp'; the batch shards on
     'dp' (+ latent-T on 'cp' for sequence-parallel activation sharding).
     XLA inserts the dp grad all-reduce and the tp collectives.
+    remat=True rematerializes DiT blocks in the backward pass;
+    fsdp_axis='dp' additionally shards params/opt-state/EMA over data
+    parallel (ZeRO-3 — see parallel.sharding.dit_param_pspecs).
     """
     from gen3c_tpu.parallel.sharding import dit_param_pspecs
 
-    pspecs = dit_param_pspecs(params_template)
+    pspecs = dit_param_pspecs(params_template, fsdp_axis=fsdp_axis)
     param_sh = jax.tree.map(
         lambda s: NamedSharding(mesh, s), pspecs,
         is_leaf=lambda x: isinstance(x, P),
@@ -144,7 +150,7 @@ def make_sharded_train_step(
         "crossattn_emb": NamedSharding(mesh, P("dp")),
         "extra_channels": NamedSharding(mesh, P("dp", None, "cp")),
     }
-    step_fn = partial(train_step, cfg=cfg, optimizer=optimizer)
+    step_fn = partial(train_step, cfg=cfg, optimizer=optimizer, remat=remat)
     # state shardings are inferred from the input state (device_put the
     # params with dit_param_shardings first — see parallel.sharding)
     return jax.jit(

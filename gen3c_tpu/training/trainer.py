@@ -41,6 +41,9 @@ class TrainerConfig:
     grad_clip: float = 1.0
     warmup_steps: int = 100
     seed: int = 0
+    grad_accum_steps: int = 1
+    remat: bool = False  # rematerialize DiT blocks (activation ckpt)
+    fsdp: bool = False  # shard params/opt/EMA over 'dp' (ZeRO-3)
 
 
 class Trainer:
@@ -65,13 +68,16 @@ class Trainer:
             weight_decay=config.weight_decay,
             grad_clip=config.grad_clip,
             warmup_steps=config.warmup_steps,
+            grad_accum_steps=config.grad_accum_steps,
         )
+        fsdp_axis = "dp" if config.fsdp else None
         self.step_fn, self.param_shardings = make_sharded_train_step(
-            mesh, dit_cfg, self.optimizer, params
+            mesh, dit_cfg, self.optimizer, params,
+            remat=config.remat, fsdp_axis=fsdp_axis,
         )
         from gen3c_tpu.parallel.sharding import shard_params
 
-        params = shard_params(mesh, params)
+        params = shard_params(mesh, params, fsdp_axis=fsdp_axis)
         self.state = init_train_state(params, self.optimizer)
         self.checkpointer = Checkpointer(
             os.path.join(config.job_dir, "checkpoints")

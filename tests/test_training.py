@@ -103,3 +103,69 @@ def test_training_reduces_loss():
         state, metrics = step_fn(state, batch, jax.random.PRNGKey(42))
         losses.append(float(metrics["loss"]))
     assert losses[-1] < losses[0], losses
+
+
+def test_fsdp_remat_matches_baseline():
+    """FSDP (params/opt/EMA sharded over dp) + per-block remat produce the
+    same loss and updated params as the plain TP-sharded step."""
+    from gen3c_tpu.parallel.sharding import shard_params
+    from gen3c_tpu.training.train_step import (
+        init_train_state,
+        make_optimizer,
+        make_sharded_train_step,
+    )
+
+    mesh = make_mesh(dp=2, cp=2, tp=2)
+    rng = np.random.RandomState(0)
+    batch = {
+        "x0": jnp.asarray(rng.randn(2, 16, 4, 4, 8), jnp.float32),
+        "crossattn_emb": jnp.asarray(rng.randn(2, 16, 1024), jnp.float32),
+        "extra_channels": jnp.asarray(rng.randn(2, 65, 4, 4, 8), jnp.float32),
+    }
+    key = jax.random.PRNGKey(7)
+    results = {}
+    for name, kw in (
+        ("base", dict()),
+        ("fsdp_remat", dict(remat=True, fsdp_axis="dp")),
+    ):
+        params = init_dit_params(jax.random.PRNGKey(0), TINY, jnp.float32)
+        params = shard_params(mesh, params, fsdp_axis=kw.get("fsdp_axis"))
+        opt = make_optimizer(lr=1e-3, warmup_steps=1)
+        step_fn, _ = make_sharded_train_step(mesh, TINY, opt, params, **kw)
+        state = init_train_state(params, opt)
+        state, metrics = step_fn(state, batch, key)
+        results[name] = (
+            float(jax.device_get(metrics["loss"])),
+            jax.device_get(state.params["blocks"][0]["fa"]["q"]["w"]),
+        )
+    loss_a, w_a = results["base"]
+    loss_b, w_b = results["fsdp_remat"]
+    assert np.isfinite(loss_a)
+    np.testing.assert_allclose(loss_a, loss_b, rtol=1e-5)
+    np.testing.assert_allclose(w_a, w_b, rtol=1e-4, atol=1e-6)
+
+
+def test_fsdp_param_specs_shard_large_leaves():
+    from jax.sharding import PartitionSpec as P
+
+    from gen3c_tpu.parallel.sharding import dit_param_pspecs
+
+    params = init_dit_params(jax.random.PRNGKey(0), TINY, jnp.float32)
+    specs = dit_param_pspecs(params, fsdp_axis="dp")
+    blk = specs["blocks"][0]
+    assert blk["fa"]["q"]["w"] == P("dp", "tp")
+    assert blk["fa"]["out"]["w"] == P("tp", "dp")
+    assert blk["mlp"]["fc1"]["w"] == P("dp", "tp")
+    assert blk["mlp"]["fc2"]["w"] == P("tp", "dp")
+    # small leaves stay replicated (TINY's embedders are under the
+    # _FSDP_MIN_SIZE threshold)
+    assert specs["x_embedder"]["w"] == P()
+    assert specs["affline_norm"]["scale"] == P()
+    # a production-size embedder leaf shards its larger dim over fsdp
+    big = {"t_embedder": {"linear_2": {"w": np.zeros((4096, 12288))}}}
+    spec = dit_param_pspecs(big, fsdp_axis="dp")
+    assert spec["t_embedder"]["linear_2"]["w"] == P(None, "dp")
+    big2 = {"final": {"linear": {"w": np.zeros((4096, 64))}}}
+    assert dit_param_pspecs(big2, fsdp_axis="dp")["final"]["linear"][
+        "w"
+    ] == P("dp", None)
