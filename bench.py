@@ -34,8 +34,14 @@ def log(msg: str) -> None:
     print(msg, file=sys.stderr, flush=True)
 
 
-def bench_denoise_step_full_int8() -> float:
-    """Directly measure the full 28-block step (int8 weights, one chip)."""
+def bench_denoise_step_full_int8(act_quant: bool = True) -> float:
+    """Directly measure the full 28-block step (int8 weights, one chip).
+
+    act_quant=True is the W8A8 production serving config
+    (--quantize_w8a8): dynamic int8 activations on the MXU, measured
+    1.5x on the MLP matmuls, ~1% per-matmul relative error (see
+    scripts/probe_int8.py + tests/test_quantize.py accuracy bounds).
+    """
     import jax
     import jax.numpy as jnp
 
@@ -46,9 +52,10 @@ def bench_denoise_step_full_int8() -> float:
     )
 
     cfg = GEN3C_7B
-    log("Benchmarking FULL 7B denoise step (int8 weights, single chip)...")
+    log(f"Benchmarking FULL 7B denoise step "
+        f"({'W8A8' if act_quant else 'int8 weight-only'}, single chip)...")
     params = init_dit_params(jax.random.PRNGKey(0), cfg, jnp.bfloat16)
-    qparams = quantize_dit_params_inplace(params)
+    qparams = quantize_dit_params_inplace(params, act_quant=act_quant)
     log(f"  quantized params: {quantized_bytes(qparams)/1e9:.2f} GB")
     B = 2
     x = jax.random.normal(
@@ -168,16 +175,21 @@ def main() -> None:
 
     log(f"backend: {jax.default_backend()}, devices: {jax.devices()}")
     # the remote compile helper occasionally 500s; retry each method
+    import functools
+
     step = None
     for attempt, fn in enumerate(
         [bench_denoise_step_full_int8, bench_denoise_step_full_int8,
+         functools.partial(bench_denoise_step_full_int8, act_quant=False),
          bench_denoise_step, bench_denoise_step]
     ):
         try:
             step = fn()
             break
         except Exception as e:  # noqa: BLE001
-            log(f"bench attempt {attempt} ({fn.__name__}) failed: {e}")
+            name = getattr(fn, "__name__", getattr(
+                getattr(fn, "func", None), "__name__", "bench"))
+            log(f"bench attempt {attempt} ({name}) failed: {e}")
             jax.clear_caches()
     if step is None:
         raise SystemExit("all denoise bench attempts failed")

@@ -142,35 +142,119 @@ class LlamaGuard3(ContentSafetyGuardrail):
         return safe, "" if safe else f"LlamaGuard3 verdict: {text.strip()}"
 
 
-class VideoContentSafetyFilter(ContentSafetyGuardrail):
-    """Frame-safety classifier (video_content_safety_filter/ parity:
-    SigLIP encoder + MLP head). Requires its checkpoint."""
+_SAFETY_CLASS_NAMES = {
+    0: "Safe", 1: "Sexual_Content", 2: "Violence", 3: "Drugs",
+    4: "Child_Abuse", 5: "Hate_and_Harassment", 6: "Self-Harm",
+}
 
-    def __init__(self, checkpoint_dir: str):
+
+class VideoContentSafetyFilter(ContentSafetyGuardrail):
+    """Frame-safety classifier, TPU-native: JAX SigLIP so400m vision
+    encoder + 7-class MLP head (video_content_safety_filter/ parity,
+    video_content_safety_filter.py:42-153; architecture in
+    gen3c_tpu.aux.siglip with torch-oracle parity tests). Requires the
+    Cosmos-Guardrail1 checkpoint (safety_filter.pt + cached SigLIP)."""
+
+    def __init__(self, checkpoint_dir: str,
+                 siglip_name: str = "google/siglip-so400m-patch14-384"):
+        from gen3c_tpu.aux import siglip as S
+
         path = os.path.join(
             checkpoint_dir, "nvidia/Cosmos-Guardrail1",
             "video_content_safety_filter",
         )
-        if not os.path.isdir(path):
+        head_path = os.path.join(path, "safety_filter.pt")
+        if not os.path.isfile(head_path):
             raise FileNotFoundError(
-                f"Video content safety checkpoint not found at {path}"
+                f"Video content safety checkpoint not found at {head_path}"
             )
-        raise NotImplementedError(
-            "SigLIP video filter inference not yet ported; disable video "
-            "guardrails (--disable_guardrail, the GEN3C default)"
-        )
+        import torch
+        from transformers import SiglipModel
 
-    def is_safe(self, frames: np.ndarray) -> Tuple[bool, str]:
-        raise NotImplementedError
+        # a local dir path also works as siglip_name (tests use a tiny
+        # saved checkpoint)
+        model = SiglipModel.from_pretrained(
+            siglip_name, cache_dir=path, local_files_only=True
+        )
+        vc = model.config.vision_config
+        self.cfg = S.SiglipVisionConfig(
+            hidden_size=vc.hidden_size,
+            intermediate_size=vc.intermediate_size,
+            num_hidden_layers=vc.num_hidden_layers,
+            num_attention_heads=vc.num_attention_heads,
+            image_size=vc.image_size,
+            patch_size=vc.patch_size,
+            layer_norm_eps=vc.layer_norm_eps,
+        )
+        self.encoder_params = S.convert_hf_siglip_vision(
+            model.vision_model.state_dict(), self.cfg
+        )
+        ckpt = torch.load(head_path, map_location="cpu", weights_only=True)
+        self.head_params = S.convert_safety_classifier(ckpt["model"])
+        self._siglip = S
+
+        import jax
+
+        self._classify = jax.jit(self._classify_fn)
+
+    def _classify_fn(self, pixels):
+        import jax.numpy as jnp
+
+        feats = self._siglip.siglip_image_features(
+            self.encoder_params, self.cfg, pixels
+        )
+        feats = feats / jnp.linalg.norm(feats, axis=-1, keepdims=True)
+        logits = self._siglip.safety_classifier_apply(self.head_params, feats)
+        return jnp.argmax(logits, axis=-1)
+
+    def is_safe(self, frames) -> Tuple[bool, str]:
+        """Classify every frame; unsafe on the first non-'Safe' class
+        (is_safe_frames parity, :116-143)."""
+        import jax
+
+        for i, frame in enumerate(frames):
+            pixels = self._siglip.preprocess_frame(
+                np.asarray(frame), self.cfg.image_size
+            )[None]
+            cls = int(jax.device_get(self._classify(pixels))[0])
+            if cls != 0:
+                name = _SAFETY_CLASS_NAMES.get(cls, "Unknown")
+                return False, f"unsafe frames detected (frame {i}: {name})"
+        return True, "safe frames detected"
 
 
 class RetinaFaceFilter(PostprocessingGuardrail):
-    """Face-blur postprocess (face_blur_filter/ parity). Requires the
-    RetinaFace checkpoint."""
+    """Face-blur postprocess, TPU-native: JAX RetinaFace ResNet-50
+    detector + pixelation (face_blur_filter/ parity; architecture in
+    gen3c_tpu.aux.retinaface). Requires the Resnet50_Final.pth
+    checkpoint."""
 
-    def __init__(self, checkpoint_dir: str):
-        raise NotImplementedError(
-            "RetinaFace face blur not yet ported; disable video guardrails"
+    def __init__(self, checkpoint_dir: str,
+                 confidence_threshold: float = 0.7):
+        path = os.path.join(
+            checkpoint_dir, "nvidia/Cosmos-Guardrail1", "face_blur_filter",
+            "Resnet50_Final.pth",
+        )
+        if not os.path.isfile(path):
+            raise FileNotFoundError(
+                f"RetinaFace checkpoint not found at {path}"
+            )
+        import torch
+
+        from gen3c_tpu.aux import retinaface as R
+
+        sd = torch.load(path, map_location="cpu", weights_only=True)
+        if "state_dict" in sd:
+            sd = sd["state_dict"]
+        sd = {k.split("module.", 1)[-1]: v for k, v in sd.items()}
+        self.params = R.convert_retinaface(sd)
+        self.confidence_threshold = confidence_threshold
+        self._retinaface = R
+
+    def postprocess(self, frames: np.ndarray) -> np.ndarray:
+        return self._retinaface.blur_faces_in_frames(
+            self.params, np.asarray(frames),
+            confidence_threshold=self.confidence_threshold,
         )
 
 

@@ -1,0 +1,282 @@
+"""Vision guardrail models: SigLIP encoder parity vs transformers (torch
+CPU oracle), safety classifier parity, RetinaFace detector invariants."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+
+def test_siglip_vision_parity_vs_transformers():
+    """JAX SigLIP pooled features match a random-init torch
+    SiglipVisionModel (the oracle for the so400m production config)."""
+    import torch
+    from transformers import SiglipVisionConfig as HFConfig
+    from transformers import SiglipVisionModel
+
+    from gen3c_tpu.aux.siglip import (
+        SiglipVisionConfig,
+        convert_hf_siglip_vision,
+        siglip_image_features,
+    )
+
+    hf_cfg = HFConfig(
+        hidden_size=64,
+        intermediate_size=128,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        image_size=28,
+        patch_size=14,
+        hidden_act="gelu_pytorch_tanh",
+    )
+    torch.manual_seed(0)
+    model = SiglipVisionModel(hf_cfg).eval()
+
+    cfg = SiglipVisionConfig(
+        hidden_size=64,
+        intermediate_size=128,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        image_size=28,
+        patch_size=14,
+    )
+    params = convert_hf_siglip_vision(model.state_dict(), cfg)
+
+    rng = np.random.RandomState(1)
+    pixels = rng.randn(2, 3, 28, 28).astype(np.float32)
+    with torch.no_grad():
+        ref = model(
+            pixel_values=torch.from_numpy(pixels)
+        ).pooler_output.numpy()
+    got = np.asarray(siglip_image_features(params, cfg, jnp.asarray(pixels)))
+    np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)
+
+
+def test_safety_classifier_parity():
+    import torch
+
+    from gen3c_tpu.aux.siglip import (
+        convert_safety_classifier,
+        safety_classifier_apply,
+    )
+
+    torch.manual_seed(0)
+    net = torch.nn.Sequential(
+        torch.nn.Linear(16, 512),
+        torch.nn.BatchNorm1d(512),
+        torch.nn.ReLU(),
+        torch.nn.Linear(512, 256),
+        torch.nn.BatchNorm1d(256),
+        torch.nn.ReLU(),
+        torch.nn.Linear(256, 7),
+    )
+    # give BatchNorm non-trivial running stats
+    net.train()
+    with torch.no_grad():
+        for _ in range(3):
+            net(torch.randn(32, 16))
+    net.eval()
+    sd = {f"network.layers.{k}": v for k, v in net.state_dict().items()}
+    params = convert_safety_classifier(sd)
+    x = np.random.RandomState(2).randn(4, 16).astype(np.float32)
+    with torch.no_grad():
+        ref = net(torch.from_numpy(x)).numpy()
+    got = np.asarray(safety_classifier_apply(params, jnp.asarray(x)))
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_preprocess_frame_range():
+    from gen3c_tpu.aux.siglip import preprocess_frame
+
+    frame = np.zeros((10, 12, 3), np.uint8)
+    frame[:, :, 0] = 255
+    out = preprocess_frame(frame, image_size=32)
+    assert out.shape == (3, 32, 32)
+    np.testing.assert_allclose(out[0], 1.0, atol=1e-6)
+    np.testing.assert_allclose(out[1], -1.0, atol=1e-6)
+
+
+def test_prior_boxes_layout():
+    from gen3c_tpu.aux.retinaface import prior_boxes
+
+    pri = prior_boxes(64, 64)
+    # (ceil(64/8)^2 + ceil(64/16)^2 + ceil(64/32)^2) * 2 anchors
+    assert pri.shape == ((8 * 8 + 4 * 4 + 2 * 2) * 2, 4)
+    # first anchor: cx=cy=(0+0.5)*8/64, sizes 16/64
+    np.testing.assert_allclose(pri[0], [0.0625, 0.0625, 0.25, 0.25])
+    np.testing.assert_allclose(pri[1], [0.0625, 0.0625, 0.5, 0.5])
+
+
+def test_decode_boxes_identity_and_shift():
+    from gen3c_tpu.aux.retinaface import VARIANCES, decode_boxes
+
+    priors = np.array([[0.5, 0.5, 0.2, 0.4]], np.float32)
+    # zero offsets -> prior itself in corner form
+    out = decode_boxes(np.zeros((1, 1, 4), np.float32), priors)[0, 0]
+    np.testing.assert_allclose(out, [0.4, 0.3, 0.6, 0.7], atol=1e-6)
+    # x shift of one variance unit moves center by var0 * prior_w
+    loc = np.array([[[1.0, 0, 0, 0]]], np.float32)
+    out2 = decode_boxes(loc, priors)[0, 0]
+    np.testing.assert_allclose(
+        out2[0] - out[0], VARIANCES[0] * 0.2, atol=1e-6
+    )
+
+
+def test_nms_suppresses_overlaps():
+    from gen3c_tpu.aux.retinaface import filter_detected_boxes, nms
+
+    dets = np.array(
+        [
+            [0, 0, 10, 10, 0.9],
+            [1, 1, 11, 11, 0.8],  # heavy overlap with first
+            [50, 50, 60, 60, 0.7],
+        ],
+        np.float32,
+    )
+    keep = nms(dets, 0.4)
+    assert keep == [0, 2]
+    boxes = filter_detected_boxes(
+        dets[:, :4], dets[:, 4], confidence_threshold=0.75
+    )
+    assert len(boxes) == 1  # only the 0.9 and 0.8 pass conf; NMS keeps one
+
+
+def test_retinaface_forward_shapes_and_blur():
+    import jax
+
+    from gen3c_tpu.aux.retinaface import (
+        blur_faces_in_frames,
+        init_retinaface_params,
+        prior_boxes,
+        retinaface_forward,
+    )
+
+    params = init_retinaface_params(jax.random.PRNGKey(0))
+    x = jnp.zeros((1, 3, 64, 64), jnp.float32)
+    loc, conf = jax.device_get(retinaface_forward(params, x))
+    n_priors = len(prior_boxes(64, 64))
+    assert loc.shape == (1, n_priors, 4)
+    assert conf.shape == (1, n_priors, 2)
+    np.testing.assert_allclose(conf.sum(-1), 1.0, atol=1e-5)
+
+    frames = np.random.RandomState(0).randint(
+        0, 255, (2, 64, 64, 3), np.uint8
+    )
+    out = blur_faces_in_frames(params, frames)
+    assert out.shape == frames.shape and out.dtype == np.uint8
+
+
+def test_pixelate_face():
+    from gen3c_tpu.aux.retinaface import pixelate_face
+
+    face = np.arange(40 * 30 * 3, dtype=np.uint8).reshape(40, 30, 3)
+    out = pixelate_face(face)
+    assert out.shape == face.shape
+    # 5x5 blocks: each block is constant
+    assert (out[:8, :6] == out[0, 0]).all()
+
+
+def test_video_content_safety_filter_with_tiny_checkpoint(tmp_path):
+    """Full VideoContentSafetyFilter flow against a tiny local SigLIP +
+    random safety head saved in the expected checkpoint layout."""
+    import torch
+    from transformers import SiglipConfig, SiglipModel
+
+    from gen3c_tpu.aux.guardrail import VideoContentSafetyFilter
+
+    ckpt_root = tmp_path
+    filt_dir = (
+        ckpt_root / "nvidia" / "Cosmos-Guardrail1"
+        / "video_content_safety_filter"
+    )
+    filt_dir.mkdir(parents=True)
+    cfg = SiglipConfig(
+        vision_config=dict(
+            hidden_size=32, intermediate_size=64, num_hidden_layers=1,
+            num_attention_heads=2, image_size=28, patch_size=14,
+            hidden_act="gelu_pytorch_tanh",
+        ),
+        text_config=dict(
+            hidden_size=32, intermediate_size=64, num_hidden_layers=1,
+            num_attention_heads=2, vocab_size=64, max_position_embeddings=16,
+        ),
+    )
+    torch.manual_seed(0)
+    siglip_dir = tmp_path / "tiny_siglip"
+    SiglipModel(cfg).save_pretrained(siglip_dir)
+
+    head = torch.nn.Sequential(
+        torch.nn.Linear(32, 512), torch.nn.BatchNorm1d(512),
+        torch.nn.ReLU(), torch.nn.Linear(512, 256),
+        torch.nn.BatchNorm1d(256), torch.nn.ReLU(), torch.nn.Linear(256, 7),
+    ).eval()
+    sd = {f"network.layers.{k}": v for k, v in head.state_dict().items()}
+    torch.save({"model": sd}, filt_dir / "safety_filter.pt")
+
+    filt = VideoContentSafetyFilter(str(ckpt_root),
+                                    siglip_name=str(siglip_dir))
+    frames = np.random.RandomState(0).randint(0, 255, (2, 20, 24, 3),
+                                              np.uint8)
+    safe, msg = filt.is_safe(frames)
+    assert isinstance(safe, bool) and msg
+
+
+def test_retinaface_filter_with_synthetic_checkpoint(tmp_path):
+    """RetinaFaceFilter loads a synthetic Resnet50_Final.pth-layout state
+    dict (exercises convert_retinaface key mapping end-to-end)."""
+    import jax
+    import torch
+
+    from gen3c_tpu.aux.guardrail import RetinaFaceFilter
+    from gen3c_tpu.aux.retinaface import init_retinaface_params
+
+    # export a random param tree back to the torch key layout
+    params = init_retinaface_params(jax.random.PRNGKey(0))
+    sd = {}
+
+    def put_conv(name, p):
+        sd[f"{name}.weight"] = torch.from_numpy(np.asarray(p["w"]))
+        if "b" in p:
+            sd[f"{name}.bias"] = torch.from_numpy(np.asarray(p["b"]))
+
+    def put_bn(name, p):
+        sd[f"{name}.weight"] = torch.from_numpy(np.asarray(p["scale"]))
+        sd[f"{name}.bias"] = torch.from_numpy(np.asarray(p["bias"]))
+        sd[f"{name}.running_mean"] = torch.from_numpy(np.asarray(p["mean"]))
+        sd[f"{name}.running_var"] = torch.from_numpy(np.asarray(p["var"]))
+
+    body = params["body"]
+    put_conv("body.conv1", body["conv1"])
+    put_bn("body.bn1", body["bn1"])
+    for li, n in (("layer1", 3), ("layer2", 4), ("layer3", 6), ("layer4", 3)):
+        for i in range(n):
+            blk = body[li][i]
+            for c in ("conv1", "conv2", "conv3"):
+                put_conv(f"body.{li}.{i}.{c}", blk[c])
+            for b in ("bn1", "bn2", "bn3"):
+                put_bn(f"body.{li}.{i}.{b}", blk[b])
+            if "downsample" in blk:
+                put_conv(f"body.{li}.{i}.downsample.0",
+                         blk["downsample"]["conv"])
+                put_bn(f"body.{li}.{i}.downsample.1", blk["downsample"]["bn"])
+    for k in ("output1", "output2", "output3", "merge1", "merge2"):
+        put_conv(f"fpn.{k}.0", params["fpn"][k]["conv"])
+        put_bn(f"fpn.{k}.1", params["fpn"][k]["bn"])
+    for i in range(3):
+        for k in ("conv3X3", "conv5X5_1", "conv5X5_2", "conv7X7_2",
+                  "conv7x7_3"):
+            put_conv(f"ssh{i+1}.{k}.0", params[f"ssh{i+1}"][k]["conv"])
+            put_bn(f"ssh{i+1}.{k}.1", params[f"ssh{i+1}"][k]["bn"])
+        put_conv(f"ClassHead.{i}.conv1x1", params["ClassHead"][i])
+        put_conv(f"BboxHead.{i}.conv1x1", params["BboxHead"][i])
+
+    path = tmp_path / "nvidia" / "Cosmos-Guardrail1" / "face_blur_filter"
+    path.mkdir(parents=True)
+    torch.save({f"module.{k}": v for k, v in sd.items()},
+               path / "Resnet50_Final.pth")
+
+    filt = RetinaFaceFilter(str(tmp_path))
+    frames = np.random.RandomState(1).randint(0, 255, (1, 64, 64, 3),
+                                              np.uint8)
+    out = filt.postprocess(frames)
+    assert out.shape == frames.shape
