@@ -52,6 +52,12 @@ class InferenceModel:
     def get_latest_rgb(self) -> Optional[np.ndarray]:
         return getattr(self, "_latest_rgb", None)
 
+    def get_point_cloud(self, max_points: int = 200_000):
+        """(points (N,3) float32 world-space, colors (N,3) uint8) of the
+        seeded 3D cache — the web viewer's preview geometry (replaces the
+        C++ testbed's point-cloud display, gui/src/testbed.cu:380-386)."""
+        raise NotImplementedError
+
 
 class DebugInferenceModel(InferenceModel):
     """Deterministic in-memory fake (server_debug.py parity): returns a
@@ -102,6 +108,9 @@ class DebugInferenceModel(InferenceModel):
                 np.ones((n, h, w), np.float32) if req.return_depths else None
             ),
         )
+
+    def get_point_cloud(self, max_points: int = 200_000):
+        return _subsample(*_debug_point_cloud(), max_points)
 
     def metadata(self) -> dict:
         return {
@@ -298,6 +307,20 @@ class Gen3cPersistentModel(InferenceModel):
             runtime_ms=(time.perf_counter() - t0) * 1000,
         )
 
+    def get_point_cloud(self, max_points: int = 200_000):
+        assert self.cache is not None, "seed the model first"
+        img = np.asarray(self.cache.input_image[0])  # (F, N, V, C, H, W)
+        pts = np.asarray(self.cache.input_points[0])  # (F, N, V, H, W, 3)
+        f, n, v, c, h, w = img.shape
+        colors = img.transpose(0, 1, 2, 4, 5, 3).reshape(-1, c)[:, :3]
+        colors = ((colors * 0.5 + 0.5) * 255).clip(0, 255).astype(np.uint8)
+        points = pts.reshape(-1, 3).astype(np.float32)
+        if self.cache.input_mask is not None:
+            m = np.asarray(self.cache.input_mask[0]).reshape(-1) > 0.5
+            if m.shape[0] == points.shape[0]:
+                points, colors = points[m], colors[m]
+        return _subsample(points, colors, max_points)
+
     def clear_cache(self) -> None:
         self.cache = None
         self.seeding_request = None
@@ -316,3 +339,20 @@ class Gen3cPersistentModel(InferenceModel):
             "chunk_size": self.model.chunk_size,
             "mean_inference_time_per_frame": mean_t,
         }
+
+
+def _subsample(points: np.ndarray, colors: np.ndarray, max_points: int):
+    if len(points) > max_points:
+        idx = np.linspace(0, len(points) - 1, max_points).astype(np.int64)
+        points, colors = points[idx], colors[idx]
+    return points, colors
+
+
+def _debug_point_cloud(n: int = 5000):
+    """Synthetic sphere (DebugInferenceModel counterpart of the seeded
+    cache's point cloud)."""
+    rng = np.random.RandomState(0)
+    v = rng.randn(n, 3).astype(np.float32)
+    v /= np.linalg.norm(v, axis=1, keepdims=True) + 1e-9
+    colors = ((v * 0.5 + 0.5) * 255).astype(np.uint8)
+    return v, colors

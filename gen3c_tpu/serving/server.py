@@ -176,6 +176,42 @@ class InferenceService:
         self.jobs.put(None)
 
 
+def _trajectory_response(model, qs) -> bytes:
+    """Preset camera trajectory as JSON c2ws for the web viewer
+    (camera_utils.generate_camera_trajectory over the seeded pose)."""
+    from gen3c_tpu.ops.camera import generate_camera_trajectory
+
+    traj = qs.get("type", ["left"])[0]
+    n = int(qs.get("n", ["121"])[0])
+    distance = float(qs.get("distance", ["0.3"])[0])
+    rotation = qs.get("rotation", ["center_facing"])[0]
+    center_depth = float(qs.get("center_depth", ["2.0"])[0])
+    meta = model.metadata()
+    w, h = meta.get("inference_resolution", [1280, 704])
+    seed_req = getattr(model, "seeding_request", None)
+    if seed_req is not None:
+        w2c0 = seed_req.world_to_cameras().astype(np.float32)[0]
+        k0 = seed_req.intrinsics_matrix().astype(np.float32)[0]
+    else:
+        w2c0 = np.eye(4, dtype=np.float32)
+        k0 = np.array(
+            [[0.8 * w, 0, w / 2], [0, 0.8 * w, h / 2], [0, 0, 1]], np.float32
+        )
+    w2cs, ks = generate_camera_trajectory(
+        traj, w2c0, k0, n, distance, rotation, center_depth
+    )
+    w2cs = np.asarray(w2cs).reshape(-1, 4, 4)
+    ks = np.asarray(ks).reshape(-1, 3, 3)
+    c2ws = np.linalg.inv(w2cs)[:, :3, :4]
+    return json.dumps(
+        {
+            "c2ws": c2ws.tolist(),
+            "focal_lengths": ks[:, [0, 1], [0, 1]].tolist(),
+            "resolution": [int(w), int(h)],
+        }
+    ).encode()
+
+
 def build_model_from_env():
     if os.environ.get("GEN3C_API_DEBUG", "0") == "1":
         from gen3c_tpu.serving.models import DebugInferenceModel
@@ -220,7 +256,43 @@ def make_handler(service: InferenceService):
         def do_GET(self):  # noqa: N802
             url = urlparse(self.path)
             qs = parse_qs(url.query)
-            if url.path == "/metadata":
+            if url.path in ("/", "/viewer"):
+                html_path = os.path.join(
+                    os.path.dirname(os.path.abspath(__file__)), "viewer.html"
+                )
+                try:
+                    with open(html_path, "rb") as f:
+                        self._send(200, f.read(), "text/html; charset=utf-8")
+                except OSError:
+                    self._send(404, b"viewer.html missing")
+            elif url.path == "/point-cloud":
+                max_points = int(qs.get("max_points", ["200000"])[0])
+                try:
+                    points, colors = service.model.get_point_cloud(max_points)
+                except (AssertionError, NotImplementedError) as e:
+                    self._send(400, str(e).encode())
+                    return
+                from gen3c_tpu.serving.serialization import _encode_value
+
+                body = json.dumps(
+                    {
+                        "points": _encode_value(
+                            np.ascontiguousarray(points, np.float32), False
+                        ),
+                        "colors": _encode_value(
+                            np.ascontiguousarray(colors, np.uint8), False
+                        ),
+                    }
+                ).encode()
+                self._send(200, body, "application/json")
+            elif url.path == "/trajectory":
+                try:
+                    body = _trajectory_response(service.model, qs)
+                except Exception as e:  # noqa: BLE001
+                    self._send(400, str(e).encode())
+                    return
+                self._send(200, body, "application/json")
+            elif url.path == "/metadata":
                 self._send(
                     200,
                     json.dumps(service.model.metadata()).encode(),
@@ -328,6 +400,32 @@ def make_handler(service: InferenceService):
                     self._send(400, str(e).encode())
                     return
                 self._send(200, dumps_api_message(result), API_MEDIA_TYPE)
+            elif url.path == "/interpolate-path":
+                # keyframed spline via the native C++ camera-path engine
+                # (camera_path.cu parity): body {keyframes: [{c2w: 12
+                # floats row-major (3,4), fov?}], n: int}
+                try:
+                    payload = json.loads(body.decode("utf-8"))
+                    kfs = payload["keyframes"]
+                    n = int(payload.get("n", 121))
+                    assert 1 <= n <= 10000 and len(kfs) >= 1
+                    from gen3c_tpu.native.camera_path import CameraPath
+
+                    path = CameraPath()
+                    for i, kf in enumerate(kfs):
+                        c2w = np.asarray(kf["c2w"], np.float32).reshape(3, 4)
+                        path.add_keyframe_from_c2w(
+                            c2w, fov=float(kf.get("fov", 50.0)),
+                            timestamp=float(kf.get("t", i)),
+                        )
+                    c2ws, fovs = path.sample(n)
+                    out = json.dumps(
+                        {"c2ws": c2ws.tolist(), "fovs": fovs.tolist()}
+                    ).encode()
+                except Exception as e:  # noqa: BLE001
+                    self._send(400, str(e).encode())
+                    return
+                self._send(200, out, "application/json")
             elif url.path == "/cancel-inference":
                 request_id = qs.get("request_id", [""])[0]
                 if service.cancel(request_id):

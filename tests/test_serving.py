@@ -346,3 +346,49 @@ def test_chunked_generation_cancel_event():
     with pytest.raises(GenerationCancelled):
         model.run_inference(req, on_chunk=on_chunk, cancel_event=ev)
     assert progress[0][0] == 1 and progress[0][1] == 2
+
+
+def test_viewer_and_geometry_endpoints(debug_server):
+    # static viewer page
+    code, body = _get(f"{debug_server}/viewer")
+    assert code == 200 and b"GEN3C" in body and b"<html>" in body
+    code, _ = _get(f"{debug_server}/")
+    assert code == 200
+
+    # point cloud (debug model serves a synthetic sphere)
+    code, body = _get(f"{debug_server}/point-cloud?max_points=1000")
+    assert code == 200
+    from gen3c_tpu.serving.serialization import _decode_value
+
+    pc = json.loads(body)
+    pts = _decode_value(pc["points"])
+    cols = _decode_value(pc["colors"])
+    assert pts.shape == (1000, 3) and cols.shape == (1000, 3)
+    np.testing.assert_allclose(np.linalg.norm(pts, axis=1), 1.0, atol=1e-5)
+
+    # preset trajectory
+    code, body = _get(f"{debug_server}/trajectory?type=left&n=9")
+    assert code == 200
+    t = json.loads(body)
+    assert len(t["c2ws"]) == 9 and len(t["c2ws"][0]) == 3
+    assert len(t["focal_lengths"]) == 9
+
+    # keyframed spline via the native camera-path engine
+    kfs = {
+        "keyframes": [
+            {"c2w": [1, 0, 0, 0, 0, 1, 0, 0, 0, 0, 1, 0], "t": 0},
+            {"c2w": [1, 0, 0, 1.0, 0, 1, 0, 0, 0, 0, 1, 0], "t": 1},
+        ],
+        "n": 5,
+    }
+    code, body = _post(
+        f"{debug_server}/interpolate-path", json.dumps(kfs).encode()
+    )
+    assert code == 200
+    out = json.loads(body)
+    assert len(out["c2ws"]) == 5
+    xs = [c[0][3] for c in out["c2ws"]]
+    assert xs[0] <= xs[-1] and abs(xs[-1] - 1.0) < 0.3  # moves along +x
+
+    code, _ = _post(f"{debug_server}/interpolate-path", b"garbage")
+    assert code == 400
