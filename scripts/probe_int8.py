@@ -1,5 +1,9 @@
 """Probe: can W8A8 int8 matmul beat bf16 on v5e at the GEN3C shapes?
 
+NOTE: timings include a ~26 ms host-read floor (CLAUDE.md): the real
+matmul speeds are higher than printed; RATIOS between configs only need
+the floor subtracted once.
+
 v5e peak: 394 TOPS int8 vs 197 TFLOPS bf16. Tests the full dynamic-quant
 pipeline (per-token activation absmax -> int8 x int8 -> int32 -> rescale)
 against the bf16 baseline, and checks numerical error.

@@ -1,5 +1,8 @@
 """Per-component timing of one DiT block at the production GEN3C shape.
 
+NOTE: every measurement includes a ~26 ms host-read floor through the
+axon tunnel (see CLAUDE.md) — subtract it when comparing small ops.
+
 Locates where the non-attention ~430 ms/block goes: projections, MLP,
 cross-attention, AdaLN/LayerNorm elementwise, int8 dequant overhead.
 

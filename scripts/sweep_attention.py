@@ -1,5 +1,8 @@
 """Sweep splash-attention block configs at the GEN3C self-attention shape.
 
+NOTE: timings include a ~26 ms host-read floor (CLAUDE.md); negligible
+at the ~700 ms kernel times measured here.
+
 Shape: B=2 (CFG), H=32, L=56,320 (16x88x160/4 latent tokens), D=128, bf16.
 Finds the fastest (block_q, block_kv, block_kv_compute, layouts) combo on
 the attached TPU. Results print incrementally to stderr; the best config
