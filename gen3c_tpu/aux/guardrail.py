@@ -111,32 +111,70 @@ class Blocklist(ContentSafetyGuardrail):
 
 
 class LlamaGuard3(ContentSafetyGuardrail):
-    """LLM-based text safety classifier (llamaGuard3/ parity). Requires
-    the meta-llama/Llama-Guard-3-8B checkpoint."""
+    """LLM text safety classifier, TPU-native: the llama checkpoint runs
+    through gen3c_tpu's own JAX AR transformer (llamaGuard3/ parity;
+    conversion parity-tested vs transformers' torch LlamaForCausalLM in
+    tests/test_vision_safety.py). Requires meta-llama/Llama-Guard-3-8B."""
 
-    def __init__(self, checkpoint_dir: str):
+    def __init__(self, checkpoint_dir: str, max_seq_len: int = 4096):
         path = os.path.join(checkpoint_dir, "meta-llama/Llama-Guard-3-8B")
         if not os.path.isdir(path):
             raise FileNotFoundError(
                 f"LlamaGuard3 checkpoint not found at {path}; run with "
                 "blocklist-only guardrails or download the checkpoint"
             )
-        from transformers import AutoModelForCausalLM, AutoTokenizer
+        import jax.numpy as jnp
+        from transformers import AutoConfig, AutoTokenizer
+
+        from gen3c_tpu.models.ar_transformer import ARConfig
+        from gen3c_tpu.models.convert import convert_hf_llama
 
         self.tokenizer = AutoTokenizer.from_pretrained(path)
-        self.model = AutoModelForCausalLM.from_pretrained(path)
+        hf = AutoConfig.from_pretrained(path)
+        rs = getattr(hf, "rope_scaling", None)
+        self.cfg = ARConfig(
+            dim=hf.hidden_size,
+            n_layers=hf.num_hidden_layers,
+            n_heads=hf.num_attention_heads,
+            n_kv_heads=hf.num_key_value_heads,
+            vocab_size=hf.vocab_size,
+            ffn_hidden_size=hf.intermediate_size,
+            norm_eps=hf.rms_norm_eps,
+            rope_theta=hf.rope_theta,
+            max_seq_len=max_seq_len,
+            use_qk_normalization=False,
+            rope_scaling=(
+                (rs["factor"], rs["low_freq_factor"],
+                 rs["high_freq_factor"],
+                 rs["original_max_position_embeddings"])
+                if rs else None
+            ),
+            dtype=jnp.bfloat16,
+        )
+        # torch-CPU load once for conversion, then JAX owns the weights
+        from transformers import AutoModelForCausalLM
+
+        model = AutoModelForCausalLM.from_pretrained(path)
+        self.params = convert_hf_llama(model.state_dict(), self.cfg)
+        del model
 
     def is_safe(self, prompt: str) -> Tuple[bool, str]:
-        import torch
+        import jax
+        import jax.numpy as jnp
+
+        from gen3c_tpu.models.ar_transformer import generate
 
         chat = [{"role": "user", "content": prompt}]
-        ids = self.tokenizer.apply_chat_template(chat, return_tensors="pt")
-        with torch.no_grad():
-            out = self.model.generate(
-                ids, max_new_tokens=16, pad_token_id=0
-            )
+        ids = np.asarray(
+            self.tokenizer.apply_chat_template(chat, return_tensors="np")
+        )
+        ids = ids[:, : self.cfg.max_seq_len - 16]
+        out = generate(
+            self.params, self.cfg, jnp.asarray(ids, jnp.int32),
+            jax.random.PRNGKey(0), max_new_tokens=16, temperature=0.0,
+        )
         text = self.tokenizer.decode(
-            out[0][ids.shape[-1]:], skip_special_tokens=True
+            np.asarray(out)[0][ids.shape[-1]:], skip_special_tokens=True
         )
         safe = "unsafe" not in text.lower()
         return safe, "" if safe else f"LlamaGuard3 verdict: {text.strip()}"

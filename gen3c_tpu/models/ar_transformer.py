@@ -43,6 +43,10 @@ class ARConfig:
     context_dim: int = 0  # >0 enables cross-attention (video2world)
     rope_dim: str = "1D"  # "1D" | "3D"
     latent_shape: Tuple[int, int, int] = (0, 0, 0)  # (T,H,W) for 3D rope
+    # llama3-style rope scaling (factor, low_freq_factor,
+    # high_freq_factor, original_max_position_embeddings); None = off.
+    # Needed for Llama-3.1-family checkpoints (e.g. Llama-Guard-3-8B).
+    rope_scaling: Optional[Tuple[float, float, float, int]] = None
     dtype: Any = jnp.bfloat16
 
     @property
@@ -120,6 +124,21 @@ def rope_tables(cfg: ARConfig) -> Tuple[Array, Array]:
         freqs = 1.0 / (
             cfg.rope_theta ** (np.arange(0, d, 2)[: d // 2] / d)
         )
+        if cfg.rope_scaling is not None:
+            # llama3 rope scaling (HF _compute_llama3_parameters parity):
+            # low-freq components divided by `factor`, high-freq kept,
+            # smooth interpolation between the wavelength bounds
+            factor, low_f, high_f, orig_len = cfg.rope_scaling
+            wavelen = 2 * np.pi / freqs
+            low_wl = orig_len / low_f
+            high_wl = orig_len / high_f
+            scaled = freqs / factor
+            smooth = (orig_len / wavelen - low_f) / (high_f - low_f)
+            mid = (1 - smooth) * scaled + smooth * freqs
+            freqs = np.where(
+                wavelen > low_wl, scaled,
+                np.where(wavelen < high_wl, freqs, mid),
+            )
         t = np.arange(cfg.max_seq_len)
         ang = np.outer(t, freqs)
         ang = np.concatenate([ang, ang], axis=-1)

@@ -118,3 +118,58 @@ def convert_dit_state_dict(
     import jax
 
     return jax.tree.map(lambda x: jnp.asarray(x, dtype), params)
+
+
+def convert_hf_llama(state_dict, cfg) -> dict:
+    """HF LlamaForCausalLM state dict -> gen3c_tpu.models.ar_transformer
+    param tree (raw arrays; linears transposed to (in, out)).
+
+    Works for the Llama-3 family (Llama-Guard-3-8B: the guardrail LLM,
+    auxiliary/guardrail/llamaGuard3/ in the reference). HF stores q/k in
+    rotate-half layout, matching ar_transformer._apply_rope — no head
+    permutation needed. Tied-embedding checkpoints (no lm_head) reuse
+    embed_tokens as the output projection.
+    """
+    import jax.numpy as jnp
+
+    def get(name, transpose=False):
+        v = state_dict[name]
+        if hasattr(v, "detach"):
+            # .float(): numpy cannot represent torch bf16 checkpoints
+            v = v.detach().float().cpu().numpy()
+        arr = np.asarray(v)
+        if transpose:
+            arr = arr.T
+        return jnp.asarray(np.ascontiguousarray(arr), jnp.float32)
+
+    layers = []
+    for i in range(cfg.n_layers):
+        pre = f"model.layers.{i}"
+        layers.append(
+            {
+                "wq": get(f"{pre}.self_attn.q_proj.weight", True),
+                "wk": get(f"{pre}.self_attn.k_proj.weight", True),
+                "wv": get(f"{pre}.self_attn.v_proj.weight", True),
+                "wo": get(f"{pre}.self_attn.o_proj.weight", True),
+                "w1": get(f"{pre}.mlp.gate_proj.weight", True),
+                "w2": get(f"{pre}.mlp.down_proj.weight", True),
+                "w3": get(f"{pre}.mlp.up_proj.weight", True),
+                "attention_norm": {
+                    "scale": get(f"{pre}.input_layernorm.weight")
+                },
+                "ffn_norm": {
+                    "scale": get(f"{pre}.post_attention_layernorm.weight")
+                },
+            }
+        )
+    out_key = (
+        "lm_head.weight"
+        if "lm_head.weight" in state_dict
+        else "model.embed_tokens.weight"
+    )
+    return {
+        "tok_embeddings": get("model.embed_tokens.weight"),
+        "layers": layers,
+        "norm": {"scale": get("model.norm.weight")},
+        "output": get(out_key, True),
+    }

@@ -280,3 +280,102 @@ def test_retinaface_filter_with_synthetic_checkpoint(tmp_path):
                                               np.uint8)
     out = filt.postprocess(frames)
     assert out.shape == frames.shape
+
+
+def test_hf_llama_conversion_parity():
+    """JAX AR transformer + convert_hf_llama match a random-init torch
+    LlamaForCausalLM (incl. llama3 rope scaling — the Llama-Guard-3-8B
+    configuration at tiny scale)."""
+    import torch
+    from transformers import LlamaConfig, LlamaForCausalLM
+
+    from gen3c_tpu.models.ar_transformer import (
+        ARConfig,
+        ar_forward,
+        rope_tables,
+    )
+    from gen3c_tpu.models.convert import convert_hf_llama
+
+    hf_cfg = LlamaConfig(
+        vocab_size=128,
+        hidden_size=64,
+        intermediate_size=128,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        num_key_value_heads=2,
+        max_position_embeddings=64,
+        rope_theta=500000.0,
+        rms_norm_eps=1e-5,  # llama-3-family value (= ARConfig.norm_eps)
+        rope_scaling={
+            "rope_type": "llama3",
+            "factor": 8.0,
+            "low_freq_factor": 1.0,
+            "high_freq_factor": 4.0,
+            "original_max_position_embeddings": 32,
+        },
+        attention_bias=False,
+        tie_word_embeddings=False,
+    )
+    torch.manual_seed(0)
+    model = LlamaForCausalLM(hf_cfg).eval()
+
+    cfg = ARConfig(
+        dim=64, n_layers=2, n_heads=4, n_kv_heads=2, vocab_size=128,
+        ffn_hidden_size=128, max_seq_len=64, rope_theta=500000.0,
+        use_qk_normalization=False,
+        rope_scaling=(8.0, 1.0, 4.0, 32),
+        dtype=jnp.float32,
+    )
+    params = convert_hf_llama(model.state_dict(), cfg)
+
+    tokens = np.random.RandomState(0).randint(0, 128, (2, 12))
+    with torch.no_grad():
+        ref = model(torch.from_numpy(tokens)).logits.numpy()
+    got, _ = ar_forward(
+        params, cfg, jnp.asarray(tokens, jnp.int32), rope_tables(cfg)
+    )
+    np.testing.assert_allclose(np.asarray(got), ref, rtol=2e-3, atol=2e-3)
+
+
+def test_llamaguard3_with_tiny_checkpoint(tmp_path):
+    """LlamaGuard3 end-to-end on a tiny random llama saved in the
+    expected checkpoint layout (JAX generate path + tokenizer chat
+    template)."""
+    import torch
+    from tokenizers import Tokenizer
+    from tokenizers.models import WordLevel
+    from tokenizers.pre_tokenizers import Whitespace
+    from transformers import (
+        LlamaConfig,
+        LlamaForCausalLM,
+        PreTrainedTokenizerFast,
+    )
+
+    from gen3c_tpu.aux.guardrail import LlamaGuard3
+
+    path = tmp_path / "meta-llama" / "Llama-Guard-3-8B"
+    path.mkdir(parents=True)
+    vocab = {w: i for i, w in enumerate(
+        ["<unk>", "hello", "world", "safe", "unsafe", "a", "b"]
+    )}
+    tok = Tokenizer(WordLevel(vocab, unk_token="<unk>"))
+    tok.pre_tokenizer = Whitespace()
+    fast = PreTrainedTokenizerFast(tokenizer_object=tok, unk_token="<unk>")
+    fast.chat_template = (
+        "{% for m in messages %}{{ m['content'] }}{% endfor %}"
+    )
+    fast.save_pretrained(path)
+
+    torch.manual_seed(0)
+    LlamaForCausalLM(
+        LlamaConfig(
+            vocab_size=len(vocab), hidden_size=32, intermediate_size=64,
+            num_hidden_layers=2, num_attention_heads=2,
+            num_key_value_heads=1, max_position_embeddings=64,
+            rms_norm_eps=1e-5, tie_word_embeddings=False,
+        )
+    ).save_pretrained(path)
+
+    guard = LlamaGuard3(str(tmp_path), max_seq_len=64)
+    safe, msg = guard.is_safe("hello world a b")
+    assert isinstance(safe, bool)
