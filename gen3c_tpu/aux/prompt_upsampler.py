@@ -83,8 +83,84 @@ class HFPromptUpsampler(PromptUpsampler):
         ).strip()
 
 
+class JaxPromptUpsampler(PromptUpsampler):
+    """Upsampler LLM on the in-house JAX llama stack (TPU-native; works
+    for llama/mistral-architecture text checkpoints — Pixtral-12B's text
+    tower is mistral-arch). Same chat-completion semantics as
+    HFPromptUpsampler; conversion via models.convert.convert_hf_llama."""
+
+    SYSTEM = HFPromptUpsampler.SYSTEM
+
+    def __init__(self, model_path: str, max_new_tokens: int = 256,
+                 max_seq_len: int = 1024):
+        import jax.numpy as jnp
+        from transformers import AutoConfig, AutoModelForCausalLM, AutoTokenizer
+
+        from gen3c_tpu.models.ar_transformer import ARConfig
+        from gen3c_tpu.models.convert import convert_hf_llama
+
+        self.tokenizer = AutoTokenizer.from_pretrained(model_path)
+        hf = AutoConfig.from_pretrained(model_path)
+        if hasattr(hf, "text_config"):  # multimodal wrapper (Pixtral)
+            hf = hf.text_config
+        rs = getattr(hf, "rope_scaling", None)
+        self.cfg = ARConfig(
+            dim=hf.hidden_size,
+            n_layers=hf.num_hidden_layers,
+            n_heads=hf.num_attention_heads,
+            n_kv_heads=hf.num_key_value_heads,
+            vocab_size=hf.vocab_size,
+            ffn_hidden_size=hf.intermediate_size,
+            norm_eps=hf.rms_norm_eps,
+            rope_theta=hf.rope_theta,
+            max_seq_len=max_seq_len,
+            use_qk_normalization=False,
+            rope_scaling=(
+                (rs["factor"], rs["low_freq_factor"],
+                 rs["high_freq_factor"],
+                 rs["original_max_position_embeddings"])
+                if isinstance(rs, dict) and rs.get("rope_type") == "llama3"
+                else None
+            ),
+            dtype=jnp.bfloat16,
+        )
+        model = AutoModelForCausalLM.from_pretrained(model_path)
+        self.params = convert_hf_llama(model.state_dict(), self.cfg)
+        del model
+        self.max_new_tokens = max_new_tokens
+
+    def upsample(self, prompt: str, frames=None) -> str:
+        import numpy as np
+
+        import jax
+        import jax.numpy as jnp
+
+        from gen3c_tpu.models.ar_transformer import generate
+
+        chat = [
+            {"role": "system", "content": self.SYSTEM},
+            {"role": "user", "content": prompt},
+        ]
+        ids = np.asarray(
+            self.tokenizer.apply_chat_template(
+                chat, return_tensors="np", add_generation_prompt=True
+            )
+        )
+        ids = ids[:, : self.cfg.max_seq_len - self.max_new_tokens]
+        out = generate(
+            self.params, self.cfg, jnp.asarray(ids, jnp.int32),
+            jax.random.PRNGKey(0), max_new_tokens=self.max_new_tokens,
+            temperature=0.0,
+        )
+        text = self.tokenizer.decode(
+            np.asarray(out)[0][ids.shape[-1]:], skip_special_tokens=True
+        ).strip()
+        return text or prompt
+
+
 def create_prompt_upsampler(
-    checkpoint_dir: Optional[str] = None, enabled: bool = False
+    checkpoint_dir: Optional[str] = None, enabled: bool = False,
+    backend: str = "jax",
 ) -> PromptUpsampler:
     if not enabled:
         return PassthroughUpsampler()
@@ -93,5 +169,9 @@ def create_prompt_upsampler(
 
         path = os.path.join(checkpoint_dir, "Pixtral-12B")
         if os.path.isdir(path):
-            return HFPromptUpsampler(path)
+            cls = JaxPromptUpsampler if backend == "jax" else HFPromptUpsampler
+            try:
+                return cls(path)
+            except Exception:  # noqa: BLE001 — e.g. non-llama arch for jax
+                return HFPromptUpsampler(path)
     return TemplateUpsampler()

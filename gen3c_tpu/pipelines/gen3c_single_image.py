@@ -50,6 +50,9 @@ def create_parser() -> argparse.ArgumentParser:
                    help="(N-1) %% (chunk-1) must be 0")
     p.add_argument("--fps", type=int, default=24)
     p.add_argument("--seed", type=int, default=1)
+    p.add_argument("--t5_backend", type=str, default="jax",
+                   choices=["jax", "torch"],
+                   help="T5 encoder stack: TPU-native JAX or host torch")
     p.add_argument("--disable_prompt_encoder", action="store_true",
                    default=True)
     p.add_argument("--enable_prompt_encoder", dest="disable_prompt_encoder",
@@ -113,9 +116,9 @@ def demo(args) -> str:
 
     text_encoder = None
     if not args.disable_prompt_encoder:
-        from gen3c_tpu.models.t5 import CosmosT5TextEncoder
+        from gen3c_tpu.models.t5 import make_t5_encoder
 
-        text_encoder = CosmosT5TextEncoder()
+        text_encoder = make_t5_encoder(args.t5_backend)
 
     pipeline = Gen3cPipeline(
         model=model,

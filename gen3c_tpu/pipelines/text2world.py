@@ -180,9 +180,9 @@ def demo(args) -> str:
 
         enc = DummyT5TextEncoder()
     else:
-        from gen3c_tpu.models.t5 import CosmosT5TextEncoder
+        from gen3c_tpu.models.t5 import make_t5_encoder
 
-        enc = CosmosT5TextEncoder()
+        enc = make_t5_encoder(getattr(args, "t5_backend", "jax"))
     emb, _ = enc.encode_prompts(args.prompt)
     neg = (
         enc.encode_prompts(args.negative_prompt)[0]

@@ -379,3 +379,82 @@ def test_llamaguard3_with_tiny_checkpoint(tmp_path):
     guard = LlamaGuard3(str(tmp_path), max_seq_len=64)
     safe, msg = guard.is_safe("hello world a b")
     assert isinstance(safe, bool)
+
+
+def test_t5_encoder_parity():
+    """JAX T5 encoder matches transformers' torch T5EncoderModel on a
+    tiny random config (incl. relative position bias + padding mask)."""
+    import torch
+    from transformers import T5Config, T5EncoderModel
+
+    from gen3c_tpu.models.t5 import convert_hf_t5_encoder, t5_encoder_forward
+
+    hf_cfg = T5Config(
+        vocab_size=100, d_model=32, d_kv=8, d_ff=64, num_layers=2,
+        num_heads=4, relative_attention_num_buckets=32,
+        relative_attention_max_distance=128, feed_forward_proj="relu",
+        tie_word_embeddings=False,
+    )
+    torch.manual_seed(0)
+    model = T5EncoderModel(hf_cfg).eval()
+    params = convert_hf_t5_encoder(model.state_dict())
+
+    rng = np.random.RandomState(0)
+    ids = rng.randint(0, 100, (2, 10))
+    mask = np.ones((2, 10), np.int64)
+    mask[1, 6:] = 0  # ragged padding
+    with torch.no_grad():
+        ref = model(
+            input_ids=torch.from_numpy(ids),
+            attention_mask=torch.from_numpy(mask),
+        ).last_hidden_state.numpy()
+    got = np.asarray(
+        t5_encoder_forward(
+            params, jnp.asarray(ids, jnp.int32), jnp.asarray(mask, jnp.int32),
+            num_heads=4,
+        )
+    )
+    # compare only unmasked positions (HF computes garbage on padding too,
+    # but the pipeline zeroes them anyway)
+    np.testing.assert_allclose(got[0], ref[0], rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(got[1, :6], ref[1, :6], rtol=2e-4, atol=2e-4)
+
+
+def test_jax_prompt_upsampler_with_tiny_checkpoint(tmp_path):
+    import torch
+    from tokenizers import Tokenizer
+    from tokenizers.models import WordLevel
+    from tokenizers.pre_tokenizers import Whitespace
+    from transformers import (
+        LlamaConfig,
+        LlamaForCausalLM,
+        PreTrainedTokenizerFast,
+    )
+
+    from gen3c_tpu.aux.prompt_upsampler import JaxPromptUpsampler
+
+    path = tmp_path / "Pixtral-12B"
+    path.mkdir(parents=True)
+    vocab = {w: i for i, w in enumerate(
+        ["<unk>", "a", "sunny", "beach", "video", "detailed"]
+    )}
+    tok = Tokenizer(WordLevel(vocab, unk_token="<unk>"))
+    tok.pre_tokenizer = Whitespace()
+    fast = PreTrainedTokenizerFast(tokenizer_object=tok, unk_token="<unk>")
+    fast.chat_template = (
+        "{% for m in messages %}{{ m['content'] }} {% endfor %}"
+    )
+    fast.save_pretrained(path)
+    torch.manual_seed(0)
+    LlamaForCausalLM(
+        LlamaConfig(
+            vocab_size=len(vocab), hidden_size=32, intermediate_size=64,
+            num_hidden_layers=1, num_attention_heads=2,
+            num_key_value_heads=1, max_position_embeddings=128,
+            rms_norm_eps=1e-5, tie_word_embeddings=False,
+        )
+    ).save_pretrained(path)
+
+    ups = JaxPromptUpsampler(str(path), max_new_tokens=4, max_seq_len=128)
+    out = ups.upsample("a sunny beach")
+    assert isinstance(out, str) and out
