@@ -127,3 +127,146 @@ class Gen3CClipDataset:
                 k: jnp.concatenate([s[k] for s in samples], axis=0)
                 for k in samples[0]
             }
+
+
+class VideoClipDataset:
+    """Text/video-to-world training clips (dataset_video.py parity: mp4 or
+    packaged video + precomputed T5 embedding pickles -> latent batches).
+
+    Layout: <root>/*.{mp4,npz} with optional sibling <clip>.t5.npy.
+    num_condition_t=0 -> t2w batches (no condition channels);
+    num_condition_t>0 -> v2w batches (first-n-latent-frame condition-mask
+    channel, extend_model.py conditioning parity).
+    """
+
+    def __init__(self, root: str, model, batch_size: int = 1, seed: int = 0,
+                 num_condition_t: int = 0):
+        self.root = root
+        self.model = model
+        self.batch_size = batch_size
+        self.num_condition_t = num_condition_t
+        self.clips: List[str] = sorted(
+            os.path.join(root, f)
+            for f in os.listdir(root)
+            if f.endswith((".mp4", ".npz")) and not f.endswith(".t5.npy")
+        )
+        assert self.clips, f"no clips under {root}"
+        self.rng = np.random.RandomState(seed)
+        log.info(f"VideoClipDataset: {len(self.clips)} clips in {root}")
+
+    def _load_video(self, path: str) -> np.ndarray:
+        """(F, 3, H, W) in [-1, 1]."""
+        if path.endswith(".npz"):
+            data = np.load(path)
+            video = data["video"].astype(np.float32)  # (F, 3, H, W) or FHWC
+            if video.shape[-1] == 3:
+                video = video.transpose(0, 3, 1, 2)
+            if video.max() > 1.5:
+                video = video / 127.5 - 1.0
+            return video
+        from gen3c_tpu.utils.io import read_video_bcthw
+
+        video, _ = read_video_bcthw(path)
+        return video[0].transpose(1, 0, 2, 3)  # (C,T,H,W) -> (T,C,H,W)
+
+    def _sample(self, path: str) -> dict:
+        video = self._load_video(path)
+        chunk = self.model.chunk_size
+        assert video.shape[0] >= chunk, (video.shape, chunk)
+        start = self.rng.randint(0, video.shape[0] - chunk + 1)
+        clip = video[start : start + chunk]
+        x0 = self.model.encode(
+            jnp.asarray(clip.transpose(1, 0, 2, 3)[None])
+        )
+        C, T, Hl, Wl = x0.shape[1:]
+        if self.num_condition_t > 0:
+            ind = jnp.zeros((1, 1, T, 1, 1), x0.dtype)
+            ind = ind.at[:, :, : self.num_condition_t].set(1.0)
+            extra = jnp.broadcast_to(ind, (1, 1, T, Hl, Wl))
+        else:
+            extra = jnp.zeros((1, 0, T, Hl, Wl), x0.dtype)
+        t5_path = os.path.splitext(path)[0] + ".t5.npy"
+        t5 = (np.load(t5_path) if os.path.exists(t5_path)
+              else np.zeros((512, 1024), np.float32))
+        return {
+            "x0": x0.astype(jnp.float32),
+            "crossattn_emb": jnp.asarray(t5[None], jnp.float32),
+            "extra_channels": extra.astype(jnp.float32),
+        }
+
+    def __iter__(self) -> Iterator[dict]:
+        while True:
+            picks = self.rng.choice(len(self.clips), self.batch_size)
+            samples = [self._sample(self.clips[i]) for i in picks]
+            yield {
+                k: jnp.concatenate([s[k] for s in samples], axis=0)
+                for k in samples[0]
+            }
+
+
+class MultiviewClipDataset:
+    """Multiview training clips (dataset_multiview.py parity): per sample
+    V synchronized views stacked on the latent-T axis — the layout the
+    multiview DiT consumes ((B, 16, V*T', H', W'), views folded on T).
+
+    Layout: <root>/*.npz with "videos" (V, F, 3|HWC...) and optional
+    sibling .t5.npy (per-view embeddings concatenated by the conditioner).
+    """
+
+    def __init__(self, root: str, model, n_views: int, batch_size: int = 1,
+                 seed: int = 0):
+        self.root = root
+        self.model = model
+        self.n_views = n_views
+        self.batch_size = batch_size
+        self.clips: List[str] = sorted(
+            os.path.join(root, f)
+            for f in os.listdir(root)
+            if f.endswith(".npz") and not f.endswith(".t5.npy")
+        )
+        assert self.clips, f"no clips under {root}"
+        self.rng = np.random.RandomState(seed)
+        log.info(
+            f"MultiviewClipDataset: {len(self.clips)} clips in {root}"
+        )
+
+    def _sample(self, path: str) -> dict:
+        data = np.load(path)
+        videos = data["videos"].astype(np.float32)  # (V, F, 3, H, W)
+        if videos.shape[-1] == 3:
+            videos = videos.transpose(0, 1, 4, 2, 3)
+        if videos.max() > 1.5:
+            videos = videos / 127.5 - 1.0
+        V = self.n_views
+        assert videos.shape[0] >= V, (videos.shape, V)
+        chunk = self.model.chunk_size
+        start = self.rng.randint(0, videos.shape[1] - chunk + 1)
+        latents = [
+            self.model.encode(
+                jnp.asarray(
+                    videos[v, start : start + chunk].transpose(1, 0, 2, 3)[
+                        None
+                    ]
+                )
+            )
+            for v in range(V)
+        ]
+        x0 = jnp.concatenate(latents, axis=2)  # views stacked on T
+        C, T, Hl, Wl = x0.shape[1:]
+        t5_path = os.path.splitext(path)[0] + ".t5.npy"
+        t5 = (np.load(t5_path) if os.path.exists(t5_path)
+              else np.zeros((512, 1024), np.float32))
+        return {
+            "x0": x0.astype(jnp.float32),
+            "crossattn_emb": jnp.asarray(t5[None], jnp.float32),
+            "extra_channels": jnp.zeros((1, 0, T, Hl, Wl), jnp.float32),
+        }
+
+    def __iter__(self) -> Iterator[dict]:
+        while True:
+            picks = self.rng.choice(len(self.clips), self.batch_size)
+            samples = [self._sample(self.clips[i]) for i in picks]
+            yield {
+                k: jnp.concatenate([s[k] for s in samples], axis=0)
+                for k in samples[0]
+            }

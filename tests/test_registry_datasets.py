@@ -78,3 +78,52 @@ def test_gen3c_clip_dataset(tmp_path):
     assert batch["extra_channels"].shape == (1, 65, T, Hl, Wl)
     assert batch["crossattn_emb"].shape == (1, 512, 1024)
     assert np.isfinite(np.asarray(batch["x0"])).all()
+
+
+def test_video_clip_dataset(tmp_path):
+    from gen3c_tpu.pipelines.factory import build_gen3c_model
+    from gen3c_tpu.training.datasets import VideoClipDataset
+
+    model, preset = build_gen3c_model("gen3c_tiny", checkpoint_dir=None)
+    h, w, chunk = preset.height, preset.width, preset.chunk_size
+    rng = np.random.RandomState(0)
+    np.savez(
+        tmp_path / "vid0.npz",
+        video=(rng.rand(chunk + 3, 3, h, w) * 2 - 1).astype(np.float32),
+    )
+    np.save(tmp_path / "vid0.t5.npy",
+            rng.rand(512, 1024).astype(np.float32))
+
+    C, T, Hl, Wl = preset.state_shape
+    # t2w: no condition channels
+    ds = VideoClipDataset(str(tmp_path), model, batch_size=2)
+    batch = next(iter(ds))
+    assert batch["x0"].shape == (2, C, T, Hl, Wl)
+    assert batch["extra_channels"].shape == (2, 0, T, Hl, Wl)
+    assert np.abs(np.asarray(batch["crossattn_emb"])).sum() > 0
+
+    # v2w: first-latent-frame condition mask channel
+    ds = VideoClipDataset(str(tmp_path), model, num_condition_t=1)
+    batch = next(iter(ds))
+    extra = np.asarray(batch["extra_channels"])
+    assert extra.shape == (1, 1, T, Hl, Wl)
+    assert extra[:, :, 0].min() == 1.0 and extra[:, :, 1:].max() == 0.0
+
+
+def test_multiview_clip_dataset(tmp_path):
+    from gen3c_tpu.pipelines.factory import build_gen3c_model
+    from gen3c_tpu.training.datasets import MultiviewClipDataset
+
+    model, preset = build_gen3c_model("gen3c_tiny", checkpoint_dir=None)
+    h, w, chunk = preset.height, preset.width, preset.chunk_size
+    rng = np.random.RandomState(0)
+    V = 2
+    np.savez(
+        tmp_path / "mv0.npz",
+        videos=(rng.rand(V, chunk, 3, h, w) * 2 - 1).astype(np.float32),
+    )
+    ds = MultiviewClipDataset(str(tmp_path), model, n_views=V)
+    batch = next(iter(ds))
+    C, T, Hl, Wl = preset.state_shape
+    assert batch["x0"].shape == (1, C, V * T, Hl, Wl)
+    assert np.isfinite(np.asarray(batch["x0"])).all()
