@@ -13,7 +13,14 @@ REFERENCE_ROOT = "/root/reference"
 
 def _stub(name: str) -> types.ModuleType:
     if name not in sys.modules:
-        sys.modules[name] = types.ModuleType(name)
+        mod = types.ModuleType(name)
+        # a real ModuleSpec: importlib.util.find_spec (used by
+        # transformers' lazy-import machinery) raises
+        # "ValueError: <name>.__spec__ is None" on bare stub modules
+        import importlib.machinery
+
+        mod.__spec__ = importlib.machinery.ModuleSpec(name, loader=None)
+        sys.modules[name] = mod
     return sys.modules[name]
 
 
