@@ -77,6 +77,12 @@ class DiTConfig:
     rope_t_extrapolation_ratio: float = 1.0
     concat_padding_mask: bool = True
     base_fps: int = 24
+    # context-parallel self-attention strategy: "allgather" (one
+    # all-gather of K/V per layer — cheap at 56k tokens, the production
+    # default) or "ring" (ppermute KV rotation with online-softmax
+    # accumulation, the TE-ring-attention equivalent: O(L/cp) peak KV
+    # memory for very long sequences)
+    cp_attn_impl: str = "allgather"
     dtype: Any = jnp.bfloat16
 
     @property
@@ -416,6 +422,47 @@ def _adaln_modulation(p: Params, emb: Array, lora: Array, n_chunks: int) -> Tupl
     return jnp.split(h, n_chunks, axis=-1)
 
 
+def _ring_attention(q: Array, k: Array, v: Array, axis_name: str) -> Array:
+    """Ring context-parallel attention: each rank holds a KV shard,
+    shards rotate around the cp axis via ppermute while an online-softmax
+    accumulator folds them in (the in-framework equivalent of
+    TransformerEngine's internal ring/P2P CP attention the reference
+    delegates to, general_dit.py:524-543). Full (non-causal) attention.
+
+    q/k/v: (B, L_local, H, D) local shards. Returns (B, L_local, H, D).
+    Peak KV memory is one shard instead of the full sequence — the
+    long-sequence alternative to all-gather-KV.
+    """
+    size = jax.lax.axis_size(axis_name)
+    perm = [(j, (j + 1) % size) for j in range(size)]
+    scale = 1.0 / math.sqrt(q.shape[-1])
+    qf = q.astype(jnp.float32)
+    B, L, H, D = q.shape
+    m = jnp.full((B, H, L), -jnp.inf, jnp.float32)
+    num = jnp.zeros((B, H, L, D), jnp.float32)
+    den = jnp.zeros((B, H, L), jnp.float32)
+
+    k_cur, v_cur = k, v
+    for _ in range(size):
+        logits = (
+            jnp.einsum("bqhd,bkhd->bhqk", qf, k_cur.astype(jnp.float32))
+            * scale
+        )
+        cmax = jnp.max(logits, axis=-1)
+        m_new = jnp.maximum(m, cmax)
+        p = jnp.exp(logits - m_new[..., None])
+        corr = jnp.exp(m - m_new)
+        num = num * corr[..., None] + jnp.einsum(
+            "bhqk,bkhd->bhqd", p, v_cur.astype(jnp.float32)
+        )
+        den = den * corr + jnp.sum(p, axis=-1)
+        m = m_new
+        k_cur = jax.lax.ppermute(k_cur, axis_name, perm)
+        v_cur = jax.lax.ppermute(v_cur, axis_name, perm)
+    out = num / den[..., None]
+    return jnp.swapaxes(out, 1, 2).astype(q.dtype)
+
+
 def _attn_block(
     p: Params,
     x: Array,
@@ -423,14 +470,16 @@ def _attn_block(
     num_heads: int,
     rope: Optional[Tuple[Array, Array]],
     cp_axis: Optional[str] = None,
+    cp_attn_impl: str = "allgather",
 ) -> Array:
     """Self- or cross-attention with per-head RMSNorm on q,k.
 
     Under context parallelism (cp_axis set, inside shard_map) the token
-    axis is sharded: q stays local while k/v are all-gathered over the cp
-    axis (the all-gather-KV strategy replacing the reference's TE ring
-    attention, general_dit.py:524-543). RoPE tables must then be the
-    LOCAL shard for q/k before gathering — we rotate first, then gather.
+    axis is sharded: q stays local while k/v are either all-gathered over
+    the cp axis (default — one collective per layer) or rotated through a
+    ppermute ring with online-softmax accumulation (cp_attn_impl="ring",
+    the TE-ring-attention equivalent). RoPE tables must be the LOCAL
+    shard for q/k — rotate first, then communicate.
     """
     B, L, D = x.shape
     hd = D // num_heads
@@ -445,6 +494,9 @@ def _attn_block(
         q = apply_rope(q, *rope)
         k = apply_rope(k, *rope)
     if context is None and cp_axis is not None:
+        if cp_attn_impl == "ring":
+            out = _ring_attention(q, k, v, cp_axis).reshape(B, L, D)
+            return _linear(out, p["out"], dtype)
         k = jax.lax.all_gather(k, cp_axis, axis=1, tiled=True)
         v = jax.lax.all_gather(v, cp_axis, axis=1, tiled=True)
     out = attention_op(q, k, v).reshape(B, L, D)
@@ -568,7 +620,8 @@ def dit_forward(
         tokens = _modulated_residual(
             tokens,
             lambda t: _attn_block(
-                blk["fa"], t, None, cfg.num_heads, rope_tables, cp_axis
+                blk["fa"], t, None, cfg.num_heads, rope_tables, cp_axis,
+                cfg.cp_attn_impl,
             ),
             blk["fa"],
             emb,

@@ -148,3 +148,23 @@ def test_sharded_cache_render_matches_single_device():
         np.asarray(px), np.asarray(ref_px), rtol=1e-4, atol=1e-4
     )
     np.testing.assert_allclose(np.asarray(mk), np.asarray(ref_mk), atol=1e-5)
+
+
+def test_cp_ring_attention_matches_single_device():
+    """Ring CP attention (ppermute KV rotation + online softmax) ==
+    single-device denoise — the TE-ring-attention equivalent
+    (general_dit.py:524-543)."""
+    import dataclasses
+
+    mesh = make_mesh(dp=1, cp=4, tp=1, devices=jax.devices()[:4])
+    cfg_ring = dataclasses.replace(CFG, cp_attn_impl="ring")
+    params = init_dit_params(jax.random.PRNGKey(0), CFG, jnp.float32)
+    rng = np.random.RandomState(0)
+    args = _sample_args(rng)
+    ref = generate_samples(
+        net_fn=_net_fn, net_params=(params, CFG), num_steps=3, **args
+    )
+    out = cp_generate_samples(mesh, params, cfg_ring, num_steps=3, **args)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-4
+    )
