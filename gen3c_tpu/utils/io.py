@@ -18,8 +18,10 @@ def save_video(
     fps: int,
     filepath: str,
     quality: int = 5,
-) -> None:
-    """Save (T, H, W, C) uint8 frames as an mp4 (io.py:53-89 parity)."""
+) -> str:
+    """Save (T, H, W, C) uint8 frames as an mp4 (io.py:53-89 parity).
+    Returns the written path (the PNG-frame directory when ffmpeg is
+    unavailable)."""
     import imageio
 
     os.makedirs(os.path.dirname(os.path.abspath(filepath)), exist_ok=True)
@@ -32,6 +34,7 @@ def save_video(
     }
     try:
         imageio.mimsave(filepath, video, "FFMPEG", **kwargs)
+        return filepath
     except Exception:
         # ffmpeg unavailable: fall back to per-frame PNGs next to the target
         base = os.path.splitext(filepath)[0]
@@ -40,6 +43,7 @@ def save_video(
 
         for i, frame in enumerate(video):
             Image.fromarray(frame).save(os.path.join(base, f"{i:05d}.png"))
+        return base
 
 
 def read_prompts_from_file(prompt_file: str) -> List[dict]:

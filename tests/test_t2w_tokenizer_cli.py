@@ -85,3 +85,43 @@ def test_tokenizer_cli_roundtrip(tmp_path, capsys):
         ]
     )
     assert recon.exists() or os.path.isdir(str(tmp_path / "recon"))
+
+
+def test_multiview_t2w_cli(tmp_path):
+    from gen3c_tpu.pipelines.text2world_multiview import create_parser, demo
+
+    args = create_parser().parse_args(
+        [
+            "--model_preset", "cosmos_t2w_mv_tiny",
+            "--num_steps", "2",
+            "--video_save_folder", str(tmp_path),
+        ]
+    )
+    paths = demo(args)
+    assert len(paths) == 3  # tiny preset: 3 views
+    import os
+
+    for p in paths:
+        assert p and os.path.exists(p)
+
+
+def test_multiview_v2w_cli(tmp_path):
+    import numpy as np
+    from PIL import Image
+
+    from gen3c_tpu.pipelines.text2world_multiview import create_parser, demo
+
+    img = (np.random.RandomState(0).rand(32, 48, 3) * 255).astype(np.uint8)
+    img_path = tmp_path / "seed.png"
+    Image.fromarray(img).save(img_path)
+    args = create_parser().parse_args(
+        [
+            "--mode", "video2world",
+            "--model_preset", "cosmos_v2w_mv_tiny",
+            "--input_image_path", str(img_path),
+            "--num_steps", "2",
+            "--video_save_folder", str(tmp_path / "out"),
+        ]
+    )
+    paths = demo(args)
+    assert len(paths) == 3
