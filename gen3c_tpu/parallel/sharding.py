@@ -94,3 +94,41 @@ def shard_params(
     """Device-put a param pytree with its TP (+ optional FSDP) shardings."""
     shardings = dit_param_shardings(mesh, params, tp_axis, fsdp_axis)
     return jax.tree.map(jax.device_put, params, shardings)
+
+
+def ar_param_pspecs(
+    params: Any, tp_axis: str = "tp", fsdp_axis: str | None = None
+) -> Any:
+    """PartitionSpecs for the AR llama transformer (Megatron TP parity:
+    autoregressive/modules/linear.py column/row-parallel + vocab-parallel
+    embedding). Column-parallel: wq/wk/wv/w1/w3 + the vocab output head;
+    row-parallel (all-reduce): wo/w2; embeddings vocab-sharded.
+    n_heads and n_kv_heads must divide the tp size."""
+
+    def spec_for(path: tuple, leaf) -> P:
+        keys = [str(getattr(k, "key", getattr(k, "idx", k))) for k in path]
+        name = "/".join(keys)
+        last = keys[-1] if keys else ""
+        if last in ("wq", "wk", "wv", "w1", "w3", "cwq", "cwk", "cwv"):
+            return P(fsdp_axis, tp_axis)
+        if last in ("wo", "w2", "cwo"):
+            return P(tp_axis, fsdp_axis)
+        if "tok_embeddings" in name:
+            return P(tp_axis, None)  # vocab-parallel embedding
+        if "output" in name and getattr(leaf, "ndim", 0) == 2:
+            return P(None, tp_axis)  # column-parallel LM head
+        return P()
+
+    return jax.tree_util.tree_map_with_path(spec_for, params)
+
+
+def shard_ar_params(
+    mesh: Mesh, params: Any, tp_axis: str = "tp",
+    fsdp_axis: str | None = None,
+) -> Any:
+    specs = ar_param_pspecs(params, tp_axis, fsdp_axis)
+    return jax.tree.map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
+        params, specs,
+        is_leaf=lambda x: not isinstance(x, (dict, list)),
+    )

@@ -168,3 +168,31 @@ def test_cp_ring_attention_matches_single_device():
     np.testing.assert_allclose(
         np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-4
     )
+
+
+def test_ar_tp_forward_matches_replicated():
+    """TP-sharded AR llama forward == replicated (Megatron TP parity for
+    the autoregressive stack, autoregressive/modules/linear.py)."""
+    from gen3c_tpu.models.ar_transformer import (
+        AR_TINY,
+        ar_forward,
+        init_ar_params,
+        rope_tables,
+    )
+    from gen3c_tpu.parallel.sharding import shard_ar_params
+
+    mesh = make_mesh(dp=1, cp=1, tp=2, devices=jax.devices()[:2])
+    params = init_ar_params(jax.random.PRNGKey(0), AR_TINY)
+    tokens = jnp.asarray(
+        np.random.RandomState(0).randint(0, 512, (2, 16)), jnp.int32
+    )
+    rope = rope_tables(AR_TINY)
+    ref, _ = ar_forward(params, AR_TINY, tokens, rope)
+
+    sharded = shard_ar_params(mesh, params)
+    out, _ = jax.jit(
+        lambda p, t: ar_forward(p, AR_TINY, t, rope)
+    )(sharded, tokens)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-4
+    )
