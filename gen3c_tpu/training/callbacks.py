@@ -96,3 +96,41 @@ class ProgressWatchdog(Callback):
 
     def stalled(self) -> bool:
         return (time.monotonic() - self.last_tick) > self.timeout_s
+
+
+class MetricsJsonl(Callback):
+    """Append per-step metrics to a JSONL file — the local observability
+    equivalent of the reference's wandb logging (callbacks/iter_speed.py
+    wandb hook; experiment configs enable wandb only in training)."""
+
+    def __init__(self, path: str, every_n: int = 1):
+        self.path = path
+        self.every_n = every_n
+        self._fh = None
+
+    def on_train_start(self, trainer):
+        import os
+
+        os.makedirs(os.path.dirname(os.path.abspath(self.path)),
+                    exist_ok=True)
+        self._fh = open(self.path, "a")
+
+    def on_training_step_end(self, trainer, step, metrics):
+        if step % self.every_n or self._fh is None:
+            return
+        import json
+        import time as _time
+
+        row = {"step": step, "ts": _time.time()}
+        for k, v in metrics.items():
+            try:
+                row[k] = float(v)
+            except (TypeError, ValueError):
+                pass
+        self._fh.write(json.dumps(row) + "\n")
+        self._fh.flush()
+
+    def on_train_end(self, trainer):
+        if self._fh is not None:
+            self._fh.close()
+            self._fh = None

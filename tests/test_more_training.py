@@ -123,3 +123,19 @@ def test_cli_accepts_reference_flags():
     )
     assert args.num_devices == 4
     assert args.offload_tokenizer is True
+
+
+def test_metrics_jsonl_callback(tmp_path):
+    import json
+
+    from gen3c_tpu.training.callbacks import MetricsJsonl
+
+    path = str(tmp_path / "metrics.jsonl")
+    cb = MetricsJsonl(path, every_n=2)
+    cb.on_train_start(None)
+    for step in range(1, 5):
+        cb.on_training_step_end(None, step, {"loss": 0.5 * step, "x": "str"})
+    cb.on_train_end(None)
+    rows = [json.loads(l) for l in open(path)]
+    assert [r["step"] for r in rows] == [2, 4]
+    assert rows[0]["loss"] == 1.0 and "x" not in rows[0]
