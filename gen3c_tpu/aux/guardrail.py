@@ -168,7 +168,15 @@ class LlamaGuard3(ContentSafetyGuardrail):
         ids = np.asarray(
             self.tokenizer.apply_chat_template(chat, return_tensors="np")
         )
-        ids = ids[:, : self.cfg.max_seq_len - 16]
+        limit = self.cfg.max_seq_len - 16
+        if ids.shape[1] > limit:
+            # keep head + TAIL: the Llama-Guard template puts the safety
+            # -assessment instruction at the END; right-truncating it
+            # would make the model continue the user text and fail open
+            head = limit // 2
+            ids = np.concatenate(
+                [ids[:, :head], ids[:, -(limit - head):]], axis=1
+            )
         out = generate(
             self.params, self.cfg, jnp.asarray(ids, jnp.int32),
             jax.random.PRNGKey(0), max_new_tokens=16, temperature=0.0,
@@ -304,7 +312,7 @@ def create_text_guardrail_runner(
     models: List[ContentSafetyGuardrail] = [Blocklist(checkpoint_dir)]
     try:
         models.append(LlamaGuard3(checkpoint_dir or "checkpoints"))
-    except (FileNotFoundError, ImportError) as e:
+    except (FileNotFoundError, OSError, ImportError) as e:
         log.warning(f"LlamaGuard3 unavailable ({e}); blocklist-only")
     return GuardrailRunner(safety_models=models)
 
@@ -318,6 +326,6 @@ def create_video_guardrail_runner(
             safety_models=[VideoContentSafetyFilter(checkpoint_dir or "")],
             postprocessors=[RetinaFaceFilter(checkpoint_dir or "")],
         )
-    except (FileNotFoundError, NotImplementedError) as e:
+    except (FileNotFoundError, OSError, NotImplementedError) as e:
         log.warning(f"Video guardrail unavailable ({e}); pass-through")
         return GuardrailRunner()

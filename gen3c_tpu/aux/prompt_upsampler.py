@@ -146,7 +146,14 @@ class JaxPromptUpsampler(PromptUpsampler):
                 chat, return_tensors="np", add_generation_prompt=True
             )
         )
-        ids = ids[:, : self.cfg.max_seq_len - self.max_new_tokens]
+        limit = self.cfg.max_seq_len - self.max_new_tokens
+        if ids.shape[1] > limit:
+            # keep head + tail: the chat template's generation prompt is
+            # at the end and must survive truncation
+            head = limit // 2
+            ids = np.concatenate(
+                [ids[:, :head], ids[:, -(limit - head):]], axis=1
+            )
         out = generate(
             self.params, self.cfg, jnp.asarray(ids, jnp.int32),
             jax.random.PRNGKey(0), max_new_tokens=self.max_new_tokens,
@@ -169,9 +176,16 @@ def create_prompt_upsampler(
 
         path = os.path.join(checkpoint_dir, "Pixtral-12B")
         if os.path.isdir(path):
-            cls = JaxPromptUpsampler if backend == "jax" else HFPromptUpsampler
+            if backend != "jax":
+                return HFPromptUpsampler(path)
             try:
-                return cls(path)
-            except Exception:  # noqa: BLE001 — e.g. non-llama arch for jax
+                return JaxPromptUpsampler(path)
+            except (KeyError, AttributeError, ValueError) as e:
+                # non-llama-architecture checkpoint: fall back to torch
+                from gen3c_tpu.utils import log
+
+                log.warning(
+                    f"JAX upsampler unavailable ({e}); torch fallback"
+                )
                 return HFPromptUpsampler(path)
     return TemplateUpsampler()

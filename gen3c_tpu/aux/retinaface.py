@@ -267,10 +267,13 @@ def blur_faces_in_frames(
                 if not np.isfinite(box).all():
                     continue
                 x1, y1, x2, y2 = map(int, np.clip(box, -1e6, 1e6))
-                if x2 - x1 < min_size[0] or y2 - y1 < min_size[1]:
-                    continue
+                # clamp FIRST, then size-check: a box hanging off the
+                # left/top edge must not pass the check and then slice
+                # with a negative index (pixelating the wrong region)
                 x1, y1 = max(x1, 0), max(y1, 0)
                 x2, y2 = min(x2, W), min(y2, H)
+                if x2 - x1 < min_size[0] or y2 - y1 < min_size[1]:
+                    continue
                 frame[y1:y2, x1:x2] = pixelate_face(frame[y1:y2, x1:x2])
     return out
 

@@ -120,9 +120,11 @@ def convert_dit_state_dict(
     return jax.tree.map(lambda x: jnp.asarray(x, dtype), params)
 
 
-def convert_hf_llama(state_dict, cfg) -> dict:
+def convert_hf_llama(state_dict, cfg, dtype=None) -> dict:
     """HF LlamaForCausalLM state dict -> gen3c_tpu.models.ar_transformer
-    param tree (raw arrays; linears transposed to (in, out)).
+    param tree (raw arrays; linears transposed to (in, out)). Params are
+    stored as `dtype` (default: cfg.dtype — fp32 would not fit an 8B on
+    a 16 GB chip).
 
     Works for the Llama-3 family (Llama-Guard-3-8B: the guardrail LLM,
     auxiliary/guardrail/llamaGuard3/ in the reference). HF stores q/k in
@@ -132,6 +134,9 @@ def convert_hf_llama(state_dict, cfg) -> dict:
     """
     import jax.numpy as jnp
 
+    if dtype is None:
+        dtype = getattr(cfg, "dtype", jnp.float32)
+
     def get(name, transpose=False):
         v = state_dict[name]
         if hasattr(v, "detach"):
@@ -140,7 +145,7 @@ def convert_hf_llama(state_dict, cfg) -> dict:
         arr = np.asarray(v)
         if transpose:
             arr = arr.T
-        return jnp.asarray(np.ascontiguousarray(arr), jnp.float32)
+        return jnp.asarray(np.ascontiguousarray(arr), dtype)
 
     layers = []
     for i in range(cfg.n_layers):

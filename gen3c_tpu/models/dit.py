@@ -216,11 +216,10 @@ def init_dit_params(key: Array, cfg: DiTConfig, param_dtype=jnp.float32) -> Para
 
 def _w(entry, dtype):
     """Weight resolver: plain {"w"} or int8-quantized {"q"|"q8","scale"}
-    entries (gen3c_tpu.models.quantize)."""
-    if "q" in entry or "q8" in entry:
-        q = entry.get("q", entry.get("q8"))
-        return q.astype(dtype) * entry["scale"].astype(dtype)
-    return entry["w"].astype(dtype)
+    entries — delegates to the single source of truth in models.quantize."""
+    from gen3c_tpu.models.quantize import weight
+
+    return weight(entry, dtype)
 
 
 def _linear(x, entry, dtype):

@@ -140,16 +140,21 @@ def t5_encoder_forward(params, ids, mask, num_heads: int,
     return rms(h, params["final_ln"])
 
 
-def convert_hf_t5_encoder(state_dict) -> dict:
-    """transformers T5EncoderModel state dict -> JAX param tree."""
+def convert_hf_t5_encoder(state_dict, dtype=None) -> dict:
+    """transformers T5EncoderModel state dict -> JAX param tree. dtype
+    defaults to bfloat16 (t5-11b's encoder is ~19 GB in fp32 — over one
+    v5e's HBM; norm statistics stay fp32 at runtime regardless)."""
     import jax.numpy as jnp
+
+    if dtype is None:
+        dtype = jnp.bfloat16
 
     def get(name, transpose=False):
         v = state_dict[name]
         if hasattr(v, "detach"):
             v = v.detach().float().cpu().numpy()
         arr = np.asarray(v)
-        return jnp.asarray(arr.T if transpose else arr, jnp.float32)
+        return jnp.asarray(arr.T if transpose else arr, dtype)
 
     n_layers = 0
     while f"encoder.block.{n_layers}.layer.0.SelfAttention.q.weight" in \

@@ -243,6 +243,20 @@ def demo(args) -> list:
         jax.random.PRNGKey(args.seed), cfg,
         jnp.float32 if cfg.dtype == jnp.float32 else jnp.bfloat16,
     )
+    native = os.path.join(
+        args.checkpoint_dir or "", "gen3c_tpu", f"{preset.name}.npz"
+    )
+    if args.checkpoint_dir and os.path.isfile(native):
+        from gen3c_tpu.utils.checkpoint import load_params_npz
+
+        params = load_params_npz(native, params)
+        log.info(f"loaded multiview DiT weights from {native}")
+    else:
+        log.warning(
+            "multiview DiT running with RANDOM-INIT weights (no "
+            f"{native}; convert a Sample-AV checkpoint with "
+            "scripts/convert_checkpoints.py) — output will be noise"
+        )
 
     prompts = [
         getattr(args, "prompt" if n == "front" else f"prompt_{n}")

@@ -73,6 +73,18 @@ class InferenceService:
             self.status.setdefault(
                 rid, {"state": "pending", "progress": 0.0, "frames_done": 0}
             ).update(kw)
+            # bound terminal-state bookkeeping (status + error strings):
+            # evict oldest finished jobs beyond 8x the result cache
+            limit = 8 * self.result_cache_size
+            if len(self.status) > limit:
+                for old in list(self.status):
+                    if len(self.status) <= limit:
+                        break
+                    if self.status[old]["state"] in (
+                        "done", "error", "cancelled"
+                    ) and old != rid:
+                        self.status.pop(old, None)
+                        self.errors.pop(old, None)
 
     def _run(self):
         from gen3c_tpu.pipelines.chunked import GenerationCancelled
@@ -86,6 +98,10 @@ class InferenceService:
                 cancelled = self.status.get(rid, {}).get("state") == "cancelled"
                 event = self.cancel_events.setdefault(rid, threading.Event())
             if cancelled:
+                with self.lock:
+                    self.partials.pop(rid, None)
+                    self.requests.pop(rid, None)
+                    self.cancel_events.pop(rid, None)
                 continue
             self._set_status(rid, state="running")
 

@@ -24,6 +24,19 @@ import jax.numpy as jnp
 from gen3c_tpu.utils import log
 
 
+def _to_signed_range(video: np.ndarray, path: str) -> np.ndarray:
+    """Normalize pixel ranges to [-1, 1]: uint8-style [0, 255] is scaled,
+    unsigned [0, 1] is shifted (a silent half-range feed to the VAE is a
+    training-corrupting bug), signed data passes through."""
+    if video.max() > 1.5:
+        return video / 127.5 - 1.0
+    if video.min() >= 0.0 and video.max() <= 1.0:
+        log.warning(f"{path}: frames look [0, 1]-normalized; mapping to "
+                    "[-1, 1]")
+        return video * 2.0 - 1.0
+    return video
+
+
 def build_gen3c_train_batch(
     model,
     image: np.ndarray,  # (F, 3, H, W) in [-1, 1]
@@ -161,9 +174,7 @@ class VideoClipDataset:
             video = data["video"].astype(np.float32)  # (F, 3, H, W) or FHWC
             if video.shape[-1] == 3:
                 video = video.transpose(0, 3, 1, 2)
-            if video.max() > 1.5:
-                video = video / 127.5 - 1.0
-            return video
+            return _to_signed_range(video, path)
         from gen3c_tpu.utils.io import read_video_bcthw
 
         video, _ = read_video_bcthw(path)
@@ -235,11 +246,11 @@ class MultiviewClipDataset:
         videos = data["videos"].astype(np.float32)  # (V, F, 3, H, W)
         if videos.shape[-1] == 3:
             videos = videos.transpose(0, 1, 4, 2, 3)
-        if videos.max() > 1.5:
-            videos = videos / 127.5 - 1.0
+        videos = _to_signed_range(videos, path)
         V = self.n_views
         assert videos.shape[0] >= V, (videos.shape, V)
         chunk = self.model.chunk_size
+        assert videos.shape[1] >= chunk, (videos.shape, chunk)
         start = self.rng.randint(0, videos.shape[1] - chunk + 1)
         latents = [
             self.model.encode(

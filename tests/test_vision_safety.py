@@ -397,7 +397,7 @@ def test_t5_encoder_parity():
     )
     torch.manual_seed(0)
     model = T5EncoderModel(hf_cfg).eval()
-    params = convert_hf_t5_encoder(model.state_dict())
+    params = convert_hf_t5_encoder(model.state_dict(), dtype=jnp.float32)
 
     rng = np.random.RandomState(0)
     ids = rng.randint(0, 100, (2, 10))
