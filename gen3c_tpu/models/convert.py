@@ -178,3 +178,38 @@ def convert_hf_llama(state_dict, cfg, dtype=None) -> dict:
         "norm": {"scale": get("model.norm.weight")},
         "output": get(out_key, True),
     }
+
+
+def convert_multiview_dit_state_dict(
+    state_dict: Mapping[str, Any], cfg, dtype=jnp.float32
+) -> Dict[str, Any]:
+    """Convert a reference MultiviewGeneralDIT state dict (Sample-AV
+    models, general_dit_multiview.py) to the dit_multiview param tree:
+    the GeneralDIT mapping plus view_embeddings (nn.Embedding) and the
+    optional repeat_frame_embedding (nn.Linear(1, vc)). The multiview
+    net's sincos pos-emb buffers are non-persistent (absent from the
+    state dict) — computed on the fly in multiview_dit_forward."""
+    sd = {}
+    for k, v in state_dict.items():
+        if "_extra_state" in k or k.startswith("logvar"):
+            continue
+        if k.startswith("net."):
+            k = k[len("net.") :]
+        sd[k] = v
+    # satisfy convert_dit_state_dict's learnable-extra-pos-emb slots (the
+    # multiview forward ignores them)
+    D = cfg.model_channels
+    for name, n in (("t", cfg.len_t), ("h", cfg.len_h), ("w", cfg.len_w)):
+        sd.setdefault(
+            f"extra_pos_embedder.pos_emb_{name}", np.zeros((n, D), np.float32)
+        )
+    params = convert_dit_state_dict(sd, cfg, dtype)
+    params["view_embeddings"] = jnp.asarray(
+        _a(sd["view_embeddings.weight"]), dtype
+    )
+    if "repeat_frame_embedding.weight" in sd:
+        params["repeat_frame_embedding"] = {
+            "w": jnp.asarray(_t(sd["repeat_frame_embedding.weight"]), dtype),
+            "b": jnp.asarray(_a(sd["repeat_frame_embedding.bias"]), dtype),
+        }
+    return params

@@ -75,12 +75,36 @@ def init_multiview_dit_params(key: Array, cfg: MultiviewDiTConfig,
     return params
 
 
-def _sincos_axis_emb(n: int, d: int) -> np.ndarray:
-    """1D sincos table (position_embedding.get_1d_sincos... parity)."""
+def _sincos_axis_emb(n: int, d: int, extrapolation: float = 1.0) -> np.ndarray:
+    """1D sincos table (get_1d_sincos_pos_embed_from_grid parity):
+    [sin | cos] halves over d channels, positions rescaled by the
+    extrapolation ratio (position_embedding.py:461-465)."""
     omega = np.arange(d // 2, dtype=np.float64) / (d / 2.0)
     omega = 1.0 / 10000**omega
-    out = np.outer(np.arange(n, dtype=np.float64), omega)
+    out = np.outer(np.arange(n, dtype=np.float64) / extrapolation, omega)
     return np.concatenate([np.sin(out), np.cos(out)], axis=1)
+
+
+def _multiview_sincos_extra(D: int, Tp: int, Hp: int, Wp: int) -> np.ndarray:
+    """Per-axis CONCATENATED sincos extra pos-emb for one view
+    (MultiviewSinCosPosEmbAxis parity, position_embedding.py:430-497):
+    channel split dim_h = dim_w = D//6*2, dim_t = rest; layout
+    [t-emb | h-emb | w-emb] broadcast over the (T, H, W) grid."""
+    dim_h = D // 6 * 2
+    dim_w = dim_h
+    dim_t = D - 2 * dim_h
+    emb_t = _sincos_axis_emb(Tp, dim_t)
+    emb_h = _sincos_axis_emb(Hp, dim_h)
+    emb_w = _sincos_axis_emb(Wp, dim_w)
+    out = np.concatenate(
+        [
+            np.broadcast_to(emb_t[:, None, None, :], (Tp, Hp, Wp, dim_t)),
+            np.broadcast_to(emb_h[None, :, None, :], (Tp, Hp, Wp, dim_h)),
+            np.broadcast_to(emb_w[None, None, :, :], (Tp, Hp, Wp, dim_w)),
+        ],
+        axis=-1,
+    )
+    return out.reshape(Tp * Hp * Wp, D)
 
 
 def multiview_dit_forward(
@@ -99,7 +123,18 @@ def multiview_dit_forward(
     dtype = cfg.dtype
     x = x.astype(dtype)
 
-    # per-view condition channels (general_dit_multiview.py:156-170)
+    # channel order into the patch embedder is [x | padding_mask |
+    # view_emb] (general_dit_multiview.py:332-381: the padding mask is
+    # concatenated BEFORE the view-embedding channels)
+    if cfg.concat_padding_mask:
+        if padding_mask is None:
+            padding_mask = jnp.zeros((B, H, W), dtype)
+        pm = jnp.broadcast_to(
+            padding_mask[:, None, None, :, :], (B, 1, VT, H, W)
+        ).astype(dtype)
+        x = jnp.concatenate([x, pm], axis=1)
+
+    # per-view condition channels (general_dit_multiview.py:340-381)
     if cfg.concat_view_embedding:
         view_emb = params["view_embeddings"].astype(dtype)  # (V, vc)
         if cfg.add_repeat_frame_embedding:
@@ -122,7 +157,9 @@ def multiview_dit_forward(
         )
         x = jnp.concatenate([x, view_ch], axis=1)
 
-    tokens = base.patchify(cfg, params, x, padding_mask)
+    # padding mask already concatenated above in the reference's order
+    cfg_nopad = dataclasses.replace(cfg, concat_padding_mask=False)
+    tokens = base.patchify(cfg_nopad, params, x, None)
     Bt, Tp_all, Hp, Wp, D = tokens.shape
     Tp = Tp_all // V
     L = Tp_all * Hp * Wp
@@ -132,12 +169,7 @@ def multiview_dit_forward(
     cos1, sin1 = base.rope_3d_table(cfg, Tp, Hp, Wp, fps=fps)
     cos = jnp.tile(cos1, (V, 1))
     sin = jnp.tile(sin1, (V, 1))
-    ax_t = _sincos_axis_emb(Tp, D)
-    ax_h = _sincos_axis_emb(Hp, D)
-    ax_w = _sincos_axis_emb(Wp, D)
-    extra1 = (
-        ax_t[:, None, None, :] + ax_h[None, :, None, :] + ax_w[None, None, :, :]
-    ).reshape(Tp * Hp * Wp, D)
+    extra1 = _multiview_sincos_extra(D, Tp, Hp, Wp)
     extra = jnp.tile(jnp.asarray(extra1, jnp.float32), (V, 1))[None].astype(
         dtype
     )

@@ -157,10 +157,12 @@ def generate_multiview_world(
 
     # frame-repeat as the negative condition: cond rows 0, uncond rows =
     # frame_repeat_negative_condition (text2world_multiview.py:85-91)
+    # conditioner scales frame_repeat by /10.0 (config/base/conditioner
+    # .py:79) before it reaches the net
     frame_repeat = jnp.concatenate(
         [
             jnp.zeros((1, V), jnp.float32),
-            jnp.full((1, V), frame_repeat_negative_condition / 24.0,
+            jnp.full((1, V), frame_repeat_negative_condition / 10.0,
                      jnp.float32),
         ],
         axis=0,

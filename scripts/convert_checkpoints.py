@@ -44,6 +44,35 @@ def main() -> None:
     elif args.dit:
         log.warning(f"{torch_dit} not found; skipping DiT")
 
+    # Sample-AV multiview DiT checkpoints (text2world/video2world
+    # -multiview CLIs): torch state dict -> dit_multiview param tree
+    for name, preset_name in (
+        ("Cosmos-Predict1-7B-Text2World-Sample-AV-Multiview",
+         "cosmos_t2w_mv_7b"),
+        ("Cosmos-Predict1-7B-Video2World-Sample-AV-Multiview",
+         "cosmos_v2w_mv_7b"),
+    ):
+        torch_mv = os.path.join(args.checkpoint_dir, name, "model.pt")
+        if os.path.exists(torch_mv):
+            import torch
+
+            from gen3c_tpu.models.convert import (
+                convert_multiview_dit_state_dict,
+            )
+            from gen3c_tpu.pipelines.text2world_multiview import MV_PRESETS
+
+            log.info(f"converting {torch_mv} ...")
+            sd = torch.load(torch_mv, map_location="cpu",
+                            weights_only=True)
+            if "model" in sd:
+                sd = sd["model"]
+            mv_params = convert_multiview_dit_state_dict(
+                sd, MV_PRESETS[preset_name].dit
+            )
+            ckpt.save_params_npz(
+                os.path.join(out_dir, f"{preset_name}.npz"), mv_params
+            )
+
     vae_dir = os.path.join(args.checkpoint_dir, "Cosmos-Tokenize1-CV8x8x8-720p")
     if args.vae and os.path.isdir(vae_dir):
         import numpy as np
