@@ -47,6 +47,15 @@ class ARConfig:
     # high_freq_factor, original_max_position_embeddings); None = off.
     # Needed for Llama-3.1-family checkpoints (e.g. Llama-Guard-3-8B).
     rope_scaling: Optional[Tuple[float, float, float, int]] = None
+    # YaRN long-context rope scaling (the reference AR world models use
+    # COSMOS_YARN_CONFIG, configs/base/model_config.py:57-63; rope
+    # math: autoregressive/modules/embedding.py:250-320)
+    apply_yarn: bool = False
+    yarn_scale: float = 1.0
+    yarn_beta_fast: int = 32
+    yarn_beta_slow: int = 1
+    original_seq_len: Optional[int] = None  # 1D yarn reference length
+    original_latent_shape: Tuple[int, int, int] = (0, 0, 0)  # 3D yarn
     dtype: Any = jnp.bfloat16
 
     @property
@@ -115,15 +124,32 @@ def _rms(x: Array, scale: Array, eps: float) -> Array:
     )
 
 
+def _yarn_scale_factors(inv_freq: np.ndarray, original_len: int,
+                        cfg: ARConfig) -> np.ndarray:
+    """YaRN frequency interpolation (embedding.py:250-261): low
+    frequencies divided by the scale, high kept, smooth ramp between."""
+    high = 2 * np.pi * cfg.yarn_beta_fast / original_len
+    low = 2 * np.pi * cfg.yarn_beta_slow / original_len
+    smooth = np.clip((inv_freq - low) / (high - low), 0.0, 1.0)
+    return (1 - smooth) / cfg.yarn_scale + smooth
+
+
 def rope_tables(cfg: ARConfig) -> Tuple[Array, Array]:
     """cos/sin of shape (max_seq_len, head_dim). 3D rope splits the head
     dim across (T, H, W) axes of the latent token grid (transformer.py
-    rope_dim '3D' parity)."""
+    rope_dim '3D' parity). YaRN (cfg.apply_yarn) rescales the
+    frequencies (embedding.py:250-320; like the reference's default "v2"
+    rope, no magnitude scaling is applied to the tables)."""
     d = cfg.head_dim
     if cfg.rope_dim == "1D":
         freqs = 1.0 / (
             cfg.rope_theta ** (np.arange(0, d, 2)[: d // 2] / d)
         )
+        if cfg.apply_yarn:
+            assert cfg.original_seq_len, "original_seq_len required for yarn"
+            freqs = freqs * _yarn_scale_factors(
+                freqs, cfg.original_seq_len, cfg
+            )
         if cfg.rope_scaling is not None:
             # llama3 rope scaling (HF _compute_llama3_parameters parity):
             # low-freq components divided by `factor`, high-freq kept,
@@ -152,6 +178,11 @@ def rope_tables(cfg: ARConfig) -> Tuple[Array, Array]:
         t_rng = np.arange(0, dim_t, 2)[: dim_t // 2] / dim_t
         fh = 1.0 / cfg.rope_theta**h_rng
         ft = 1.0 / cfg.rope_theta**t_rng
+        if cfg.apply_yarn:
+            ot, oh = cfg.original_latent_shape[0], cfg.original_latent_shape[1]
+            assert ot and oh, "original_latent_shape required for 3D yarn"
+            fh = fh * _yarn_scale_factors(fh, oh, cfg)
+            ft = ft * _yarn_scale_factors(ft, ot, cfg)
         tt = np.repeat(np.arange(T), H * W)
         hh = np.tile(np.repeat(np.arange(H), W), T)
         ww = np.tile(np.arange(W), T * H)

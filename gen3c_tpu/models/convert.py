@@ -213,3 +213,59 @@ def convert_multiview_dit_state_dict(
             "b": jnp.asarray(_a(sd["repeat_frame_embedding.bias"]), dtype),
         }
     return params
+
+
+def convert_cosmos_ar_state_dict(state_dict, cfg, dtype=None) -> dict:
+    """Reference Cosmos AR transformer state dict
+    (autoregressive/networks/transformer.py: llama naming + per-head
+    q_norm/k_norm) -> gen3c_tpu.models.ar_transformer param tree.
+    Parity-tested against the reference torch net at tiny scale
+    (tests/test_ar_parity.py)."""
+    import jax.numpy as jnp
+
+    if dtype is None:
+        dtype = getattr(cfg, "dtype", jnp.float32)
+
+    def get(name, transpose=False):
+        v = state_dict[name]
+        if hasattr(v, "detach"):
+            v = v.detach().float().cpu().numpy()
+        arr = np.asarray(v)
+        if transpose:
+            arr = arr.T
+        return jnp.asarray(np.ascontiguousarray(arr), dtype)
+
+    layers = []
+    for i in range(cfg.n_layers):
+        pre = f"layers.{i}"
+        lp = {
+            "wq": get(f"{pre}.attention.wq.weight", True),
+            "wk": get(f"{pre}.attention.wk.weight", True),
+            "wv": get(f"{pre}.attention.wv.weight", True),
+            "wo": get(f"{pre}.attention.wo.weight", True),
+            "w1": get(f"{pre}.feed_forward.w1.weight", True),
+            "w2": get(f"{pre}.feed_forward.w2.weight", True),
+            "w3": get(f"{pre}.feed_forward.w3.weight", True),
+            "attention_norm": {
+                "scale": get(f"{pre}.attention_norm.weight")
+            },
+            "ffn_norm": {"scale": get(f"{pre}.ffn_norm.weight")},
+        }
+        if cfg.use_qk_normalization:
+            lp["q_norm"] = {"scale": get(f"{pre}.attention.q_norm.weight")}
+            lp["k_norm"] = {"scale": get(f"{pre}.attention.k_norm.weight")}
+        if cfg.context_dim:
+            lp["cross_norm"] = {
+                "scale": get(f"{pre}.cross_attention_norm.weight")
+            }
+            lp["cwq"] = get(f"{pre}.cross_attention.wq.weight", True)
+            lp["cwk"] = get(f"{pre}.cross_attention.wk.weight", True)
+            lp["cwv"] = get(f"{pre}.cross_attention.wv.weight", True)
+            lp["cwo"] = get(f"{pre}.cross_attention.wo.weight", True)
+        layers.append(lp)
+    return {
+        "tok_embeddings": get("tok_embeddings.weight"),
+        "layers": layers,
+        "norm": {"scale": get("norm.weight")},
+        "output": get("output.weight", True),
+    }

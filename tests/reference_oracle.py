@@ -133,8 +133,51 @@ def stub_cuda_stack():
         def is_initialized():
             return False
 
+        @staticmethod
+        def get_tensor_model_parallel_rank():
+            return 0
+
+        @staticmethod
+        def get_tensor_model_parallel_world_size():
+            return 1
+
     mcore.parallel_state = _ParallelState()
+
+    class _ModelParallelConfig:
+        def __init__(self, *a, **k):
+            for key, v in k.items():
+                setattr(self, key, v)
+
+    mcore.ModelParallelConfig = _ModelParallelConfig
     mc.core = mcore
+
+    # megatron tensor-parallel modules (only the tp=1 code paths of the
+    # reference AR stack are exercised; these stand in for the imports)
+    mtp = _stub("megatron.core.tensor_parallel")
+
+    class _TPModule(torch.nn.Module):
+        def __init__(self, *a, **k):
+            super().__init__()
+
+    mtp.ColumnParallelLinear = _TPModule
+    mtp.RowParallelLinear = _TPModule
+    mtp.VocabParallelEmbedding = _TPModule
+    mcore.tensor_parallel = mtp
+    mappings = _stub("megatron.core.tensor_parallel.mappings")
+    mappings.reduce_from_tensor_model_parallel_region = lambda x: x
+    mappings.reduce_scatter_to_sequence_parallel_region = lambda x: x
+    mtp.mappings = mappings
+    tputils = _stub("megatron.core.tensor_parallel.utils")
+
+    class _VocabUtility:
+        @staticmethod
+        def vocab_range_from_global_vocab_size(global_vocab_size, rank,
+                                               world_size):
+            per = global_vocab_size // world_size
+            return rank * per, (rank + 1) * per
+
+    tputils.VocabUtility = _VocabUtility
+    mtp.utils = tputils
 
 
 def load_reference_geometry():

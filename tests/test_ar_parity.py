@@ -1,0 +1,138 @@
+"""Full-network parity: tiny reference Cosmos AR Transformer (torch CPU)
+vs gen3c_tpu ar_transformer with converted weights."""
+
+import numpy as np
+import pytest
+import torch
+
+import jax.numpy as jnp
+
+from gen3c_tpu.models.ar_transformer import ARConfig, ar_forward, rope_tables
+from gen3c_tpu.models.convert import convert_cosmos_ar_state_dict
+from tests.reference_oracle import _stub, stub_cuda_stack
+
+
+@pytest.fixture(scope="module")
+def ref_net():
+    stub_cuda_stack()
+    orig_cuda = torch.Tensor.cuda
+    orig_curdev = torch.cuda.current_device
+    torch.Tensor.cuda = lambda self, *a, **k: self
+    torch.cuda.current_device = lambda: "cpu"
+    oc = _stub("omegaconf")
+
+    class DictConfig(dict):
+        pass
+
+    class OmegaConf:
+        @staticmethod
+        def to_container(x, **k):
+            return dict(x)
+
+    oc.DictConfig = DictConfig
+    oc.OmegaConf = OmegaConf
+    import sys
+
+    sys.path.insert(0, "/root/reference")
+    from cosmos_predict1.autoregressive.networks.transformer import (
+        Transformer,
+    )
+
+    torch.manual_seed(0)
+    params = dict(
+        dim=64, n_layers=2, n_heads=4, n_kv_heads=2, vocab_size=128,
+        ffn_hidden_size=128, norm_eps=1e-5, rope_theta=500000.0,
+        max_seq_len=64, max_batch_size=2,
+        use_qk_normalization=True, tensor_model_parallel_size=1,
+        head_dim=None, norm_type="rmsnorm", causal_mask=True,
+        insert_cross_attn=False, insert_cross_attn_every_k_layers=1,
+        context_dim=None, attention_dropout=0.0, hidden_dropout=0.0,
+        rope_dim="1D", original_latent_shape=None,
+        pytorch_rope_version="v2", apply_abs_pos_emb=False,
+        attention_tp=False, num_video_frames=None, video_height=None,
+        video_width=None, vision_encoder=None, mm_projector=None,
+        backend="pytorch", embedding_dropout=0.0,
+        use_action_condition=False, sliding_window=None,
+        set_parallel_mode=False, attention_type="self", fuse_qkv=False,
+        precision="float32", ckpt_dir=None, inference=True,
+        video_latent_shape=None, rope_latent_shape=None,
+        insert_medusa_head=False, concat_action_to_context=False,
+        original_seq_len=64, apply_yarn=False, yarn_scale=1.0,
+        yarn_beta_fast=32, yarn_beta_slow=1, pad_to_multiple_of=None,
+    )
+    net = Transformer(
+        params, model_parallel=None, tokenizer_config=None,
+        init_weights=True,
+    ).eval().float()
+    torch.Tensor.cuda = orig_cuda
+    torch.cuda.current_device = orig_curdev
+    return net
+
+
+def test_cosmos_ar_parity(ref_net):
+    cfg = ARConfig(
+        dim=64, n_layers=2, n_heads=4, n_kv_heads=2, vocab_size=128,
+        ffn_hidden_size=128, norm_eps=1e-5, rope_theta=500000.0,
+        max_seq_len=64, use_qk_normalization=True, dtype=jnp.float32,
+    )
+    params = convert_cosmos_ar_state_dict(ref_net.state_dict(), cfg)
+
+    tokens = np.random.RandomState(0).randint(0, 128, (2, 12))
+    with torch.no_grad():
+        ref = ref_net(
+            tokens=torch.from_numpy(tokens),
+            input_pos=torch.arange(12),
+        ).numpy()
+    got, _ = ar_forward(
+        params, cfg, jnp.asarray(tokens, jnp.int32), rope_tables(cfg)
+    )
+    np.testing.assert_allclose(np.asarray(got), ref, rtol=2e-3, atol=2e-3)
+
+
+def test_yarn_parity(ref_net):
+    """YaRN rope scaling matches the reference (COSMOS_YARN_CONFIG-style
+    1D yarn: scale 2, beta 4/1, halved original context)."""
+    import sys
+
+    sys.path.insert(0, "/root/reference")
+    from cosmos_predict1.autoregressive.modules.embedding import (
+        RotaryPositionEmbeddingPytorchV2,
+    )
+
+    orig_curdev = torch.cuda.current_device
+    orig_cuda = torch.Tensor.cuda
+    torch.cuda.current_device = lambda: "cpu"
+    torch.Tensor.cuda = lambda self, *a, **k: self
+    try:
+        ref_rope = RotaryPositionEmbeddingPytorchV2(
+            seq_len=64,
+            dim=16,
+            max_position_embeddings=64,
+            original_max_position_embeddings=32,
+            rope_theta=500000.0,
+            apply_yarn=True,
+            scale=2.0,
+            beta_fast=4,
+            beta_slow=1,
+            rope_dim="1D",
+            latent_shape=None,
+            original_latent_shape=None,
+            pad_to_multiple_of=None,
+        )
+    finally:
+        torch.cuda.current_device = orig_curdev
+        torch.Tensor.cuda = orig_cuda
+    cos_ref = ref_rope.cos_cached[0, :, 0, :].float().numpy()  # (L, d)
+    sin_ref = ref_rope.sin_cached[0, :, 0, :].float().numpy()
+
+    cfg = ARConfig(
+        dim=64, n_layers=1, n_heads=4, n_kv_heads=2, vocab_size=16,
+        ffn_hidden_size=32, max_seq_len=64, rope_theta=500000.0,
+        apply_yarn=True, yarn_scale=2.0, yarn_beta_fast=4,
+        yarn_beta_slow=1, original_seq_len=32, dtype=jnp.float32,
+    )
+    cos, sin = rope_tables(cfg)
+    np.testing.assert_allclose(np.asarray(cos), cos_ref, rtol=1e-5,
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(sin), sin_ref, rtol=1e-5,
+                               atol=1e-5)
