@@ -136,3 +136,39 @@ def test_yarn_parity(ref_net):
                                atol=1e-5)
     np.testing.assert_allclose(np.asarray(sin), sin_ref, rtol=1e-5,
                                atol=1e-5)
+
+
+def test_fsq_parity_vs_reference():
+    """FSQ quantize / index round-trip matches the reference FSQuantizer
+    (tokenizer/modules/quantizers.py, adapted-from-lucidrains torch)."""
+    import sys
+
+    stub_cuda_stack()
+    sys.path.insert(0, "/root/reference")
+    from cosmos_predict1.tokenizer.modules.quantizers import FSQuantizer
+
+    from gen3c_tpu.models.fsq import fsq_indices_to_codes, fsq_quantize
+
+    levels = [8, 8, 8, 5, 5, 5]
+    q = FSQuantizer(levels=levels, dtype=torch.float32,
+                    persistent_quantizer=False)
+    rng = np.random.RandomState(0)
+    z = rng.randn(2, len(levels), 4, 6).astype(np.float32)  # (B, C, H, W)
+    with torch.no_grad():
+        idx_ref, zhat_ref, _ = q(torch.from_numpy(z))
+    # ours operates channel-last
+    zj = jnp.asarray(z.transpose(0, 2, 3, 1))
+    codes, idx = fsq_quantize(zj, levels)
+    np.testing.assert_array_equal(
+        np.asarray(idx).reshape(-1),
+        idx_ref.numpy().reshape(-1),
+    )
+    np.testing.assert_allclose(
+        np.asarray(codes),
+        zhat_ref.float().numpy().transpose(0, 2, 3, 1),
+        rtol=1e-5, atol=1e-5,
+    )
+    # index -> code round-trip
+    back = fsq_indices_to_codes(idx, levels)
+    np.testing.assert_allclose(np.asarray(back), np.asarray(codes),
+                               rtol=1e-5, atol=1e-5)
