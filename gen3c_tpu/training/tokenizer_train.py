@@ -87,3 +87,103 @@ def tokenizer_train_step(
     updates, opt_state = optimizer.update(grads, opt_state, params)
     params = optax.apply_updates(params, updates)
     return params, opt_state, metrics
+
+
+def main(argv=None) -> None:
+    """Tokenizer training CLI (tokenizer/training parity):
+
+      python -m gen3c_tpu.training.tokenizer_train --synthetic \
+          --max_iter 100 [--data_root clips/] [--save path.npz]
+
+    Data: --data_root with video .npz clips (VideoClipDataset layout) or
+    --synthetic random clips. Checkpoints save as native npz.
+    """
+    import argparse
+
+    import numpy as np
+
+    from gen3c_tpu.models import vae as jvae
+    from gen3c_tpu.utils import log
+
+    p = argparse.ArgumentParser()
+    p.add_argument("--data_root", type=str, default=None)
+    p.add_argument("--synthetic", action="store_true")
+    p.add_argument("--batch_size", type=int, default=1)
+    p.add_argument("--frames", type=int, default=9)
+    p.add_argument("--resolution", type=int, default=64)
+    p.add_argument("--max_iter", type=int, default=100)
+    p.add_argument("--log_every", type=int, default=10)
+    p.add_argument("--lr", type=float, default=1e-4)
+    p.add_argument("--save", type=str, default=None)
+    p.add_argument("--channels", type=int, default=16)
+    p.add_argument("--seed", type=int, default=0)
+    args = p.parse_args(argv)
+
+    cfg = jvae.VAEConfig(
+        channels=args.channels, channels_mult=(2, 4, 4), num_res_blocks=1,
+        attn_resolutions=(), resolution=args.resolution, patch_size=4,
+        latent_channels=4, z_channels=4,
+    )
+    if (args.frames - 1) % 8:
+        raise SystemExit(
+            f"--frames {args.frames} must be 8k+1 (causal temporal "
+            "compression of the CV8x8x8 topology)"
+        )
+    params = jvae.init_vae_params(jax.random.PRNGKey(args.seed), cfg)
+    optimizer = optax.adamw(args.lr)
+    opt_state = optimizer.init(params)
+    step = jax.jit(
+        lambda p, o, v: tokenizer_train_step(p, o, v, cfg, optimizer)
+    )
+
+    rng = np.random.RandomState(args.seed)
+
+    def batches():
+        if args.data_root:
+            import os
+
+            clips = sorted(
+                os.path.join(args.data_root, f)
+                for f in os.listdir(args.data_root)
+                if f.endswith(".npz")
+            )
+            assert clips, f"no clips under {args.data_root}"
+            while True:
+                data = np.load(clips[rng.randint(len(clips))])
+                v = data["video"].astype(np.float32)
+                if v.shape[-1] == 3:
+                    v = v.transpose(0, 3, 1, 2)
+                if v.max() > 1.5:
+                    v = v / 127.5 - 1.0
+                start = rng.randint(0, max(1, v.shape[0] - args.frames + 1))
+                clip = v[start : start + args.frames]
+                yield jnp.asarray(
+                    clip.transpose(1, 0, 2, 3)[None]
+                )
+        else:
+            while True:
+                yield jnp.asarray(
+                    rng.rand(
+                        args.batch_size, 3, args.frames,
+                        args.resolution, args.resolution
+                    ).astype(np.float32) * 2 - 1
+                )
+
+    it = batches()
+    for i in range(1, args.max_iter + 1):
+        params, opt_state, metrics = step(params, opt_state, next(it))
+        if i % args.log_every == 0:
+            log.info(
+                f"tokenizer step {i}: loss {float(metrics['loss']):.4f} "
+                f"(l1 {float(metrics['l1']):.4f}, "
+                f"temporal {float(metrics['temporal']):.4f})"
+            )
+    if args.save:
+        from gen3c_tpu.utils.checkpoint import save_params_npz
+
+        save_params_npz(args.save, params)
+        log.info(f"saved tokenizer params to {args.save}")
+
+
+if __name__ == "__main__":
+    main()

@@ -139,3 +139,15 @@ def test_metrics_jsonl_callback(tmp_path):
     rows = [json.loads(l) for l in open(path)]
     assert [r["step"] for r in rows] == [2, 4]
     assert rows[0]["loss"] == 1.0 and "x" not in rows[0]
+
+
+def test_tokenizer_train_cli(tmp_path):
+    from gen3c_tpu.training.tokenizer_train import main
+
+    out = tmp_path / "tok.npz"
+    main([
+        "--synthetic", "--max_iter", "2", "--log_every", "1",
+        "--resolution", "32", "--frames", "9", "--channels", "8",
+        "--save", str(out),
+    ])
+    assert out.exists()
