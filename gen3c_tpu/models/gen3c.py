@@ -140,6 +140,7 @@ class Gen3CModel:
         neg_t5_embeddings: Optional[Array] = None,
         condition_augment_sigma: float = DEFAULT_AUGMENT_SIGMA,
         init_noise: Optional[np.ndarray] = None,
+        step_cache_interval: int = 1,
     ) -> Array:
         """Run the full GEN3C denoise; returns latent (B, 16, T, H', W')."""
         from gen3c_tpu.models.conditioner import make_condition_pair
@@ -201,6 +202,7 @@ class Gen3CModel:
                 guidance=guidance,
                 condition_augment_sigma=condition_augment_sigma,
                 schedule=self.schedule,
+                step_cache_interval=step_cache_interval,
             )
 
         return generate_samples(
@@ -219,4 +221,5 @@ class Gen3CModel:
             guidance=guidance,
             condition_augment_sigma=condition_augment_sigma,
             schedule=self.schedule,
+            step_cache_interval=step_cache_interval,
         )

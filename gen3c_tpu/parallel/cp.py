@@ -59,6 +59,7 @@ def cp_generate_samples(
     guidance: float = 1.0,
     condition_augment_sigma: float = 0.001,
     schedule: EDMEulerSchedule = EDMEulerSchedule(),
+    step_cache_interval: int = 1,
 ) -> Array:
     """Context-parallel version of sampler.generate_samples.
 
@@ -101,6 +102,7 @@ def cp_generate_samples(
             guidance=guidance,
             condition_augment_sigma=condition_augment_sigma,
             schedule=schedule,
+            step_cache_interval=step_cache_interval,
         )
 
     mapped = jax.shard_map(

@@ -35,6 +35,7 @@ class Gen3cPipeline:
     video_guardrail: Optional[object] = None
     guidance: float = 1.0
     num_steps: int = 35
+    step_cache_interval: int = 1
     height: int = 704
     width: int = 1280
     fps: int = 24
@@ -88,6 +89,7 @@ class Gen3cPipeline:
             num_condition_t=num_condition_t,
             guidance=self.guidance,
             num_steps=self.num_steps,
+            step_cache_interval=self.step_cache_interval,
             seed=self.seed if seed is None else seed,
             neg_t5_embeddings=neg_emb,
         )

@@ -46,6 +46,11 @@ def create_parser() -> argparse.ArgumentParser:
     p.add_argument("--video_save_folder", type=str, default="outputs/")
     p.add_argument("--guidance", type=float, default=1.0)
     p.add_argument("--num_steps", type=int, default=35)
+    p.add_argument("--step_cache_interval", type=int, default=1,
+                   help=">1: training-free DiT output caching across "
+                        "denoise steps (Delta-DiT/SmoothCache family) — "
+                        "the net runs every Nth step; ~N x faster denoise "
+                        "at a small quality cost")
     p.add_argument("--num_video_frames", type=int, default=121,
                    help="(N-1) %% (chunk-1) must be 0")
     p.add_argument("--fps", type=int, default=24)
@@ -125,6 +130,7 @@ def demo(args) -> str:
         text_encoder=text_encoder,
         guidance=args.guidance,
         num_steps=args.num_steps,
+        step_cache_interval=args.step_cache_interval,
         height=preset.height,
         width=preset.width,
         fps=args.fps,

@@ -138,6 +138,7 @@ class Gen3cPersistentModel(InferenceModel):
         seed: int = 0,
         depth_source: str = "auto",
         quantize: bool | str = False,
+        step_cache_interval: int = 1,
     ):
         from gen3c_tpu.pipelines.depth import make_depth_estimator
         from gen3c_tpu.pipelines.factory import build_gen3c_model
@@ -151,6 +152,7 @@ class Gen3cPersistentModel(InferenceModel):
             model=self.model,
             guidance=guidance,
             num_steps=num_steps,
+            step_cache_interval=step_cache_interval,
             height=self.preset.height,
             width=self.preset.width,
             seed=seed,

@@ -243,6 +243,9 @@ def build_model_from_env():
         seed=int(os.environ.get("GEN3C_SEED", "0")),
         depth_source=os.environ.get("GEN3C_DEPTH_SOURCE", "auto"),
         quantize=os.environ.get("GEN3C_QUANTIZE", "") or False,
+        step_cache_interval=int(
+            os.environ.get("GEN3C_STEP_CACHE_INTERVAL", "1")
+        ),
     )
 
 
