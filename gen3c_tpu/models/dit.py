@@ -77,11 +77,12 @@ class DiTConfig:
     rope_t_extrapolation_ratio: float = 1.0
     concat_padding_mask: bool = True
     base_fps: int = 24
-    # context-parallel self-attention strategy: "allgather" (one
-    # all-gather of K/V per layer — cheap at 56k tokens, the production
-    # default) or "ring" (ppermute KV rotation with online-softmax
-    # accumulation, the TE-ring-attention equivalent: O(L/cp) peak KV
-    # memory for very long sequences)
+    # context-parallel self-attention strategy:
+    #   "allgather" — one K/V all-gather per layer (production default)
+    #   "ring"      — ppermute KV rotation + online softmax (TE ring
+    #                 attention equivalent; O(L/cp) peak KV memory)
+    #   "ulysses"   — head-scatter all-to-all (xDiT/DeepSpeed-Ulysses);
+    #                 lowest ICI traffic, needs num_heads % cp == 0
     cp_attn_impl: str = "allgather"
     dtype: Any = jnp.bfloat16
 
@@ -462,6 +463,30 @@ def _ring_attention(q: Array, k: Array, v: Array, axis_name: str) -> Array:
     return jnp.swapaxes(out, 1, 2).astype(q.dtype)
 
 
+def _ulysses_attention(q: Array, k: Array, v: Array, axis_name: str) -> Array:
+    """Ulysses/DeepSpeed-style sequence parallelism (the head-scatter
+    strategy xDiT popularized for DiTs, arXiv:2411.01738): one all-to-all
+    turns sequence shards into head shards, full-sequence attention runs
+    locally on H/cp heads (the splash kernel still applies), a second
+    all-to-all restores sequence sharding. Moves ~4*L*H*D/cp bytes per
+    layer vs the all-gather strategy's 2*L*H*D*(cp-1)/cp — the
+    low-traffic choice when heads divide the cp size.
+
+    q/k/v: (B, L_local, H, D) local shards; requires H % cp == 0.
+    """
+    # (B, Lloc, H, D) -> (B, L, H/cp, D): split heads, gather sequence
+    qg = jax.lax.all_to_all(q, axis_name, split_axis=2, concat_axis=1,
+                            tiled=True)
+    kg = jax.lax.all_to_all(k, axis_name, split_axis=2, concat_axis=1,
+                            tiled=True)
+    vg = jax.lax.all_to_all(v, axis_name, split_axis=2, concat_axis=1,
+                            tiled=True)
+    out = attention_op(qg, kg, vg)
+    # inverse: split sequence, gather heads
+    return jax.lax.all_to_all(out, axis_name, split_axis=1, concat_axis=2,
+                              tiled=True)
+
+
 def _attn_block(
     p: Params,
     x: Array,
@@ -495,6 +520,9 @@ def _attn_block(
     if context is None and cp_axis is not None:
         if cp_attn_impl == "ring":
             out = _ring_attention(q, k, v, cp_axis).reshape(B, L, D)
+            return _linear(out, p["out"], dtype)
+        if cp_attn_impl == "ulysses":
+            out = _ulysses_attention(q, k, v, cp_axis).reshape(B, L, D)
             return _linear(out, p["out"], dtype)
         k = jax.lax.all_gather(k, cp_axis, axis=1, tiled=True)
         v = jax.lax.all_gather(v, cp_axis, axis=1, tiled=True)

@@ -196,3 +196,22 @@ def test_ar_tp_forward_matches_replicated():
     np.testing.assert_allclose(
         np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-4
     )
+
+
+def test_cp_ulysses_attention_matches_single_device():
+    """Ulysses head-scatter CP attention == single-device denoise
+    (the xDiT sequence-parallel strategy; heads divide the cp size)."""
+    import dataclasses
+
+    mesh = make_mesh(dp=1, cp=4, tp=1, devices=jax.devices()[:4])
+    cfg_u = dataclasses.replace(CFG, cp_attn_impl="ulysses")
+    params = init_dit_params(jax.random.PRNGKey(0), CFG, jnp.float32)
+    rng = np.random.RandomState(0)
+    args = _sample_args(rng)
+    ref = generate_samples(
+        net_fn=_net_fn, net_params=(params, CFG), num_steps=3, **args
+    )
+    out = cp_generate_samples(mesh, params, cfg_u, num_steps=3, **args)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-4
+    )
