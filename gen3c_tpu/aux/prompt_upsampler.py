@@ -180,7 +180,8 @@ def create_prompt_upsampler(
                 return HFPromptUpsampler(path)
             try:
                 return JaxPromptUpsampler(path)
-            except (KeyError, AttributeError, ValueError) as e:
+            except (KeyError, AttributeError, ValueError,
+                    OSError, RuntimeError) as e:
                 # non-llama-architecture checkpoint: fall back to torch
                 from gen3c_tpu.utils import log
 

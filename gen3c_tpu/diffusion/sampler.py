@@ -107,54 +107,11 @@ def generate_samples(
     crossattn_both = jnp.concatenate([crossattn_cond, crossattn_uncond], axis=0)
     B = init_noise.shape[0]
 
-    def body(i, xt):
+    def _step_inputs(i, xt):
+        """Shared per-step construction: conditioned-region re-noise and
+        the batched [cond | uncond] CFG network input."""
         sigma = sigmas[i]
-        sigma_next = sigmas[i + 1]
         t = c_noises[i]
-
-        indicator = jnp.where(aug >= sigma, jnp.zeros_like(indicator_base),
-                              indicator_base)
-        augment_latent_unscaled = augment_latent / schedule.c_in(sigma)
-        new_xt = indicator * augment_latent_unscaled + (1 - indicator) * xt
-        new_xt_scaled = new_xt * schedule.c_in(sigma)
-
-        # single batched CFG forward: [cond | uncond] along batch
-        cond_parts = [new_xt_scaled]
-        uncond_parts = [new_xt_scaled]
-        if condition_video_input_mask is not None:
-            m = condition_video_input_mask.astype(jnp.float32)
-            cond_parts.append(m)
-            uncond_parts.append(m)
-        if pose_latent_cond is not None:
-            cond_parts.append(pose_latent_cond.astype(jnp.float32))
-            uncond_parts.append(pose_latent_uncond.astype(jnp.float32))
-        x_cond = jnp.concatenate(cond_parts, axis=1)
-        x_uncond = jnp.concatenate(uncond_parts, axis=1)
-        x_in = jnp.concatenate([x_cond, x_uncond], axis=0)
-        t_in = jnp.broadcast_to(t[None], (2 * B,))
-        net_out = net_fn(net_params, x_in, t_in, crossattn_both).astype(
-            jnp.float32
-        )
-        out_cond, out_uncond = net_out[:B], net_out[B:]
-        net_output = out_cond + guidance * (out_cond - out_uncond)
-
-        # replace conditioned-region output so denoised == gt there
-        latent_unscaled = schedule.reverse_precondition_output(gt, new_xt, sigma)
-        new_output = indicator * latent_unscaled + (1 - indicator) * net_output
-        return schedule.step(new_output, new_xt, sigma, sigma_next)
-
-    if step_cache_interval <= 1:
-        return jax.lax.fori_loop(0, num_steps, body, xt0)
-
-    # --- step-cached variant: carry the last raw [cond|uncond] output ---
-    warmup, tail = 2, 2
-
-    def cached_body(i, carry):
-        xt, cached = carry
-        sigma = sigmas[i]
-        sigma_next = sigmas[i + 1]
-        t = c_noises[i]
-
         indicator = jnp.where(aug >= sigma, jnp.zeros_like(indicator_base),
                               indicator_base)
         augment_latent_unscaled = augment_latent / schedule.c_in(sigma)
@@ -175,7 +132,36 @@ def generate_samples(
              jnp.concatenate(uncond_parts, axis=1)], axis=0,
         )
         t_in = jnp.broadcast_to(t[None], (2 * B,))
+        return sigma, indicator, new_xt, x_in, t_in
 
+    def _step_outputs(i, sigma, indicator, new_xt, net_out):
+        """Shared CFG combine + conditioned-region replacement + Euler."""
+        out_cond, out_uncond = net_out[:B], net_out[B:]
+        net_output = out_cond + guidance * (out_cond - out_uncond)
+        latent_unscaled = schedule.reverse_precondition_output(
+            gt, new_xt, sigma
+        )
+        new_output = (
+            indicator * latent_unscaled + (1 - indicator) * net_output
+        )
+        return schedule.step(new_output, new_xt, sigma, sigmas[i + 1])
+
+    def body(i, xt):
+        sigma, indicator, new_xt, x_in, t_in = _step_inputs(i, xt)
+        net_out = net_fn(net_params, x_in, t_in, crossattn_both).astype(
+            jnp.float32
+        )
+        return _step_outputs(i, sigma, indicator, new_xt, net_out)
+
+    if step_cache_interval <= 1:
+        return jax.lax.fori_loop(0, num_steps, body, xt0)
+
+    # --- step-cached variant: carry the last raw [cond|uncond] output ---
+    warmup, tail = 2, 2
+
+    def cached_body(i, carry):
+        xt, cached = carry
+        sigma, indicator, new_xt, x_in, t_in = _step_inputs(i, xt)
         refresh = (
             (i < warmup)
             | (i >= num_steps - tail)
@@ -188,16 +174,7 @@ def generate_samples(
             ),
             lambda: cached,
         )
-        out_cond, out_uncond = net_out[:B], net_out[B:]
-        net_output = out_cond + guidance * (out_cond - out_uncond)
-
-        latent_unscaled = schedule.reverse_precondition_output(
-            gt, new_xt, sigma
-        )
-        new_output = (
-            indicator * latent_unscaled + (1 - indicator) * net_output
-        )
-        return (schedule.step(new_output, new_xt, sigma, sigma_next),
+        return (_step_outputs(i, sigma, indicator, new_xt, net_out),
                 net_out)
 
     C_out = gt.shape[1]

@@ -422,7 +422,8 @@ def _adaln_modulation(p: Params, emb: Array, lora: Array, n_chunks: int) -> Tupl
     return jnp.split(h, n_chunks, axis=-1)
 
 
-def _ring_attention(q: Array, k: Array, v: Array, axis_name: str) -> Array:
+def _ring_attention(q: Array, k: Array, v: Array, axis_name: str,
+                    q_block: int = 512) -> Array:
     """Ring context-parallel attention: each rank holds a KV shard,
     shards rotate around the cp axis via ppermute while an online-softmax
     accumulator folds them in (the in-framework equivalent of
@@ -430,36 +431,51 @@ def _ring_attention(q: Array, k: Array, v: Array, axis_name: str) -> Array:
     delegates to, general_dit.py:524-543). Full (non-causal) attention.
 
     q/k/v: (B, L_local, H, D) local shards. Returns (B, L_local, H, D).
-    Peak KV memory is one shard instead of the full sequence — the
-    long-sequence alternative to all-gather-KV.
+    Queries are processed in q_block-row chunks inside each ring step
+    (lax.map, sequential) so the peak score-matrix memory is
+    B*H*q_block*L_shard fp32 instead of the full L_local x L_shard —
+    combined with the one-shard KV residency this keeps the path viable
+    at production sequence lengths (at the GEN3C shape, cp=4:
+    ~1.8 GB transient vs ~50 GB unchunked).
     """
     size = jax.lax.axis_size(axis_name)
     perm = [(j, (j + 1) % size) for j in range(size)]
     scale = 1.0 / math.sqrt(q.shape[-1])
-    qf = q.astype(jnp.float32)
     B, L, H, D = q.shape
-    m = jnp.full((B, H, L), -jnp.inf, jnp.float32)
-    num = jnp.zeros((B, H, L, D), jnp.float32)
-    den = jnp.zeros((B, H, L), jnp.float32)
+    qb = min(q_block, L)
+    if L % qb:  # fall back to one block when the shard doesn't divide
+        qb = L
+    nq = L // qb
+    # (nq, B, H, qb, D): accumulators chunked identically to the queries
+    qf = jnp.swapaxes(q.astype(jnp.float32), 1, 2)  # (B, H, L, D)
+    qf = qf.reshape(B, H, nq, qb, D).transpose(2, 0, 1, 3, 4)
+    m = jnp.full((nq, B, H, qb), -jnp.inf, jnp.float32)
+    num = jnp.zeros((nq, B, H, qb, D), jnp.float32)
+    den = jnp.zeros((nq, B, H, qb), jnp.float32)
 
     k_cur, v_cur = k, v
     for _ in range(size):
-        logits = (
-            jnp.einsum("bqhd,bkhd->bhqk", qf, k_cur.astype(jnp.float32))
-            * scale
-        )
-        cmax = jnp.max(logits, axis=-1)
-        m_new = jnp.maximum(m, cmax)
-        p = jnp.exp(logits - m_new[..., None])
-        corr = jnp.exp(m - m_new)
-        num = num * corr[..., None] + jnp.einsum(
-            "bhqk,bkhd->bhqd", p, v_cur.astype(jnp.float32)
-        )
-        den = den * corr + jnp.sum(p, axis=-1)
-        m = m_new
+        kf = jnp.swapaxes(k_cur.astype(jnp.float32), 1, 2)  # (B,H,Ls,D)
+        vf = jnp.swapaxes(v_cur.astype(jnp.float32), 1, 2)
+
+        def chunk_update(args, kf=kf, vf=vf):
+            qc, mc, numc, denc = args  # (B,H,qb,D), (B,H,qb), ...
+            logits = jnp.einsum("bhqd,bhkd->bhqk", qc, kf) * scale
+            cmax = jnp.max(logits, axis=-1)
+            m_new = jnp.maximum(mc, cmax)
+            p = jnp.exp(logits - m_new[..., None])
+            corr = jnp.exp(mc - m_new)
+            numc = numc * corr[..., None] + jnp.einsum(
+                "bhqk,bhkd->bhqd", p, vf
+            )
+            denc = denc * corr + jnp.sum(p, axis=-1)
+            return m_new, numc, denc
+
+        m, num, den = jax.lax.map(chunk_update, (qf, m, num, den))
         k_cur = jax.lax.ppermute(k_cur, axis_name, perm)
         v_cur = jax.lax.ppermute(v_cur, axis_name, perm)
-    out = num / den[..., None]
+    out = num / den[..., None]  # (nq, B, H, qb, D)
+    out = out.transpose(1, 2, 0, 3, 4).reshape(B, H, L, D)
     return jnp.swapaxes(out, 1, 2).astype(q.dtype)
 
 
@@ -524,6 +540,11 @@ def _attn_block(
         if cp_attn_impl == "ulysses":
             out = _ulysses_attention(q, k, v, cp_axis).reshape(B, L, D)
             return _linear(out, p["out"], dtype)
+        if cp_attn_impl != "allgather":
+            raise ValueError(
+                f"unknown cp_attn_impl {cp_attn_impl!r}; expected "
+                "'allgather', 'ring' or 'ulysses'"
+            )
         k = jax.lax.all_gather(k, cp_axis, axis=1, tiled=True)
         v = jax.lax.all_gather(v, cp_axis, axis=1, tiled=True)
     out = attention_op(q, k, v).reshape(B, L, D)

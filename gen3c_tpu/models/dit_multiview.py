@@ -39,6 +39,11 @@ class MultiviewDiTConfig(base.DiTConfig):
     view_condition_dim: int = 6
     concat_view_embedding: bool = True
     add_repeat_frame_embedding: bool = False
+    # per-block abs sincos pos-emb extrapolation (reference
+    # extra_{h,w,t}_extrapolation_ratio, default 1.0)
+    extra_h_extrapolation_ratio: float = 1.0
+    extra_w_extrapolation_ratio: float = 1.0
+    extra_t_extrapolation_ratio: float = 1.0
 
     @property
     def patch_in_dim(self) -> int:
@@ -85,7 +90,9 @@ def _sincos_axis_emb(n: int, d: int, extrapolation: float = 1.0) -> np.ndarray:
     return np.concatenate([np.sin(out), np.cos(out)], axis=1)
 
 
-def _multiview_sincos_extra(D: int, Tp: int, Hp: int, Wp: int) -> np.ndarray:
+def _multiview_sincos_extra(D: int, Tp: int, Hp: int, Wp: int,
+                            rt: float = 1.0, rh: float = 1.0,
+                            rw: float = 1.0) -> np.ndarray:
     """Per-axis CONCATENATED sincos extra pos-emb for one view
     (MultiviewSinCosPosEmbAxis parity, position_embedding.py:430-497):
     channel split dim_h = dim_w = D//6*2, dim_t = rest; layout
@@ -93,9 +100,9 @@ def _multiview_sincos_extra(D: int, Tp: int, Hp: int, Wp: int) -> np.ndarray:
     dim_h = D // 6 * 2
     dim_w = dim_h
     dim_t = D - 2 * dim_h
-    emb_t = _sincos_axis_emb(Tp, dim_t)
-    emb_h = _sincos_axis_emb(Hp, dim_h)
-    emb_w = _sincos_axis_emb(Wp, dim_w)
+    emb_t = _sincos_axis_emb(Tp, dim_t, rt)
+    emb_h = _sincos_axis_emb(Hp, dim_h, rh)
+    emb_w = _sincos_axis_emb(Wp, dim_w, rw)
     out = np.concatenate(
         [
             np.broadcast_to(emb_t[:, None, None, :], (Tp, Hp, Wp, dim_t)),
@@ -169,7 +176,12 @@ def multiview_dit_forward(
     cos1, sin1 = base.rope_3d_table(cfg, Tp, Hp, Wp, fps=fps)
     cos = jnp.tile(cos1, (V, 1))
     sin = jnp.tile(sin1, (V, 1))
-    extra1 = _multiview_sincos_extra(D, Tp, Hp, Wp)
+    extra1 = _multiview_sincos_extra(
+        D, Tp, Hp, Wp,
+        cfg.extra_t_extrapolation_ratio,
+        cfg.extra_h_extrapolation_ratio,
+        cfg.extra_w_extrapolation_ratio,
+    )
     extra = jnp.tile(jnp.asarray(extra1, jnp.float32), (V, 1))[None].astype(
         dtype
     )

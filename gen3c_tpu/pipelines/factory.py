@@ -210,3 +210,23 @@ def build_gen3c_model(
         mesh=mesh,
     )
     return model, preset
+
+
+def build_tokenizer(preset, checkpoint_dir=None):
+    """Build ONLY the video tokenizer (VAE) of a preset — for pipelines
+    that need encode/decode without the 7B DiT (e.g. the multiview CLIs,
+    which carry their own multiview DiT params). Implemented by swapping
+    in a 1-block stub DiT before reusing the factory's VAE loading."""
+    import types
+
+    if isinstance(preset, str):
+        preset = PRESETS[preset]
+    stub = dataclasses.replace(
+        preset,
+        dit=dataclasses.replace(
+            preset.dit, num_blocks=1, model_channels=64, num_heads=2,
+            adaln_lora_dim=8,
+        ),
+    )
+    full, p = build_gen3c_model(stub, checkpoint_dir=checkpoint_dir)
+    return types.SimpleNamespace(encode=full.encode, decode=full.decode), p

@@ -230,16 +230,16 @@ def demo(args) -> list:
     cfg = preset.dit
     V = cfg.n_views
 
-    from gen3c_tpu.pipelines.factory import build_gen3c_model
+    from gen3c_tpu.pipelines.factory import build_tokenizer
 
-    # reuse the factory's VAE (+ weight loading); the multiview DiT params
-    # are preset-local
+    # only the tokenizer is needed from the GEN3C factory (loading the
+    # full 7B GEN3C DiT just for its VAE would double the HBM footprint);
+    # the multiview DiT params are preset-local
     gen3c_preset_name = (
         "gen3c_tiny" if "tiny" in preset.name else "gen3c_7b"
     )
-    model, _ = build_gen3c_model(
-        gen3c_preset_name, checkpoint_dir=args.checkpoint_dir,
-        seed=args.seed,
+    model, _ = build_tokenizer(
+        gen3c_preset_name, checkpoint_dir=args.checkpoint_dir
     )
     params = init_multiview_dit_params(
         jax.random.PRNGKey(args.seed), cfg,

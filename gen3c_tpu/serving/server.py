@@ -80,9 +80,12 @@ class InferenceService:
                 for old in list(self.status):
                     if len(self.status) <= limit:
                         break
-                    if self.status[old]["state"] in (
-                        "done", "error", "cancelled"
-                    ) and old != rid:
+                    if (
+                        self.status[old]["state"]
+                        in ("done", "error", "cancelled")
+                        and old != rid
+                        and old not in self.results
+                    ):
                         self.status.pop(old, None)
                         self.errors.pop(old, None)
 

@@ -142,23 +142,31 @@ def main(argv=None) -> None:
         if args.data_root:
             import os
 
+            from gen3c_tpu.training.datasets import _to_signed_range
+
             clips = sorted(
                 os.path.join(args.data_root, f)
                 for f in os.listdir(args.data_root)
                 if f.endswith(".npz")
             )
             assert clips, f"no clips under {args.data_root}"
-            while True:
-                data = np.load(clips[rng.randint(len(clips))])
+
+            def one_clip():
+                path = clips[rng.randint(len(clips))]
+                data = np.load(path)
                 v = data["video"].astype(np.float32)
                 if v.shape[-1] == 3:
                     v = v.transpose(0, 3, 1, 2)
-                if v.max() > 1.5:
-                    v = v / 127.5 - 1.0
-                start = rng.randint(0, max(1, v.shape[0] - args.frames + 1))
-                clip = v[start : start + args.frames]
+                v = _to_signed_range(v, path)
+                assert v.shape[0] >= args.frames, (
+                    f"{path}: {v.shape[0]} frames < --frames {args.frames}"
+                )
+                start = rng.randint(0, v.shape[0] - args.frames + 1)
+                return v[start : start + args.frames].transpose(1, 0, 2, 3)
+
+            while True:
                 yield jnp.asarray(
-                    clip.transpose(1, 0, 2, 3)[None]
+                    np.stack([one_clip() for _ in range(args.batch_size)])
                 )
         else:
             while True:
