@@ -87,6 +87,7 @@ def generate_world(
     neg_t5_embeddings=None,
     condition_latent=None,  # video2world: (1, 16, T, H', W')
     num_condition_t: int = 0,
+    step_cache_interval: int = 1,
 ) -> np.ndarray:
     """Run the t2w/v2w denoise + decode; returns (T, H, W, 3) uint8."""
     state_shape = preset.state_shape
@@ -138,6 +139,7 @@ def generate_world(
         condition_video_input_mask=in_mask,
         num_steps=num_steps,
         guidance=guidance,
+        step_cache_interval=step_cache_interval,
     )
     video = model.decode(samples)
     video = np.asarray(video[0]).transpose(1, 2, 3, 0)
@@ -155,6 +157,9 @@ def create_parser() -> argparse.ArgumentParser:
     p.add_argument("--negative_prompt", type=str, default="")
     p.add_argument("--input_image_path", type=str, default=None)
     p.add_argument("--num_input_frames", type=int, default=1)
+    p.add_argument("--step_cache_interval", type=int, default=1,
+                   help=">1: training-free DiT output caching "
+                        "(Delta-DiT/SmoothCache family)")
     p.add_argument("--guidance", type=float, default=7.0)
     p.add_argument("--num_steps", type=int, default=35)
     p.add_argument("--fps", type=int, default=24)
@@ -221,6 +226,7 @@ def demo(args) -> str:
         neg_t5_embeddings=neg,
         condition_latent=condition_latent,
         num_condition_t=num_condition_t,
+        step_cache_interval=args.step_cache_interval,
     )
     path = os.path.join(args.video_save_folder, f"{args.video_save_name}.mp4")
     io_utils.save_video(video, args.fps, path)

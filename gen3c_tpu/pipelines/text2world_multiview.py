@@ -123,6 +123,7 @@ def generate_multiview_world(
     frame_repeat_negative_condition: float = 10.0,
     condition_latent=None,  # v2w: (1, 16, T', H', W') per-view seed latent
     num_condition_t: int = 1,
+    step_cache_interval: int = 1,
 ):
     """One multiview diffusion pass -> list of V videos (T, H, W, 3) u8."""
     cfg = preset.dit
@@ -184,6 +185,7 @@ def generate_multiview_world(
         condition_video_input_mask=in_mask,
         num_steps=num_steps,
         guidance=guidance,
+        step_cache_interval=step_cache_interval,
     )
     videos = []
     for v in range(V):
@@ -212,6 +214,7 @@ def create_parser() -> argparse.ArgumentParser:
     p.add_argument("--num_steps", type=int, default=35)
     p.add_argument("--frame_repeat_negative_condition", type=float,
                    default=10.0)
+    p.add_argument("--step_cache_interval", type=int, default=1)
     p.add_argument("--seed", type=int, default=1)
     p.add_argument("--disable_prompt_encoder", action="store_true",
                    default=True)
@@ -299,6 +302,7 @@ def demo(args) -> list:
         seed=args.seed,
         frame_repeat_negative_condition=args.frame_repeat_negative_condition,
         condition_latent=condition_latent,
+        step_cache_interval=args.step_cache_interval,
     )
     os.makedirs(args.video_save_folder, exist_ok=True)
     paths = []
