@@ -93,6 +93,7 @@ def build_gen3c_model(
     param_dtype: Any = jnp.bfloat16,
     num_devices: int = 1,
     quantize: bool | str = False,
+    parallel: str = "cp",
 ) -> Tuple[Gen3CModel, Gen3CPreset]:
     """Build a Gen3CModel from a preset, loading weights if available.
 
@@ -196,9 +197,27 @@ def build_gen3c_model(
     if num_devices > 1:
         from gen3c_tpu.parallel.mesh import make_mesh
 
-        mesh = make_mesh(dp=1, cp=num_devices, tp=1,
-                         devices=jax.devices()[:num_devices])
-        log.info(f"context-parallel denoising over {num_devices} devices")
+        if parallel == "tp":
+            # tensor-parallel serving: params sharded Megatron-style over
+            # the devices (declarative PartitionSpecs, XLA inserts the
+            # collectives); bf16 7B fits on >=2 chips without int8
+            from gen3c_tpu.parallel.sharding import shard_params
+
+            mesh = make_mesh(dp=1, cp=1, tp=num_devices,
+                             devices=jax.devices()[:num_devices])
+            dit_params = shard_params(mesh, dit_params)
+            log.info(
+                f"tensor-parallel denoising over {num_devices} devices"
+            )
+            mesh = None  # plain jit path: XLA auto-partitions
+        elif parallel == "cp":
+            mesh = make_mesh(dp=1, cp=num_devices, tp=1,
+                             devices=jax.devices()[:num_devices])
+            log.info(
+                f"context-parallel denoising over {num_devices} devices"
+            )
+        else:
+            raise ValueError(f"unknown parallel strategy {parallel!r}")
 
     model = Gen3CModel(
         dit_params=dit_params,

@@ -79,6 +79,11 @@ def create_parser() -> argparse.ArgumentParser:
     p.add_argument("--depth_source", type=str, default="auto",
                    choices=["auto", "moge", "file", "heuristic"])
     p.add_argument("--depth_path", type=str, default=None)
+    p.add_argument("--parallel", type=str, default="cp",
+                   choices=["cp", "tp"],
+                   help="multi-device strategy: context-parallel (seq "
+                        "sharded) or tensor-parallel (params sharded; "
+                        "bf16 7B fits on >=2 chips without int8)")
     p.add_argument("--num_devices", "--num_gpus", type=int, default=1,
                    dest="num_devices",
                    help="context-parallel denoise over N devices "
@@ -115,6 +120,7 @@ def demo(args) -> str:
         checkpoint_dir=args.checkpoint_dir,
         seed=args.seed,
         num_devices=args.num_devices,
+        parallel=args.parallel,
         quantize="w8a8" if args.quantize_w8a8 else args.quantize_int8,
     )
     validate_args(args, preset.chunk_size)

@@ -262,3 +262,40 @@ def test_pipeline_parallel_forward_matches_single_device():
     np.testing.assert_allclose(
         np.asarray(g_pp), np.asarray(g_ref), rtol=5e-3, atol=5e-3
     )
+
+
+def test_factory_tp_serving_matches_single_device():
+    """build_gen3c_model(parallel='tp') shards the DiT Megatron-style and
+    the plain jitted sampler auto-partitions — output matches the
+    unsharded model (the bf16-on->=2-chips serving path)."""
+    from gen3c_tpu.pipelines.factory import build_gen3c_model
+    from gen3c_tpu.pipelines.gen3c_pipeline import Gen3cPipeline
+
+    def run(num_devices, parallel):
+        model, preset = build_gen3c_model(
+            "gen3c_tiny", checkpoint_dir=None, seed=0,
+            num_devices=num_devices, parallel=parallel,
+        )
+        pipe = Gen3cPipeline(model=model, guidance=1.0, num_steps=2,
+                             height=preset.height, width=preset.width,
+                             seed=0)
+        h, w = preset.height, preset.width
+        rng = np.random.RandomState(0)
+        frames = (rng.rand(1, 3, 1, h, w) * 2 - 1).astype(np.float32)
+        warps = (rng.rand(1, 9, 1, 3, h, w) * 2 - 1).astype(np.float32)
+        masks = np.ones((1, 9, 1, 1, h, w), np.float32)
+        out = pipe.generate(
+            prompt="",
+            image_frames=jnp.asarray(frames),
+            rendered_warp_images=jnp.asarray(warps),
+            rendered_warp_masks=jnp.asarray(masks),
+        )
+        assert out is not None
+        return out[0]
+
+    ref = run(1, "cp")
+    tp = run(2, "tp")
+    np.testing.assert_allclose(
+        np.asarray(tp, np.float32), np.asarray(ref, np.float32),
+        rtol=5e-3, atol=5e-3,
+    )
