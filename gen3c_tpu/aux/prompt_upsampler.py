@@ -135,7 +135,7 @@ class JaxPromptUpsampler(PromptUpsampler):
         import jax
         import jax.numpy as jnp
 
-        from gen3c_tpu.models.ar_transformer import generate
+        from gen3c_tpu.models.ar_transformer import generate_bucketed
 
         chat = [
             {"role": "system", "content": self.SYSTEM},
@@ -154,13 +154,17 @@ class JaxPromptUpsampler(PromptUpsampler):
             ids = np.concatenate(
                 [ids[:, :head], ids[:, -(limit - head):]], axis=1
             )
-        out = generate(
+        # bucketed left-padding: one compiled trace per 128-token bucket
+        # instead of one per distinct prompt length
+        out = generate_bucketed(
             self.params, self.cfg, jnp.asarray(ids, jnp.int32),
             jax.random.PRNGKey(0), max_new_tokens=self.max_new_tokens,
             temperature=0.0,
+            pad_id=int(self.tokenizer.eos_token_id or 0),
         )
         text = self.tokenizer.decode(
-            np.asarray(out)[0][ids.shape[-1]:], skip_special_tokens=True
+            np.asarray(out)[0][out.shape[1] - self.max_new_tokens:],
+            skip_special_tokens=True,
         ).strip()
         return text or prompt
 

@@ -201,19 +201,26 @@ def rope_tables(cfg: ARConfig) -> Tuple[Array, Array]:
 
 
 def _apply_rope(x: Array, cos: Array, sin: Array) -> Array:
+    """cos/sin: (L, d) shared across the batch, or (B, L, d) per-row
+    (left-padded bucketed prefill uses per-row position offsets)."""
     d = x.shape[-1]
     x1, x2 = x[..., : d // 2], x[..., d // 2 :]
     rot = jnp.concatenate([-x2, x1], axis=-1)
-    out = x.astype(jnp.float32) * cos[None, :, None, :] + rot.astype(
-        jnp.float32
-    ) * sin[None, :, None, :]
+    if cos.ndim == 2:
+        cos, sin = cos[None, :, None, :], sin[None, :, None, :]
+    else:
+        cos, sin = cos[:, :, None, :], sin[:, :, None, :]
+    out = x.astype(jnp.float32) * cos + rot.astype(jnp.float32) * sin
     return out.astype(x.dtype)
 
 
-def _gqa_attention(q, k, v, causal_offset: Optional[Array] = None):
+def _gqa_attention(q, k, v, causal_offset: Optional[Array] = None,
+                   kv_valid_start: Optional[Array] = None):
     """q: (B, Lq, Hq, d); k/v: (B, Lk, Hkv, d) with Hq % Hkv == 0.
 
     causal_offset: absolute position of q[0] (None => full causal square).
+    kv_valid_start: (B,) — keys at positions < kv_valid_start[b] are
+    masked out (left-padding support for bucketed prompt lengths).
     """
     B, Lq, Hq, d = q.shape
     Lk, Hkv = k.shape[1], k.shape[2]
@@ -222,11 +229,16 @@ def _gqa_attention(q, k, v, causal_offset: Optional[Array] = None):
     v = jnp.repeat(v, rep, axis=2)
     logits = jnp.einsum("bqhd,bkhd->bhqk", q, k).astype(jnp.float32)
     logits = logits / math.sqrt(d)
+    kpos = jnp.arange(Lk)[None, :]
     if causal_offset is not None:
         qpos = jnp.arange(Lq)[:, None] + causal_offset
-        kpos = jnp.arange(Lk)[None, :]
-        mask = kpos <= qpos
-        logits = jnp.where(mask[None, None], logits, -1e30)
+        mask = (kpos <= qpos)[None]  # (1, Lq, Lk)
+        if kv_valid_start is not None:
+            mask = mask & (kpos[None] >= kv_valid_start[:, None, None])
+        logits = jnp.where(mask[:, None], logits, -1e30)
+    elif kv_valid_start is not None:
+        mask = kpos >= kv_valid_start[:, None]  # (B, Lk)
+        logits = jnp.where(mask[:, None, None, :], logits, -1e30)
     probs = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
     return jnp.einsum("bhqk,bkhd->bqhd", probs, v)
 
@@ -238,19 +250,36 @@ def ar_forward(
     rope: Tuple[Array, Array],
     cache: Optional[KVCache] = None,
     context: Optional[Array] = None,  # (B, M, context_dim)
+    pad_lens: Optional[Array] = None,  # (B,) left-pad counts
 ) -> Tuple[Array, Optional[KVCache]]:
     """Returns (logits (B, L, vocab), updated cache).
 
     Without a cache: full causal prefill (cache is created when one is
     passed in — positions [pos, pos+L) are written).
+
+    pad_lens: per-row LEFT-padding counts for bucketed prompt lengths —
+    row b's real tokens start at buffer index pad_lens[b]; RoPE
+    positions are shifted so the first real token gets position 0, and
+    padded key/value slots are masked out of every attention. With
+    pad_lens the output is bit-identical to an unpadded forward of each
+    row (the retrace-per-prompt-length fix; reference pads via HF
+    tokenizer batching instead).
     """
     B, L = tokens.shape
     dtype = cfg.dtype
     h = params["tok_embeddings"].astype(dtype)[tokens]
     cos_full, sin_full = rope
     pos0 = cache.pos if cache is not None else jnp.asarray(0, jnp.int32)
-    cos = jax.lax.dynamic_slice_in_dim(cos_full, pos0, L, 0)
-    sin = jax.lax.dynamic_slice_in_dim(sin_full, pos0, L, 0)
+    if pad_lens is None:
+        cos = jax.lax.dynamic_slice_in_dim(cos_full, pos0, L, 0)
+        sin = jax.lax.dynamic_slice_in_dim(sin_full, pos0, L, 0)
+    else:
+        # per-row positions: buffer index minus the row's left-pad count
+        positions = jnp.clip(
+            pos0 + jnp.arange(L)[None, :] - pad_lens[:, None], 0
+        )  # (B, L)
+        cos = cos_full[positions]
+        sin = sin_full[positions]
 
     new_k, new_v = [], []
     hd = cfg.head_dim
@@ -275,10 +304,12 @@ def ar_forward(
             new_k.append(ck)
             new_v.append(cv)
             attn = _gqa_attention(
-                q, ck.astype(dtype), cv.astype(dtype), causal_offset=pos0
+                q, ck.astype(dtype), cv.astype(dtype), causal_offset=pos0,
+                kv_valid_start=pad_lens,
             )
         else:
-            attn = _gqa_attention(q, k, v, causal_offset=jnp.asarray(0))
+            attn = _gqa_attention(q, k, v, causal_offset=jnp.asarray(0),
+                                  kv_valid_start=pad_lens)
         h = h + attn.reshape(B, L, -1) @ lp["wo"].astype(dtype)
 
         if cfg.context_dim and context is not None:
@@ -339,6 +370,33 @@ def sample_logits(
     return jax.random.categorical(key, logits, axis=-1)
 
 
+def _generate_impl(params, cfg, prompt_tokens, key, max_new_tokens,
+                   temperature, top_k, top_p, context, pad_lens):
+    B, L0 = prompt_tokens.shape
+    rope = rope_tables(cfg)
+    cache = init_kv_cache(cfg, B, dtype=cfg.dtype)
+    logits, cache = ar_forward(
+        params, cfg, prompt_tokens, rope, cache, context, pad_lens
+    )
+    # with LEFT padding the last real token is always at buffer index -1
+    first = sample_logits(key, logits[:, -1], temperature, top_k, top_p)
+
+    def step(carry, k_i):
+        cache, tok = carry
+        logits, cache = ar_forward(
+            params, cfg, tok[:, None], rope, cache, context, pad_lens
+        )
+        nxt = sample_logits(k_i, logits[:, -1], temperature, top_k, top_p)
+        return (cache, nxt), nxt
+
+    keys = jax.random.split(jax.random.fold_in(key, 1), max_new_tokens - 1)
+    (_, _), rest = jax.lax.scan(step, (cache, first), keys)
+    new_tokens = jnp.concatenate(
+        [first[:, None], jnp.swapaxes(rest, 0, 1)], axis=1
+    )
+    return jnp.concatenate([prompt_tokens, new_tokens], axis=1)
+
+
 @partial(
     jax.jit,
     static_argnames=("cfg", "max_new_tokens", "temperature", "top_k", "top_p"),
@@ -355,25 +413,68 @@ def generate(
     context: Optional[Array] = None,
 ) -> Array:
     """Prefill + lax.scan KV-cache decode. Returns (B, L0+new) tokens."""
-    B, L0 = prompt_tokens.shape
-    rope = rope_tables(cfg)
-    cache = init_kv_cache(cfg, B, dtype=cfg.dtype)
-    logits, cache = ar_forward(
-        params, cfg, prompt_tokens, rope, cache, context
-    )
-    first = sample_logits(key, logits[:, -1], temperature, top_k, top_p)
+    return _generate_impl(params, cfg, prompt_tokens, key, max_new_tokens,
+                          temperature, top_k, top_p, context, None)
 
-    def step(carry, k_i):
-        cache, tok = carry
-        logits, cache = ar_forward(
-            params, cfg, tok[:, None], rope, cache, context
+
+@partial(
+    jax.jit,
+    static_argnames=("cfg", "max_new_tokens", "temperature", "top_k", "top_p"),
+)
+def generate_padded(
+    params: Params,
+    cfg: ARConfig,
+    prompt_tokens: Array,  # (B, Lpad) LEFT-padded to the bucket length
+    pad_lens: Array,  # (B,) int32 — left-pad count per row
+    key: Array,
+    max_new_tokens: int,
+    temperature: float = 1.0,
+    top_k: int = 0,
+    top_p: float = 0.0,
+    context: Optional[Array] = None,
+) -> Array:
+    """generate() over left-padded prompts: bit-identical per-row output
+    to an unpadded generate() of that row, but the compiled trace is
+    shared by every prompt length in the bucket (fixes the
+    retrace-per-prompt-length limitation of the jitted generate)."""
+    return _generate_impl(params, cfg, prompt_tokens, key, max_new_tokens,
+                          temperature, top_k, top_p, context, pad_lens)
+
+
+def generate_bucketed(
+    params: Params,
+    cfg: ARConfig,
+    prompt_ids,  # array-like (B, L0) or list of per-row token lists
+    key: Array,
+    max_new_tokens: int,
+    temperature: float = 1.0,
+    top_k: int = 0,
+    top_p: float = 0.0,
+    context: Optional[Array] = None,
+    bucket: int = 128,
+    pad_id: int = 0,
+) -> Array:
+    """Host-side wrapper: left-pads prompts to the next multiple of
+    `bucket` and runs generate_padded, so at most max_seq_len/bucket
+    distinct traces ever compile. Returns (B, Lpad + max_new_tokens)
+    tokens; row b's real output starts at index pad_lens[b] (the padded
+    prompt region echoes pad_id at the left). Callers that need just the
+    completion can slice [:, Lpad:] — identical across rows."""
+    rows = [np.asarray(r).reshape(-1) for r in prompt_ids]
+    longest = max(r.shape[0] for r in rows)
+    lpad = max(bucket, ((longest + bucket - 1) // bucket) * bucket)
+    lpad = min(lpad, cfg.max_seq_len - max_new_tokens)
+    if longest > lpad:
+        raise ValueError(
+            f"prompt length {longest} exceeds budget {lpad} "
+            f"(max_seq_len {cfg.max_seq_len} - {max_new_tokens} new)"
         )
-        nxt = sample_logits(k_i, logits[:, -1], temperature, top_k, top_p)
-        return (cache, nxt), nxt
-
-    keys = jax.random.split(jax.random.fold_in(key, 1), max_new_tokens - 1)
-    (_, _), rest = jax.lax.scan(step, (cache, first), keys)
-    new_tokens = jnp.concatenate(
-        [first[:, None], jnp.swapaxes(rest, 0, 1)], axis=1
+    padded = np.full((len(rows), lpad), pad_id, np.int32)
+    pads = np.zeros((len(rows),), np.int32)
+    for i, r in enumerate(rows):
+        pads[i] = lpad - r.shape[0]
+        padded[i, pads[i]:] = r
+    return generate_padded(
+        params, cfg, jnp.asarray(padded), jnp.asarray(pads), key,
+        max_new_tokens, temperature, top_k, top_p, context,
     )
-    return jnp.concatenate([prompt_tokens, new_tokens], axis=1)

@@ -80,8 +80,29 @@ def read_image_bcthw(
 def read_video_bcthw(
     path: str, h: Optional[int] = None, w: Optional[int] = None
 ) -> Tuple[np.ndarray, float]:
-    """Read a video into float32 (1, C, T, H, W) in [-1, 1] + fps."""
+    """Read a video into float32 (1, C, T, H, W) in [-1, 1] + fps.
+
+    Accepts either a video file or a directory of frame images (the
+    save_video PNG-frame-dir fallback written when no ffmpeg backend is
+    available) so CLI outputs round-trip in every environment."""
     import imageio
+    from PIL import Image as _Image
+
+    if os.path.isdir(path):
+        names = sorted(
+            n for n in os.listdir(path)
+            if n.lower().endswith((".png", ".jpg", ".jpeg"))
+        )
+        if not names:
+            raise FileNotFoundError(f"no frame images in directory {path}")
+        frames = []
+        for n in names:
+            img = _Image.open(os.path.join(path, n)).convert("RGB")
+            if h is not None and w is not None and img.size != (w, h):
+                img = img.resize((w, h), _Image.BICUBIC)
+            frames.append(np.asarray(img))
+        video = np.stack(frames).astype(np.float32) / 127.5 - 1.0
+        return video.transpose(3, 0, 1, 2)[None], 24.0
 
     reader = imageio.get_reader(path)
     meta = reader.get_meta_data()

@@ -102,3 +102,79 @@ def test_top_p_restricts_support():
         )
         picks.add(int(t[0]))
     assert picks <= {0, 1}
+
+
+def test_padded_prefill_matches_unpadded():
+    """Left-padded ar_forward == unpadded forward of each row (the
+    bucketed-prompt-length fix): last-token logits must agree."""
+    from gen3c_tpu.models.ar_transformer import generate_bucketed  # noqa
+
+    params = init_ar_params(jax.random.PRNGKey(0), AR_TINY)
+    rope = rope_tables(AR_TINY)
+    rng = np.random.RandomState(2)
+    row_a = rng.randint(0, 512, (7,))
+    row_b = rng.randint(0, 512, (13,))
+    lpad = 16
+    padded = np.zeros((2, lpad), np.int32)
+    padded[0, lpad - 7:] = row_a
+    padded[1, lpad - 13:] = row_b
+    pads = jnp.asarray([lpad - 7, lpad - 13], jnp.int32)
+
+    logits_p, _ = ar_forward(
+        params, AR_TINY, jnp.asarray(padded), rope, pad_lens=pads
+    )
+    la, _ = ar_forward(params, AR_TINY, jnp.asarray(row_a[None]), rope)
+    lb, _ = ar_forward(params, AR_TINY, jnp.asarray(row_b[None]), rope)
+    np.testing.assert_allclose(
+        np.asarray(logits_p[0, -1]), np.asarray(la[0, -1]),
+        rtol=1e-5, atol=1e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(logits_p[1, -1]), np.asarray(lb[0, -1]),
+        rtol=1e-5, atol=1e-5,
+    )
+
+
+def test_generate_bucketed_matches_generate_greedy():
+    """Greedy bucketed generation == per-row unpadded generate()."""
+    from gen3c_tpu.models.ar_transformer import generate_bucketed
+
+    params = init_ar_params(jax.random.PRNGKey(0), AR_TINY)
+    rng = np.random.RandomState(3)
+    rows = [rng.randint(0, 512, (n,)) for n in (5, 11)]
+    new = 8
+    out = generate_bucketed(
+        params, AR_TINY, rows, jax.random.PRNGKey(0),
+        max_new_tokens=new, temperature=0.0, bucket=16,
+    )
+    lpad = out.shape[1] - new
+    for i, row in enumerate(rows):
+        ref = generate(
+            params, AR_TINY, jnp.asarray(row[None]),
+            jax.random.PRNGKey(0), max_new_tokens=new, temperature=0.0,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(out[i, lpad:]), np.asarray(ref[0, len(row):])
+        )
+        # the real prompt survives in place
+        np.testing.assert_array_equal(
+            np.asarray(out[i, lpad - len(row):lpad]), row
+        )
+
+
+def test_generate_bucketed_trace_sharing():
+    """Different prompt lengths inside one bucket reuse one trace."""
+    from gen3c_tpu.models.ar_transformer import generate_padded
+
+    params = init_ar_params(jax.random.PRNGKey(0), AR_TINY)
+    from gen3c_tpu.models.ar_transformer import generate_bucketed
+
+    n0 = generate_padded._cache_size()
+    for n in (3, 9, 14):
+        rng = np.random.RandomState(n)
+        generate_bucketed(
+            params, AR_TINY, [rng.randint(0, 512, (n,))],
+            jax.random.PRNGKey(0), max_new_tokens=4, temperature=0.0,
+            bucket=16,
+        )
+    assert generate_padded._cache_size() == n0 + 1
