@@ -284,12 +284,42 @@ class Gen3cPersistentModel(InferenceModel):
         the C++ viewer displays (testbed.cu cache-rendering display,
         gui/src/testbed.cu:380-386)."""
         assert self.cache is not None, "seed the model first"
+        import os as _os
+
         import jax.numpy as jnp
 
         t0 = time.perf_counter()
         target_res = np.tile(
             [[self.preset.width, self.preset.height]], (len(req), 1)
         )
+        if _os.environ.get("GEN3C_PREVIEW_NATIVE", "0") == "1":
+            # host-side z-buffered point rasterizer (native/point_raster):
+            # instant previews with zero TPU occupancy. Falls back to the
+            # fidelity-grade TPU splat when the library can't build.
+            from gen3c_tpu.native import point_raster as pr
+
+            if pr.available():
+                pts, cols = self.get_point_cloud(max_points=2_000_000)
+                frames = pr.raster_points(
+                    pts, cols,
+                    req.world_to_cameras().astype(np.float32),
+                    req.intrinsics_matrix(
+                        for_resolutions=target_res
+                    ).astype(np.float32),
+                    self.preset.height, self.preset.width,
+                    point_radius=float(
+                        _os.environ.get("GEN3C_PREVIEW_POINT_RADIUS", "1.0")
+                    ),
+                )
+                return InferenceResult(
+                    request_id=req.request_id,
+                    cameras_to_world=req.cameras_to_world,
+                    focal_lengths=req.focal_lengths,
+                    principal_points=req.principal_points,
+                    resolutions=req.resolutions,
+                    images=frames,
+                    runtime_ms=(time.perf_counter() - t0) * 1000,
+                )
         w2cs = jnp.asarray(req.world_to_cameras().astype(np.float32))[None]
         ks = jnp.asarray(
             req.intrinsics_matrix(for_resolutions=target_res).astype(
