@@ -1,0 +1,78 @@
+"""Pluggable IO (utils/easy_io) tests."""
+
+import numpy as np
+import pytest
+
+from gen3c_tpu.utils import easy_io
+
+
+def test_json_jsonl_roundtrip(tmp_path):
+    p = str(tmp_path / "a" / "x.json")
+    easy_io.easy_dump({"a": [1, 2]}, p)  # parent dir auto-created
+    assert easy_io.easy_load(p) == {"a": [1, 2]}
+    pl = str(tmp_path / "x.jsonl")
+    rows = [{"i": 0}, {"i": 1}]
+    easy_io.easy_dump(rows, pl)
+    assert easy_io.easy_load(pl) == rows
+
+
+def test_numpy_roundtrip(tmp_path):
+    arr = np.arange(6).reshape(2, 3).astype(np.float32)
+    p = str(tmp_path / "x.npy")
+    easy_io.easy_dump(arr, p)
+    np.testing.assert_array_equal(easy_io.easy_load(p), arr)
+    pz = str(tmp_path / "x.npz")
+    easy_io.easy_dump({"a": arr, "b": arr + 1}, pz)
+    z = easy_io.easy_load(pz)
+    np.testing.assert_array_equal(z["b"], arr + 1)
+
+
+def test_pickle_csv_txt_roundtrip(tmp_path):
+    p = str(tmp_path / "x.pkl")
+    easy_io.easy_dump({"k": (1, "two")}, p)
+    assert easy_io.easy_load(p) == {"k": (1, "two")}
+    pc = str(tmp_path / "x.csv")
+    easy_io.easy_dump([["a", "b"], ["1", "2"]], pc)
+    assert easy_io.easy_load(pc) == [["a", "b"], ["1", "2"]]
+    pt = str(tmp_path / "x.txt")
+    easy_io.easy_dump("hello", pt)
+    assert easy_io.easy_load(pt) == "hello"
+
+
+def test_torch_pt_checkpoint_loads(tmp_path):
+    torch = pytest.importorskip("torch")
+    p = str(tmp_path / "ckpt.pt")
+    torch.save({"w": torch.ones(2, 2)}, p)
+    out = easy_io.easy_load(p)
+    assert float(out["w"].sum()) == 4.0
+
+
+def test_explicit_format_and_exists(tmp_path):
+    p = str(tmp_path / "noext")
+    easy_io.easy_dump([1, 2], p, file_format="json")
+    assert easy_io.easy_load(p, file_format="json") == [1, 2]
+    assert easy_io.easy_exists(p)
+    assert not easy_io.easy_exists(str(tmp_path / "missing"))
+
+
+def test_custom_registration(tmp_path):
+    @easy_io.register_handler("rev")
+    class RevHandler:
+        def loads(self, data):
+            return data.decode()[::-1]
+
+        def dumps(self, obj):
+            return obj[::-1].encode()
+
+    p = str(tmp_path / "x.rev")
+    easy_io.easy_dump("abc", p)
+    with open(p, "rb") as f:
+        assert f.read() == b"cba"
+    assert easy_io.easy_load(p) == "abc"
+
+
+def test_unknown_scheme_and_ext_raise(tmp_path):
+    with pytest.raises(ValueError):
+        easy_io.easy_load("s3://bucket/x.json")
+    with pytest.raises(ValueError):
+        easy_io.easy_load(str(tmp_path / "x.unknownext"))
