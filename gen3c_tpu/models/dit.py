@@ -511,6 +511,7 @@ def _attn_block(
     rope: Optional[Tuple[Array, Array]],
     cp_axis: Optional[str] = None,
     cp_attn_impl: str = "allgather",
+    tp_axis: Optional[str] = None,
 ) -> Array:
     """Self- or cross-attention with per-head RMSNorm on q,k.
 
@@ -520,14 +521,23 @@ def _attn_block(
     ppermute ring with online-softmax accumulation (cp_attn_impl="ring",
     the TE-ring-attention equivalent). RoPE tables must be the LOCAL
     shard for q/k — rotate first, then communicate.
+
+    Under tensor parallelism (tp_axis set, inside shard_map with the
+    q/k/v weights column-sharded and `out` row-sharded per
+    parallel.sharding.dit_param_pspecs) each rank runs num_heads/tp
+    local heads and the output projection's partial sums are psum'd —
+    Megatron attention semantics (reference: training/networks/
+    general_dit.py:303-345 TE tp_group linears). Composes with cp_axis:
+    KV all-gather rides 'cp', the output reduction rides 'tp'.
     """
     B, L, D = x.shape
     hd = D // num_heads
     dtype = x.dtype
     ctx = x if context is None else context
-    q = _linear(x, p["q"], dtype).reshape(B, L, num_heads, hd)
-    k = _linear(ctx, p["k"], dtype).reshape(B, ctx.shape[1], num_heads, hd)
-    v = _linear(ctx, p["v"], dtype).reshape(B, ctx.shape[1], num_heads, hd)
+    # with TP the projections are column shards: (B, L, D/tp) -> -1 heads
+    q = _linear(x, p["q"], dtype).reshape(B, L, -1, hd)
+    k = _linear(ctx, p["k"], dtype).reshape(B, ctx.shape[1], -1, hd)
+    v = _linear(ctx, p["v"], dtype).reshape(B, ctx.shape[1], -1, hd)
     q = _rms_norm(q, p["q_norm"]["scale"])
     k = _rms_norm(k, p["k_norm"]["scale"])
     if context is None and rope is not None:
@@ -535,27 +545,35 @@ def _attn_block(
         k = apply_rope(k, *rope)
     if context is None and cp_axis is not None:
         if cp_attn_impl == "ring":
-            out = _ring_attention(q, k, v, cp_axis).reshape(B, L, D)
-            return _linear(out, p["out"], dtype)
-        if cp_attn_impl == "ulysses":
-            out = _ulysses_attention(q, k, v, cp_axis).reshape(B, L, D)
-            return _linear(out, p["out"], dtype)
-        if cp_attn_impl != "allgather":
+            out = _ring_attention(q, k, v, cp_axis)
+        elif cp_attn_impl == "ulysses":
+            out = _ulysses_attention(q, k, v, cp_axis)
+        elif cp_attn_impl != "allgather":
             raise ValueError(
                 f"unknown cp_attn_impl {cp_attn_impl!r}; expected "
                 "'allgather', 'ring' or 'ulysses'"
             )
-        k = jax.lax.all_gather(k, cp_axis, axis=1, tiled=True)
-        v = jax.lax.all_gather(v, cp_axis, axis=1, tiled=True)
-    out = attention_op(q, k, v).reshape(B, L, D)
-    return _linear(out, p["out"], dtype)
+        else:
+            k = jax.lax.all_gather(k, cp_axis, axis=1, tiled=True)
+            v = jax.lax.all_gather(v, cp_axis, axis=1, tiled=True)
+            out = attention_op(q, k, v)
+    else:
+        out = attention_op(q, k, v)
+    out = out.reshape(B, L, -1)
+    out = _linear(out, p["out"], dtype)
+    if tp_axis is not None:
+        out = jax.lax.psum(out, tp_axis)  # row-parallel reduction
+    return out
 
 
-def _mlp_block(p: Params, x: Array) -> Array:
+def _mlp_block(p: Params, x: Array, tp_axis: Optional[str] = None) -> Array:
     dtype = x.dtype
-    h = _linear(x, p["fc1"], dtype)
+    h = _linear(x, p["fc1"], dtype)  # column shard under TP
     h = jax.nn.gelu(h, approximate=False)
-    return _linear(h, p["fc2"], dtype)
+    h = _linear(h, p["fc2"], dtype)  # row shard: partial sums
+    if tp_axis is not None:
+        h = jax.lax.psum(h, tp_axis)
+    return h
 
 
 def _modulated_residual(x, sub_out_fn, p_sub, emb, lora):
@@ -614,6 +632,7 @@ def dit_forward(
     extra_pos_emb: Optional[Array] = None,
     cp_axis: Optional[str] = None,
     remat: bool = False,
+    tp_axis: Optional[str] = None,
 ) -> Array:
     """Full GeneralDIT forward. Returns (B, out_channels, T, H, W).
 
@@ -624,6 +643,12 @@ def dit_forward(
     this rank's contiguous chunk (parity with the reference's CP-aware
     pos-emb, position_embedding.py:61-79), and self-attention gathers K/V
     across the axis.
+
+    With tp_axis set (inside a shard_map whose in_specs shard the params
+    per parallel.sharding.dit_param_pspecs), attention and MLP run
+    Megatron tensor-parallel: column-sharded projections, psum on the
+    row-parallel outputs. cp_axis and tp_axis compose on a 2D mesh —
+    tokens sharded over 'cp', heads/hidden over 'tp'.
     """
     B, C, T, H, W = x.shape
     dtype = cfg.dtype
@@ -669,7 +694,7 @@ def dit_forward(
             tokens,
             lambda t: _attn_block(
                 blk["fa"], t, None, cfg.num_heads, rope_tables, cp_axis,
-                cfg.cp_attn_impl,
+                cfg.cp_attn_impl, tp_axis,
             ),
             blk["fa"],
             emb,
@@ -677,13 +702,19 @@ def dit_forward(
         )
         tokens = _modulated_residual(
             tokens,
-            lambda t: _attn_block(blk["ca"], t, ctx_emb, cfg.num_heads, None),
+            lambda t: _attn_block(
+                blk["ca"], t, ctx_emb, cfg.num_heads, None, tp_axis=tp_axis
+            ),
             blk["ca"],
             emb,
             lora,
         )
         return _modulated_residual(
-            tokens, lambda t: _mlp_block(blk["mlp"], t), blk["mlp"], emb, lora
+            tokens,
+            lambda t: _mlp_block(blk["mlp"], t, tp_axis),
+            blk["mlp"],
+            emb,
+            lora,
         )
 
     if remat:

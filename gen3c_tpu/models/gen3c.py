@@ -180,7 +180,10 @@ class Gen3CModel:
             ).astype(np.float32)
         augment_noise = arch_invariant_randn((B,) + state_shape, seed)
 
-        if self.mesh is not None and self.mesh.shape.get("cp", 1) > 1:
+        if self.mesh is not None and (
+    self.mesh.shape.get("cp", 1) > 1
+    or self.mesh.shape.get("tp", 1) > 1
+):
             # context-parallel denoise over the mesh (torchrun --num_gpus
             # parity; gen3c_tpu.parallel.cp — bit-exact vs single device)
             from gen3c_tpu.parallel.cp import cp_generate_samples

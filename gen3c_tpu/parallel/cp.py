@@ -42,6 +42,13 @@ def _cp_net_fn(bundle, x, t, ctx):
     return dit_forward(params, cfg, x, t, ctx, fps=24.0, cp_axis="cp")
 
 
+def _cp_tp_net_fn(bundle, x, t, ctx):
+    params, cfg = bundle
+    return dit_forward(
+        params, cfg, x, t, ctx, fps=24.0, cp_axis="cp", tp_axis="tp"
+    )
+
+
 def cp_generate_samples(
     mesh: Mesh,
     dit_params,
@@ -65,10 +72,28 @@ def cp_generate_samples(
 
     All tensor arguments are GLOBAL (full latent-T); sharding happens via
     the shard_map specs. Returns the full samples (implicit all-gather).
+
+    When the mesh also has a 'tp' axis of size > 1, the DiT additionally
+    runs Megatron tensor-parallel inside the same shard_map (params
+    sharded per dit_param_pspecs, psum'd row-parallel outputs) — the 2D
+    cp x tp serving layout. The reference composes the same two axes via
+    megatron parallel_state process groups (utils/trainer.py:66-70).
     """
     T = init_noise.shape[2]
     cp = mesh.shape["cp"]
+    tp = mesh.shape.get("tp", 1)
     assert T % cp == 0, f"latent T={T} must divide cp={cp}"
+    if tp > 1:
+        assert dit_cfg.num_heads % tp == 0, (
+            f"num_heads={dit_cfg.num_heads} must divide tp={tp}"
+        )
+        from gen3c_tpu.parallel.sharding import dit_param_pspecs
+
+        param_spec = dit_param_pspecs(dit_params)
+        net_fn = _cp_tp_net_fn
+    else:
+        param_spec = P()
+        net_fn = _cp_net_fn
 
     seq = P(None, None, "cp")  # (B, C, T, H, W) sharded on T
     indic = P(None, None, "cp")  # (B, 1, T, 1, 1)
@@ -87,7 +112,7 @@ def cp_generate_samples(
         params,
     ):
         return generate_samples(
-            net_fn=_cp_net_fn,
+            net_fn=net_fn,
             net_params=(params, dit_cfg),
             init_noise=init_noise,
             augment_noise=augment_noise,
@@ -108,7 +133,8 @@ def cp_generate_samples(
     mapped = jax.shard_map(
         body,
         mesh=mesh,
-        in_specs=(seq, seq, rep, rep, seq, indic, seq, seq, seq, rep),
+        in_specs=(seq, seq, rep, rep, seq, indic, seq, seq, seq,
+                  param_spec),
         out_specs=seq,
         check_vma=False,
     )

@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import dataclasses
 import os
+import re
 from typing import Any, Optional, Tuple
 
 import jax
@@ -215,6 +216,29 @@ def build_gen3c_model(
                              devices=jax.devices()[:num_devices])
             log.info(
                 f"context-parallel denoising over {num_devices} devices"
+            )
+        elif re.fullmatch(r"cp(\d+)tp(\d+)", parallel):
+            # 2D cp x tp mesh, e.g. parallel="cp4tp2" on 8 chips: tokens
+            # sharded over cp, heads/hidden Megatron-sharded over tp —
+            # one shard_map runs both (parallel/cp.py). Latent T must
+            # divide cp; num_heads must divide tp.
+            m = re.fullmatch(r"cp(\d+)tp(\d+)", parallel)
+            cp_n, tp_n = int(m.group(1)), int(m.group(2))
+            if cp_n * tp_n != num_devices:
+                raise ValueError(
+                    f"parallel={parallel!r} needs {cp_n * tp_n} devices, "
+                    f"got num_devices={num_devices}"
+                )
+            if quantize:
+                raise ValueError(
+                    "cpNtpM serving is the bf16 multi-chip path; "
+                    "combine with quantize=False"
+                )
+            mesh = make_mesh(dp=1, cp=cp_n, tp=tp_n,
+                             devices=jax.devices()[:num_devices])
+            log.info(
+                f"2D context x tensor parallel denoising: cp={cp_n} "
+                f"tp={tp_n}"
             )
         else:
             raise ValueError(f"unknown parallel strategy {parallel!r}")

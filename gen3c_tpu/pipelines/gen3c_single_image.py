@@ -80,10 +80,11 @@ def create_parser() -> argparse.ArgumentParser:
                    choices=["auto", "moge", "file", "heuristic"])
     p.add_argument("--depth_path", type=str, default=None)
     p.add_argument("--parallel", type=str, default="cp",
-                   choices=["cp", "tp"],
-                   help="multi-device strategy: context-parallel (seq "
-                        "sharded) or tensor-parallel (params sharded; "
-                        "bf16 7B fits on >=2 chips without int8)")
+                   help="multi-device strategy: 'cp' (context-parallel, "
+                        "seq sharded), 'tp' (tensor-parallel, params "
+                        "sharded; bf16 7B fits on >=2 chips without "
+                        "int8), or 'cpNtpM' for a 2D mesh (e.g. cp4tp2 "
+                        "on 8 chips)")
     p.add_argument("--num_devices", "--num_gpus", type=int, default=1,
                    dest="num_devices",
                    help="context-parallel denoise over N devices "

@@ -299,3 +299,49 @@ def test_factory_tp_serving_matches_single_device():
         np.asarray(tp, np.float32), np.asarray(ref, np.float32),
         rtol=5e-3, atol=5e-3,
     )
+
+
+def test_cp_tp_2d_sampler_matches_single_device():
+    """2D cp x tp mesh (cp=2, tp=2): Megatron TP inside the CP shard_map
+    must reproduce the single-device denoise (the cpNtpM serving path)."""
+    mesh = make_mesh(dp=1, cp=2, tp=2, devices=jax.devices()[:4])
+    params = init_dit_params(jax.random.PRNGKey(0), CFG, jnp.float32)
+    rng = np.random.RandomState(4)
+    args = _sample_args(rng)
+    ref = generate_samples(
+        net_fn=_net_fn, net_params=(params, CFG), num_steps=3, **args
+    )
+    out = cp_generate_samples(mesh, params, CFG, num_steps=3, **args)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), rtol=5e-4, atol=5e-4
+    )
+
+
+def test_pure_tp_shardmap_sampler_matches_single_device():
+    """cp=1, tp=4 through the same shard_map path (explicit Megatron
+    collectives, no GSPMD auto-partitioning — the layout that stays
+    valid around custom attention kernels)."""
+    mesh = make_mesh(dp=1, cp=1, tp=4, devices=jax.devices()[:4])
+    params = init_dit_params(jax.random.PRNGKey(0), CFG, jnp.float32)
+    rng = np.random.RandomState(5)
+    args = _sample_args(rng)
+    ref = generate_samples(
+        net_fn=_net_fn, net_params=(params, CFG), num_steps=2, **args
+    )
+    out = cp_generate_samples(mesh, params, CFG, num_steps=2, **args)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), rtol=5e-4, atol=5e-4
+    )
+
+
+def test_factory_cp_tp_strategy_validation():
+    from gen3c_tpu.pipelines.factory import build_gen3c_model
+
+    with pytest.raises(ValueError, match="needs 8 devices"):
+        build_gen3c_model(
+            "gen3c_tiny", num_devices=4, parallel="cp4tp2"
+        )
+    with pytest.raises(ValueError, match="unknown parallel strategy"):
+        build_gen3c_model(
+            "gen3c_tiny", num_devices=4, parallel="nonsense"
+        )
