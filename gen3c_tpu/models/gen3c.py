@@ -141,6 +141,7 @@ class Gen3CModel:
         condition_augment_sigma: float = DEFAULT_AUGMENT_SIGMA,
         init_noise: Optional[np.ndarray] = None,
         step_cache_interval: int = 1,
+        step_cache_threshold: float = 0.0,
     ) -> Array:
         """Run the full GEN3C denoise; returns latent (B, 16, T, H', W')."""
         from gen3c_tpu.models.conditioner import make_condition_pair
@@ -206,6 +207,7 @@ class Gen3CModel:
                 condition_augment_sigma=condition_augment_sigma,
                 schedule=self.schedule,
                 step_cache_interval=step_cache_interval,
+                step_cache_threshold=step_cache_threshold,
             )
 
         return generate_samples(
@@ -225,4 +227,5 @@ class Gen3CModel:
             condition_augment_sigma=condition_augment_sigma,
             schedule=self.schedule,
             step_cache_interval=step_cache_interval,
+            step_cache_threshold=step_cache_threshold,
         )

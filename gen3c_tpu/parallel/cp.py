@@ -67,6 +67,7 @@ def cp_generate_samples(
     condition_augment_sigma: float = 0.001,
     schedule: EDMEulerSchedule = EDMEulerSchedule(),
     step_cache_interval: int = 1,
+    step_cache_threshold: float = 0.0,
 ) -> Array:
     """Context-parallel version of sampler.generate_samples.
 
@@ -128,6 +129,7 @@ def cp_generate_samples(
             condition_augment_sigma=condition_augment_sigma,
             schedule=schedule,
             step_cache_interval=step_cache_interval,
+            step_cache_threshold=step_cache_threshold,
         )
 
     mapped = jax.shard_map(

@@ -36,6 +36,7 @@ class Gen3cPipeline:
     guidance: float = 1.0
     num_steps: int = 35
     step_cache_interval: int = 1
+    step_cache_threshold: float = 0.0
     height: int = 704
     width: int = 1280
     fps: int = 24
@@ -90,6 +91,7 @@ class Gen3cPipeline:
             guidance=self.guidance,
             num_steps=self.num_steps,
             step_cache_interval=self.step_cache_interval,
+            step_cache_threshold=self.step_cache_threshold,
             seed=self.seed if seed is None else seed,
             neg_t5_embeddings=neg_emb,
         )

@@ -51,6 +51,12 @@ def create_parser() -> argparse.ArgumentParser:
                         "denoise steps (Delta-DiT/SmoothCache family) — "
                         "the net runs every Nth step; ~N x faster denoise "
                         "at a small quality cost")
+    p.add_argument("--step_cache_threshold", type=float, default=0.0,
+                   help=">0: ADAPTIVE step caching (TeaCache family) — "
+                        "the DiT refreshes when the accumulated relative "
+                        "latent drift crosses the threshold (refreshes "
+                        "concentrate where the trajectory bends); "
+                        "overrides --step_cache_interval")
     p.add_argument("--num_video_frames", type=int, default=121,
                    help="(N-1) %% (chunk-1) must be 0")
     p.add_argument("--fps", type=int, default=24)
@@ -138,6 +144,7 @@ def demo(args) -> str:
         guidance=args.guidance,
         num_steps=args.num_steps,
         step_cache_interval=args.step_cache_interval,
+        step_cache_threshold=args.step_cache_threshold,
         height=preset.height,
         width=preset.width,
         fps=args.fps,

@@ -88,6 +88,7 @@ def generate_world(
     condition_latent=None,  # video2world: (1, 16, T, H', W')
     num_condition_t: int = 0,
     step_cache_interval: int = 1,
+    step_cache_threshold: float = 0.0,
 ) -> np.ndarray:
     """Run the t2w/v2w denoise + decode; returns (T, H, W, 3) uint8."""
     state_shape = preset.state_shape
@@ -140,6 +141,7 @@ def generate_world(
         num_steps=num_steps,
         guidance=guidance,
         step_cache_interval=step_cache_interval,
+        step_cache_threshold=step_cache_threshold,
     )
     video = model.decode(samples)
     video = np.asarray(video[0]).transpose(1, 2, 3, 0)
@@ -160,6 +162,9 @@ def create_parser() -> argparse.ArgumentParser:
     p.add_argument("--step_cache_interval", type=int, default=1,
                    help=">1: training-free DiT output caching "
                         "(Delta-DiT/SmoothCache family)")
+    p.add_argument("--step_cache_threshold", type=float, default=0.0,
+                   help=">0: adaptive (TeaCache-style) step caching; "
+                        "overrides --step_cache_interval")
     p.add_argument("--guidance", type=float, default=7.0)
     p.add_argument("--num_steps", type=int, default=35)
     p.add_argument("--fps", type=int, default=24)
@@ -227,6 +232,7 @@ def demo(args) -> str:
         condition_latent=condition_latent,
         num_condition_t=num_condition_t,
         step_cache_interval=args.step_cache_interval,
+        step_cache_threshold=args.step_cache_threshold,
     )
     path = os.path.join(args.video_save_folder, f"{args.video_save_name}.mp4")
     io_utils.save_video(video, args.fps, path)

@@ -124,6 +124,7 @@ def generate_multiview_world(
     condition_latent=None,  # v2w: (1, 16, T', H', W') per-view seed latent
     num_condition_t: int = 1,
     step_cache_interval: int = 1,
+    step_cache_threshold: float = 0.0,
 ):
     """One multiview diffusion pass -> list of V videos (T, H, W, 3) u8."""
     cfg = preset.dit
@@ -186,6 +187,7 @@ def generate_multiview_world(
         num_steps=num_steps,
         guidance=guidance,
         step_cache_interval=step_cache_interval,
+        step_cache_threshold=step_cache_threshold,
     )
     videos = []
     for v in range(V):
@@ -215,6 +217,9 @@ def create_parser() -> argparse.ArgumentParser:
     p.add_argument("--frame_repeat_negative_condition", type=float,
                    default=10.0)
     p.add_argument("--step_cache_interval", type=int, default=1)
+    p.add_argument("--step_cache_threshold", type=float, default=0.0,
+                   help=">0: adaptive (TeaCache-style) step caching; "
+                        "overrides --step_cache_interval")
     p.add_argument("--seed", type=int, default=1)
     p.add_argument("--disable_prompt_encoder", action="store_true",
                    default=True)
@@ -303,6 +308,7 @@ def demo(args) -> list:
         frame_repeat_negative_condition=args.frame_repeat_negative_condition,
         condition_latent=condition_latent,
         step_cache_interval=args.step_cache_interval,
+        step_cache_threshold=args.step_cache_threshold,
     )
     os.makedirs(args.video_save_folder, exist_ok=True)
     paths = []

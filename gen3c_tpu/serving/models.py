@@ -139,6 +139,7 @@ class Gen3cPersistentModel(InferenceModel):
         depth_source: str = "auto",
         quantize: bool | str = False,
         step_cache_interval: int = 1,
+        step_cache_threshold: float = 0.0,
     ):
         from gen3c_tpu.pipelines.depth import make_depth_estimator
         from gen3c_tpu.pipelines.factory import build_gen3c_model
@@ -153,6 +154,7 @@ class Gen3cPersistentModel(InferenceModel):
             guidance=guidance,
             num_steps=num_steps,
             step_cache_interval=step_cache_interval,
+            step_cache_threshold=step_cache_threshold,
             height=self.preset.height,
             width=self.preset.width,
             seed=seed,

@@ -249,6 +249,9 @@ def build_model_from_env():
         step_cache_interval=int(
             os.environ.get("GEN3C_STEP_CACHE_INTERVAL", "1")
         ),
+        step_cache_threshold=float(
+            os.environ.get("GEN3C_STEP_CACHE_THRESHOLD", "0")
+        ),
     )
 
 

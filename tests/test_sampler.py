@@ -250,3 +250,83 @@ def test_step_cache_changes_trajectory():
     assert np.isfinite(np.asarray(cached)).all()
     diff = np.abs(np.asarray(cached) - np.asarray(full)).mean()
     assert diff > 0  # caching actually changed the trajectory
+
+
+def _adaptive_kwargs(num_steps=12):
+    B, C, T, H, W, P = _shapes()
+    rng = np.random.RandomState(7)
+    return dict(
+        init_noise=jnp.asarray(rng.randn(B, C, T, H, W).astype(np.float32)),
+        augment_noise=jnp.zeros((B, C, T, H, W)),
+        crossattn_cond=jnp.zeros((B, 4, 16)),
+        crossattn_uncond=jnp.zeros((B, 4, 16)),
+        gt_latent=jnp.zeros((B, C, T, H, W)),
+        condition_video_indicator=jnp.zeros((1, 1, T, 1, 1)),
+        condition_video_input_mask=jnp.zeros((B, 1, T, H, W)),
+        pose_latent_cond=jnp.zeros((B, P, T, H, W)),
+        pose_latent_uncond=jnp.zeros((B, P, T, H, W)),
+        num_steps=num_steps,
+        guidance=0.0,
+    )
+
+
+def test_adaptive_cache_tiny_threshold_is_uncached():
+    """TeaCache-style adaptive mode with a ~0 threshold refreshes every
+    step -> identical output to the uncached loop."""
+    B, C = _shapes()[0], _shapes()[1]
+
+    def net_fn(params, x_in, t, crossattn):
+        return 0.5 * x_in[:, :C]
+
+    kwargs = _adaptive_kwargs()
+    full = generate_samples(net_fn=net_fn, net_params=None, **kwargs)
+    adaptive = generate_samples(
+        net_fn=net_fn, net_params=None, step_cache_threshold=1e-12, **kwargs
+    )
+    np.testing.assert_array_equal(np.asarray(adaptive), np.asarray(full))
+
+
+def test_adaptive_cache_huge_threshold_skips():
+    """A huge threshold only refreshes warmup/tail: the trajectory of a
+    latent-dependent net must diverge from the full run, stay finite."""
+    C = _shapes()[1]
+
+    def net_fn(params, x_in, t, crossattn):
+        return 0.5 * x_in[:, :C]
+
+    kwargs = _adaptive_kwargs()
+    full = generate_samples(net_fn=net_fn, net_params=None, **kwargs)
+    lazy = generate_samples(
+        net_fn=net_fn, net_params=None, step_cache_threshold=1e9, **kwargs
+    )
+    assert np.isfinite(np.asarray(lazy)).all()
+    assert float(jnp.max(jnp.abs(lazy - full))) > 1e-6
+
+
+def test_adaptive_cache_threshold_orders_error():
+    """Tighter thresholds track the uncached trajectory at least as well
+    as the lazy extreme (perfect-denoiser setup, same as the fixed-
+    interval convergence test)."""
+    B, C, T, H, W, P = _shapes()
+    rng = np.random.RandomState(1)
+    x0 = rng.randn(B, C, T, H, W).astype(np.float32)
+    x0_j = jnp.asarray(x0)
+    sched = EDMEulerSchedule()
+
+    def net_fn(params, x_in, t, crossattn):
+        sigma = jnp.exp(4.0 * t)[:, None, None, None, None]
+        xt = x_in[:, :C] / sched.c_in(sigma)
+        return sched.reverse_precondition_output(
+            jnp.concatenate([x0_j, x0_j], 0), xt, sigma
+        )
+
+    kwargs = _adaptive_kwargs(num_steps=35)
+    kwargs["init_noise"] = jnp.asarray(
+        np.random.RandomState(2).randn(B, C, T, H, W).astype(np.float32)
+    )
+    out = generate_samples(
+        net_fn=net_fn, net_params=None, step_cache_threshold=0.05, **kwargs
+    )
+    # adaptive caching with a practical threshold still converges to the
+    # perfect-denoiser target within the fixed-interval test's tolerance
+    np.testing.assert_allclose(np.asarray(out), x0, rtol=2e-2, atol=2e-2)
