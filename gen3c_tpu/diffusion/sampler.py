@@ -57,6 +57,7 @@ def _net_inputs(x_scaled: Array, condition: VideoExtendCondition) -> Array:
         "schedule",
         "step_cache_interval",
         "step_cache_threshold",
+        "net_fn_skip",
     ),
 )
 def generate_samples(
@@ -77,6 +78,7 @@ def generate_samples(
     schedule: EDMEulerSchedule = EDMEulerSchedule(),
     step_cache_interval: int = 1,
     step_cache_threshold: float = 0.0,
+    net_fn_skip: Optional[Callable[..., Array]] = None,
 ) -> Array:
     """Run the full denoising loop; returns the final latent (B,C,T,H,W).
 
@@ -106,6 +108,15 @@ def generate_samples(
     omitted (no fitted coefficients exist for GEN3C; the raw ratio is
     the conservative choice). threshold=0 with interval<=1 is the
     exact uncached loop.
+
+    net_fn_skip enables Delta-DiT SPAN caching instead (arXiv:
+    2406.01125): net_fn must then return (raw_out, span_delta) and
+    net_fn_skip(net_params, x_in, t, ctx, span_delta) -> raw_out runs
+    only the blocks outside cfg.cache_block_span, re-applying the
+    cached delta — skipped steps still track the current latent through
+    the out-of-span blocks (higher fidelity than whole-output reuse at
+    a smaller speedup). Refresh cadence comes from step_cache_interval
+    (warmup/tail always refresh).
     """
     sigmas = jnp.asarray(schedule.sigmas(num_steps))  # (num_steps+1,)
     c_noises = jnp.asarray(schedule.timesteps(num_steps))  # (num_steps,)
@@ -168,11 +179,56 @@ def generate_samples(
         )
         return _step_outputs(i, sigma, indicator, new_xt, net_out)
 
-    if step_cache_interval <= 1 and step_cache_threshold <= 0:
+    if (step_cache_interval <= 1 and step_cache_threshold <= 0
+            and net_fn_skip is None):
         return jax.lax.fori_loop(0, num_steps, body, xt0)
 
     # --- step-cached variants: carry the last raw [cond|uncond] output ---
     warmup, tail = 2, 2
+
+    if net_fn_skip is not None:
+        # Delta-DiT span caching: carry the span's residual delta
+        interval = max(step_cache_interval, 2)
+
+        def span_body(i, carry):
+            xt, delta = carry
+            sigma, indicator, new_xt, x_in, t_in = _step_inputs(i, xt)
+            refresh = (
+                (i < warmup)
+                | (i >= num_steps - tail)
+                | ((i - warmup) % interval == 0)
+            )
+
+            def do_refresh():
+                out, d = net_fn(net_params, x_in, t_in, crossattn_both)
+                return out.astype(jnp.float32), d
+
+            def do_skip():
+                out = net_fn_skip(
+                    net_params, x_in, t_in, crossattn_both, delta
+                )
+                return out.astype(jnp.float32), delta
+
+            net_out, delta = jax.lax.cond(refresh, do_refresh, do_skip)
+            return (
+                _step_outputs(i, sigma, indicator, new_xt, net_out),
+                delta,
+            )
+
+        # trace once to get the delta's shape/dtype for the init carry
+        d_shape = jax.eval_shape(
+            lambda: net_fn(
+                net_params,
+                _step_inputs(0, xt0)[3],
+                jnp.zeros((2 * B,), jnp.float32),
+                crossattn_both,
+            )[1]
+        )
+        delta0 = jnp.zeros(d_shape.shape, d_shape.dtype)
+        final, _ = jax.lax.fori_loop(
+            0, num_steps, span_body, (xt0, delta0)
+        )
+        return final
 
     if step_cache_threshold > 0:
         # adaptive (TeaCache-style): refresh when the accumulated

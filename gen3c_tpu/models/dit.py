@@ -84,6 +84,12 @@ class DiTConfig:
     #   "ulysses"   — head-scatter all-to-all (xDiT/DeepSpeed-Ulysses);
     #                 lowest ICI traffic, needs num_heads % cp == 0
     cp_attn_impl: str = "allgather"
+    # Delta-DiT span caching (arXiv:2406.01125): blocks [lo, hi) are the
+    # cacheable span — on cache-skip denoise steps only the blocks
+    # OUTSIDE the span run, and the span's cached residual delta is
+    # re-applied (sampler step_cache_interval>1 + this span). None = the
+    # whole-output caching mode instead.
+    cache_block_span: Optional[Tuple[int, int]] = None
     dtype: Any = jnp.bfloat16
 
     @property
@@ -633,8 +639,17 @@ def dit_forward(
     cp_axis: Optional[str] = None,
     remat: bool = False,
     tp_axis: Optional[str] = None,
+    span_delta: Optional[Array] = None,
+    return_span_delta: bool = False,
 ) -> Array:
     """Full GeneralDIT forward. Returns (B, out_channels, T, H, W).
+
+    Delta-DiT span caching (cfg.cache_block_span=(lo,hi), arXiv:
+    2406.01125): with return_span_delta=True the forward also returns
+    the residual delta the span's blocks added to the token stream,
+    (B, L, D); with span_delta given, the span's blocks are SKIPPED and
+    the cached delta is re-applied in their place — the cheap path for
+    cache-skip denoise steps (runs num_blocks - (hi-lo) blocks).
 
     rope_tables / extra_pos_emb may be precomputed; by default they are
     built for the full (T', H', W') token grid. With cp_axis set (inside
@@ -725,8 +740,30 @@ def dit_forward(
         block_step = jax.checkpoint(block_step)
 
     ctx_emb = crossattn_emb.astype(dtype)
-    for blk in params["blocks"]:
+    span = cfg.cache_block_span
+    if (span_delta is not None or return_span_delta) and span is None:
+        raise ValueError(
+            "span_delta/return_span_delta need cfg.cache_block_span"
+        )
+    span_lo, span_hi = span if span is not None else (-1, -1)
+    tokens_at_lo = None
+    new_span_delta = None
+    for bi, blk in enumerate(params["blocks"]):
+        if bi == span_lo:
+            if span_delta is not None:
+                # cache-skip step: re-apply the cached span delta and
+                # jump over the span's blocks
+                tokens = tokens + span_delta.astype(tokens.dtype)
+            elif return_span_delta:
+                tokens_at_lo = tokens
+        if span_delta is not None and span_lo <= bi < span_hi:
+            continue
         tokens = block_step(tokens, blk, emb, lora, extra, ctx_emb)
+        if return_span_delta and span_lo < span_hi and bi == span_hi - 1:
+            new_span_delta = tokens - tokens_at_lo
+    if return_span_delta and span_lo == span_hi:
+        # empty span: delta is identically zero (skip path == full path)
+        new_span_delta = jnp.zeros_like(tokens)
 
     # final layer (blocks.py:189-242)
     fshift, fscale = _adaln_modulation(params["final"]["adaln"], emb, lora, 2)
@@ -736,7 +773,10 @@ def dit_forward(
     ).astype(dtype)
     tokens = tokens @ _w(params["final"]["linear"], dtype)
     tokens = tokens.reshape(B, Tp, Hp, Wp, -1)
-    return unpatchify(cfg, tokens, T, H, W)
+    out = unpatchify(cfg, tokens, T, H, W)
+    if return_span_delta:
+        return out, new_span_delta
+    return out
 
 
 def build_extra_pos_emb(params: Params, T: int, H: int, W: int) -> Array:

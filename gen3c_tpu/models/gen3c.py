@@ -46,6 +46,21 @@ def _dit_net_fn(bundle, x, t, ctx):
     return dit_forward(params, cfg, x, t, ctx, fps=24.0)
 
 
+def _dit_net_fn_span_refresh(bundle, x, t, ctx):
+    """Delta-DiT span caching refresh path: full forward that also
+    returns the cfg.cache_block_span residual delta."""
+    params, cfg = bundle
+    return dit_forward(params, cfg, x, t, ctx, fps=24.0,
+                       return_span_delta=True)
+
+
+def _dit_net_fn_span_skip(bundle, x, t, ctx, delta):
+    """Delta-DiT span caching skip path: runs only the blocks outside
+    cfg.cache_block_span, re-applying the cached delta."""
+    params, cfg = bundle
+    return dit_forward(params, cfg, x, t, ctx, fps=24.0, span_delta=delta)
+
+
 @dataclasses.dataclass
 class Gen3CModel:
     """GEN3C-Cosmos-7B wrapper: DiT + tokenizer + schedule."""
@@ -210,8 +225,13 @@ class Gen3CModel:
                 step_cache_threshold=step_cache_threshold,
             )
 
+        use_span = (
+            self.dit_cfg.cache_block_span is not None
+            and step_cache_interval > 1
+        )
         return generate_samples(
-            net_fn=self._net_fn,
+            net_fn=(_dit_net_fn_span_refresh if use_span else self._net_fn),
+            net_fn_skip=(_dit_net_fn_span_skip if use_span else None),
             net_params=(self.dit_params, self.dit_cfg),
             init_noise=jnp.asarray(init_noise),
             augment_noise=jnp.asarray(augment_noise),

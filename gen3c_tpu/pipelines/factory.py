@@ -95,6 +95,7 @@ def build_gen3c_model(
     num_devices: int = 1,
     quantize: bool | str = False,
     parallel: str = "cp",
+    cache_block_span: Optional[Tuple[int, int]] = None,
 ) -> Tuple[Gen3CModel, Gen3CPreset]:
     """Build a Gen3CModel from a preset, loading weights if available.
 
@@ -111,6 +112,22 @@ def build_gen3c_model(
     setup_jax()
     if isinstance(preset, str):
         preset = PRESETS[preset]
+    if cache_block_span is not None:
+        # Delta-DiT span caching (sampler step_cache_interval>1 skips
+        # these blocks, re-applying their cached residual delta)
+        lo, hi = cache_block_span
+        n = preset.dit.num_blocks
+        if not (0 <= lo <= hi <= n):
+            raise ValueError(
+                f"cache_block_span {cache_block_span} out of range for "
+                f"{n} blocks"
+            )
+        preset = dataclasses.replace(
+            preset,
+            dit=dataclasses.replace(
+                preset.dit, cache_block_span=(lo, hi)
+            ),
+        )
 
     dit_cfg = preset.dit
     key = jax.random.PRNGKey(seed)

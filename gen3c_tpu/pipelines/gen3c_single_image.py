@@ -51,6 +51,13 @@ def create_parser() -> argparse.ArgumentParser:
                         "denoise steps (Delta-DiT/SmoothCache family) — "
                         "the net runs every Nth step; ~N x faster denoise "
                         "at a small quality cost")
+    p.add_argument("--step_cache_block_span", type=int, nargs=2,
+                   default=None, metavar=("LO", "HI"),
+                   help="with --step_cache_interval>1: Delta-DiT span "
+                        "caching — skipped steps run only the blocks "
+                        "outside [LO,HI), re-applying the span's cached "
+                        "residual (higher fidelity than whole-output "
+                        "reuse; single-device path)")
     p.add_argument("--step_cache_threshold", type=float, default=0.0,
                    help=">0: ADAPTIVE step caching (TeaCache family) — "
                         "the DiT refreshes when the accumulated relative "
@@ -128,6 +135,10 @@ def demo(args) -> str:
         seed=args.seed,
         num_devices=args.num_devices,
         parallel=args.parallel,
+        cache_block_span=(
+            tuple(args.step_cache_block_span)
+            if args.step_cache_block_span else None
+        ),
         quantize="w8a8" if args.quantize_w8a8 else args.quantize_int8,
     )
     validate_args(args, preset.chunk_size)

@@ -153,3 +153,143 @@ def test_apply_rope_rotates_pairs():
     xn = np.asarray(x)
     np.testing.assert_allclose(out[..., :4], -xn[..., 4:], atol=1e-6)
     np.testing.assert_allclose(out[..., 4:], xn[..., :4], atol=1e-6)
+
+
+def _randomize_degenerate_inits(params, seed=9):
+    """zero-init adaLN gates make blocks identity (and the final linear
+    zeros the output); randomize them so blocks actually contribute."""
+    keys = iter(jax.random.split(jax.random.PRNGKey(seed), 64))
+    for blk in params["blocks"]:
+        for sub in ("fa", "ca", "mlp"):
+            w2 = blk[sub]["adaln"]["w2"]
+            blk[sub]["adaln"]["w2"] = 0.1 * jax.random.normal(
+                next(keys), w2.shape, w2.dtype
+            )
+    fl = params["final"]["linear"]["w"]
+    params["final"]["linear"]["w"] = 0.1 * jax.random.normal(
+        next(keys), fl.shape, fl.dtype
+    )
+    return params
+
+
+def test_span_delta_refresh_then_skip_identical():
+    """Delta-DiT span caching: on the SAME input, the skip path (blocks
+    outside the span + cached delta) reproduces the full forward
+    exactly."""
+    import dataclasses
+
+    cfg = dataclasses.replace(TINY, num_blocks=3, cache_block_span=(1, 2))
+    params = _randomize_degenerate_inits(
+        init_dit_params(jax.random.PRNGKey(0), cfg)
+    )
+    B, C, T, H, W = 1, 81, 2, 8, 8
+    x = jax.random.normal(jax.random.PRNGKey(1), (B, C, T, H, W))
+    t = jnp.asarray([0.4])
+    ctx = jax.random.normal(jax.random.PRNGKey(2), (B, 6, 32))
+
+    full, delta = dit_forward(params, cfg, x, t, ctx, fps=24.0,
+                              return_span_delta=True)
+    plain = dit_forward(params, cfg, x, t, ctx, fps=24.0)
+    np.testing.assert_array_equal(np.asarray(full), np.asarray(plain))
+    skipped = dit_forward(params, cfg, x, t, ctx, fps=24.0,
+                          span_delta=delta)
+    np.testing.assert_allclose(
+        np.asarray(skipped), np.asarray(full), rtol=1e-5, atol=1e-6
+    )
+    # the delta really carries the span's contribution: zeroing it
+    # changes the output
+    broken = dit_forward(params, cfg, x, t, ctx, fps=24.0,
+                         span_delta=jnp.zeros_like(delta))
+    assert float(jnp.max(jnp.abs(broken - full))) > 1e-4
+
+
+def test_span_delta_requires_config():
+    params = init_dit_params(jax.random.PRNGKey(0), TINY)
+    x = jnp.zeros((1, 81, 2, 8, 8))
+    with pytest.raises(ValueError, match="cache_block_span"):
+        dit_forward(params, TINY, x, jnp.asarray([0.1]),
+                    jnp.zeros((1, 4, 32)), return_span_delta=True)
+
+
+def test_sampler_span_cache_empty_span_is_uncached():
+    """span=(k,k): the cached delta is identically zero and the skip
+    path runs every block -> the span-cached sampler trajectory equals
+    the uncached one bitwise for ANY interval."""
+    import dataclasses
+
+    from gen3c_tpu.diffusion.sampler import generate_samples
+    from gen3c_tpu.models.gen3c import (
+        _dit_net_fn,
+        _dit_net_fn_span_refresh,
+        _dit_net_fn_span_skip,
+    )
+
+    cfg = dataclasses.replace(TINY, in_channels=17, cache_block_span=(1, 1))
+    params = _randomize_degenerate_inits(
+        init_dit_params(jax.random.PRNGKey(0), cfg)
+    )
+    B, C, T, H, W = 1, 16, 2, 8, 8
+    rng = np.random.RandomState(0)
+    kwargs = dict(
+        init_noise=jnp.asarray(rng.randn(B, C, T, H, W), jnp.float32),
+        augment_noise=jnp.zeros((B, C, T, H, W)),
+        crossattn_cond=jnp.asarray(rng.randn(B, 6, 32), jnp.float32),
+        crossattn_uncond=jnp.zeros((B, 6, 32)),
+        gt_latent=jnp.zeros((B, C, T, H, W)),
+        condition_video_indicator=jnp.zeros((1, 1, T, 1, 1)),
+        condition_video_input_mask=jnp.zeros((B, 1, T, H, W)),
+        num_steps=6,
+        guidance=0.0,
+    )
+    ref = generate_samples(
+        net_fn=_dit_net_fn, net_params=(params, cfg), **kwargs
+    )
+    out = generate_samples(
+        net_fn=_dit_net_fn_span_refresh,
+        net_fn_skip=_dit_net_fn_span_skip,
+        net_params=(params, cfg),
+        step_cache_interval=3,
+        **kwargs,
+    )
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+
+def test_sampler_span_cache_real_span_diverges_but_finite():
+    import dataclasses
+
+    from gen3c_tpu.diffusion.sampler import generate_samples
+    from gen3c_tpu.models.gen3c import (
+        _dit_net_fn,
+        _dit_net_fn_span_refresh,
+        _dit_net_fn_span_skip,
+    )
+
+    cfg = dataclasses.replace(TINY, in_channels=17, cache_block_span=(0, 1))
+    params = _randomize_degenerate_inits(
+        init_dit_params(jax.random.PRNGKey(0), cfg)
+    )
+    B, C, T, H, W = 1, 16, 2, 8, 8
+    rng = np.random.RandomState(1)
+    kwargs = dict(
+        init_noise=jnp.asarray(rng.randn(B, C, T, H, W), jnp.float32),
+        augment_noise=jnp.zeros((B, C, T, H, W)),
+        crossattn_cond=jnp.asarray(rng.randn(B, 6, 32), jnp.float32),
+        crossattn_uncond=jnp.zeros((B, 6, 32)),
+        gt_latent=jnp.zeros((B, C, T, H, W)),
+        condition_video_indicator=jnp.zeros((1, 1, T, 1, 1)),
+        condition_video_input_mask=jnp.zeros((B, 1, T, H, W)),
+        num_steps=8,
+        guidance=0.0,
+    )
+    ref = generate_samples(
+        net_fn=_dit_net_fn, net_params=(params, cfg), **kwargs
+    )
+    out = generate_samples(
+        net_fn=_dit_net_fn_span_refresh,
+        net_fn_skip=_dit_net_fn_span_skip,
+        net_params=(params, cfg),
+        step_cache_interval=3,
+        **kwargs,
+    )
+    assert np.isfinite(np.asarray(out)).all()
+    assert float(jnp.max(jnp.abs(out - ref))) > 1e-7
