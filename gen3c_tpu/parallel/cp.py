@@ -49,6 +49,30 @@ def _cp_tp_net_fn(bundle, x, t, ctx):
     )
 
 
+def _cp_span_refresh_fn(bundle, x, t, ctx):
+    params, cfg = bundle
+    return dit_forward(params, cfg, x, t, ctx, fps=24.0, cp_axis="cp",
+                       return_span_delta=True)
+
+
+def _cp_span_skip_fn(bundle, x, t, ctx, delta):
+    params, cfg = bundle
+    return dit_forward(params, cfg, x, t, ctx, fps=24.0, cp_axis="cp",
+                       span_delta=delta)
+
+
+def _cp_tp_span_refresh_fn(bundle, x, t, ctx):
+    params, cfg = bundle
+    return dit_forward(params, cfg, x, t, ctx, fps=24.0, cp_axis="cp",
+                       tp_axis="tp", return_span_delta=True)
+
+
+def _cp_tp_span_skip_fn(bundle, x, t, ctx, delta):
+    params, cfg = bundle
+    return dit_forward(params, cfg, x, t, ctx, fps=24.0, cp_axis="cp",
+                       tp_axis="tp", span_delta=delta)
+
+
 def cp_generate_samples(
     mesh: Mesh,
     dit_params,
@@ -84,6 +108,9 @@ def cp_generate_samples(
     cp = mesh.shape["cp"]
     tp = mesh.shape.get("tp", 1)
     assert T % cp == 0, f"latent T={T} must divide cp={cp}"
+    use_span = (
+        dit_cfg.cache_block_span is not None and step_cache_interval > 1
+    )
     if tp > 1:
         assert dit_cfg.num_heads % tp == 0, (
             f"num_heads={dit_cfg.num_heads} must divide tp={tp}"
@@ -91,10 +118,12 @@ def cp_generate_samples(
         from gen3c_tpu.parallel.sharding import dit_param_pspecs
 
         param_spec = dit_param_pspecs(dit_params)
-        net_fn = _cp_tp_net_fn
+        net_fn = _cp_tp_span_refresh_fn if use_span else _cp_tp_net_fn
+        net_fn_skip = _cp_tp_span_skip_fn if use_span else None
     else:
         param_spec = P()
-        net_fn = _cp_net_fn
+        net_fn = _cp_span_refresh_fn if use_span else _cp_net_fn
+        net_fn_skip = _cp_span_skip_fn if use_span else None
 
     seq = P(None, None, "cp")  # (B, C, T, H, W) sharded on T
     indic = P(None, None, "cp")  # (B, 1, T, 1, 1)
@@ -114,6 +143,7 @@ def cp_generate_samples(
     ):
         return generate_samples(
             net_fn=net_fn,
+            net_fn_skip=net_fn_skip,
             net_params=(params, dit_cfg),
             init_noise=init_noise,
             augment_noise=augment_noise,

@@ -345,3 +345,39 @@ def test_factory_cp_tp_strategy_validation():
         build_gen3c_model(
             "gen3c_tiny", num_devices=4, parallel="nonsense"
         )
+
+
+def test_cp_span_cache_empty_span_matches_uncached():
+    """Delta-DiT span caching inside the CP shard_map: an empty span's
+    skip path runs every block, so the result equals the uncached
+    single-device denoise bitwise."""
+    import dataclasses
+
+    cfg = dataclasses.replace(CFG, cache_block_span=(1, 1))
+    mesh = make_mesh(dp=1, cp=2, tp=1, devices=jax.devices()[:2])
+    params = init_dit_params(jax.random.PRNGKey(0), cfg, jnp.float32)
+    rng = np.random.RandomState(6)
+    args = _sample_args(rng)
+    ref = generate_samples(
+        net_fn=_net_fn, net_params=(params, cfg), num_steps=4, **args
+    )
+    out = cp_generate_samples(
+        mesh, params, cfg, num_steps=4, step_cache_interval=2, **args
+    )
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-5
+    )
+
+
+def test_cp_span_cache_real_span_runs():
+    import dataclasses
+
+    cfg = dataclasses.replace(CFG, cache_block_span=(0, 1))
+    mesh = make_mesh(dp=1, cp=2, tp=2, devices=jax.devices()[:4])
+    params = init_dit_params(jax.random.PRNGKey(0), cfg, jnp.float32)
+    rng = np.random.RandomState(7)
+    args = _sample_args(rng)
+    out = cp_generate_samples(
+        mesh, params, cfg, num_steps=4, step_cache_interval=2, **args
+    )
+    assert np.isfinite(np.asarray(out)).all()
