@@ -140,6 +140,8 @@ class Gen3cPersistentModel(InferenceModel):
         quantize: bool | str = False,
         step_cache_interval: int = 1,
         step_cache_threshold: float = 0.0,
+        num_devices: int = 1,
+        parallel: str = "cp",
     ):
         from gen3c_tpu.pipelines.depth import make_depth_estimator
         from gen3c_tpu.pipelines.factory import build_gen3c_model
@@ -147,7 +149,7 @@ class Gen3cPersistentModel(InferenceModel):
 
         self.model, self.preset = build_gen3c_model(
             model_preset, checkpoint_dir=checkpoint_dir, seed=seed,
-            quantize=quantize,
+            quantize=quantize, num_devices=num_devices, parallel=parallel,
         )
         self.pipeline = Gen3cPipeline(
             model=self.model,

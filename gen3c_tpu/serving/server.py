@@ -252,6 +252,8 @@ def build_model_from_env():
         step_cache_threshold=float(
             os.environ.get("GEN3C_STEP_CACHE_THRESHOLD", "0")
         ),
+        num_devices=int(os.environ.get("GEN3C_NUM_DEVICES", "1")),
+        parallel=os.environ.get("GEN3C_PARALLEL", "cp"),
     )
 
 

@@ -392,3 +392,53 @@ def test_viewer_and_geometry_endpoints(debug_server):
 
     code, _ = _post(f"{debug_server}/interpolate-path", b"garbage")
     assert code == 400
+
+
+def test_persistent_model_multi_device_cp():
+    """Serving model with GEN3C_NUM_DEVICES-style cp sharding: builds on
+    the virtual mesh and serves an inference request (denoise runs
+    through cp_generate_samples)."""
+    import jax
+
+    if len(jax.devices()) < 2:
+        import pytest
+
+        pytest.skip("needs >=2 devices")
+    import numpy as np
+
+    from gen3c_tpu.serving.api_types import InferenceRequest, SeedingRequest
+    from gen3c_tpu.serving.models import Gen3cPersistentModel
+
+    model = Gen3cPersistentModel(
+        model_preset="gen3c_tiny",
+        checkpoint_dir=None,
+        num_steps=2,
+        depth_source="heuristic",
+        num_devices=2,
+        parallel="cp",
+    )
+    h, w = model.preset.height, model.preset.width
+    rng = np.random.RandomState(0)
+    image = (rng.rand(h, w, 3) * 255).astype(np.uint8)
+    model.seed_model(
+        SeedingRequest(
+            request_id="s",
+            images=image[None],
+            cameras_to_world=np.eye(4, dtype=np.float32)[:3][None],
+            focal_lengths=np.full((1, 2), 0.9 * w, np.float32),
+            principal_points=np.full((1, 2), 0.5, np.float32),
+        )
+    )
+    n = model.preset.chunk_size
+    c2w = np.tile(np.eye(4, dtype=np.float32)[:3], (n, 1, 1))
+    c2w[:, 0, 3] = np.linspace(0, 0.1, n)
+    req = InferenceRequest(
+        request_id="i",
+        cameras_to_world=c2w,
+        focal_lengths=np.full((n, 2), 0.9 * w, np.float32),
+        principal_points=np.full((n, 2), 0.5, np.float32),
+        resolutions=np.tile([[w, h]], (n, 1)),
+    )
+    result = model.run_inference(req)
+    assert result.images.shape == (n, h, w, 3)
+    assert np.isfinite(result.images.astype(np.float32)).all()
