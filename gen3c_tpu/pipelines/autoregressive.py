@@ -94,6 +94,9 @@ def create_parser() -> argparse.ArgumentParser:
     p.add_argument("--temperature", type=float, default=1.0)
     p.add_argument("--top_p", type=float, default=0.8)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--quantize_kv", action="store_true",
+                   help="int8 KV cache (half the cache HBM/bandwidth, "
+                        "~0.4%% rel. KV error)")
     p.add_argument("--video_save_name", type=str, default="output")
     p.add_argument("--video_save_folder", type=str, default="outputs/")
     p.add_argument("--fps", type=int, default=24)
@@ -136,6 +139,7 @@ def demo(args) -> str:
         max_new_tokens=n_new,
         temperature=args.temperature,
         top_p=args.top_p,
+        quantize_kv=args.quantize_kv,
     )
     tokens = jnp.clip(tokens, 0, vae_cfg.vocab_size - 1)
     grid = tokens.reshape(1, total_latent_t, Hl, Wl)
