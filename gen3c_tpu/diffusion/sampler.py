@@ -58,6 +58,7 @@ def _net_inputs(x_scaled: Array, condition: VideoExtendCondition) -> Array:
         "step_cache_interval",
         "step_cache_threshold",
         "net_fn_skip",
+        "net_in_dtype",
     ),
 )
 def generate_samples(
@@ -79,6 +80,7 @@ def generate_samples(
     step_cache_interval: int = 1,
     step_cache_threshold: float = 0.0,
     net_fn_skip: Optional[Callable[..., Array]] = None,
+    net_in_dtype=None,
 ) -> Array:
     """Run the full denoising loop; returns the final latent (B,C,T,H,W).
 
@@ -133,6 +135,13 @@ def generate_samples(
     crossattn_both = jnp.concatenate([crossattn_cond, crossattn_uncond], axis=0)
     B = init_noise.shape[0]
 
+    # net inputs may be assembled in the network's compute dtype
+    # (bf16 for the 7B): the DiT casts to its dtype on entry anyway, and
+    # building the (2B, 146ch) concat in fp32 costs 2x the HBM — at the
+    # production shape the fp32 x_in alone is ~0.5 GB. Euler/CFG math
+    # stays fp32 regardless.
+    in_dtype = jnp.float32 if net_in_dtype is None else net_in_dtype
+
     def _step_inputs(i, xt):
         """Shared per-step construction: conditioned-region re-noise and
         the batched [cond | uncond] CFG network input."""
@@ -142,17 +151,17 @@ def generate_samples(
                               indicator_base)
         augment_latent_unscaled = augment_latent / schedule.c_in(sigma)
         new_xt = indicator * augment_latent_unscaled + (1 - indicator) * xt
-        new_xt_scaled = new_xt * schedule.c_in(sigma)
+        new_xt_scaled = (new_xt * schedule.c_in(sigma)).astype(in_dtype)
 
         cond_parts = [new_xt_scaled]
         uncond_parts = [new_xt_scaled]
         if condition_video_input_mask is not None:
-            m = condition_video_input_mask.astype(jnp.float32)
+            m = condition_video_input_mask.astype(in_dtype)
             cond_parts.append(m)
             uncond_parts.append(m)
         if pose_latent_cond is not None:
-            cond_parts.append(pose_latent_cond.astype(jnp.float32))
-            uncond_parts.append(pose_latent_uncond.astype(jnp.float32))
+            cond_parts.append(pose_latent_cond.astype(in_dtype))
+            uncond_parts.append(pose_latent_uncond.astype(in_dtype))
         x_in = jnp.concatenate(
             [jnp.concatenate(cond_parts, axis=1),
              jnp.concatenate(uncond_parts, axis=1)], axis=0,
@@ -215,7 +224,9 @@ def generate_samples(
                 delta,
             )
 
-        # trace once to get the delta's shape/dtype for the init carry
+        # trace once to get the delta's structure for the init carry
+        # (a single array, or (int8 codes, fp32 scales) when the config
+        # uses the quantized span carry)
         d_shape = jax.eval_shape(
             lambda: net_fn(
                 net_params,
@@ -224,7 +235,9 @@ def generate_samples(
                 crossattn_both,
             )[1]
         )
-        delta0 = jnp.zeros(d_shape.shape, d_shape.dtype)
+        delta0 = jax.tree.map(
+            lambda s: jnp.zeros(s.shape, s.dtype), d_shape
+        )
         final, _ = jax.lax.fori_loop(
             0, num_steps, span_body, (xt0, delta0)
         )

@@ -90,6 +90,10 @@ class DiTConfig:
     # re-applied (sampler step_cache_interval>1 + this span). None = the
     # whole-output caching mode instead.
     cache_block_span: Optional[Tuple[int, int]] = None
+    # "int8": store the span delta as int8 codes + per-token fp32 scales
+    # (4x smaller carry — needed to fit the full 7B + delta in one
+    # chip's HBM; ~0.4% rel. delta error). "bf16"/"fp32": exact.
+    cache_span_dtype: str = "bf16"
     dtype: Any = jnp.bfloat16
 
     @property
@@ -753,17 +757,39 @@ def dit_forward(
             if span_delta is not None:
                 # cache-skip step: re-apply the cached span delta and
                 # jump over the span's blocks
-                tokens = tokens + span_delta.astype(tokens.dtype)
+                if isinstance(span_delta, tuple):  # int8 codes + scales
+                    codes, scales = span_delta
+                    d = codes.astype(jnp.float32) * scales
+                else:
+                    d = span_delta
+                tokens = tokens + d.astype(tokens.dtype)
             elif return_span_delta:
                 tokens_at_lo = tokens
         if span_delta is not None and span_lo <= bi < span_hi:
             continue
         tokens = block_step(tokens, blk, emb, lora, extra, ctx_emb)
         if return_span_delta and span_lo < span_hi and bi == span_hi - 1:
-            new_span_delta = tokens - tokens_at_lo
+            d = tokens - tokens_at_lo
+            if cfg.cache_span_dtype == "int8":
+                # per-token symmetric int8: 4x smaller sampler carry
+                df = d.astype(jnp.float32)
+                scales = jnp.max(jnp.abs(df), axis=-1,
+                                 keepdims=True) / 127.0
+                codes = jnp.clip(
+                    jnp.round(df / jnp.maximum(scales, 1e-8)), -127, 127
+                ).astype(jnp.int8)
+                new_span_delta = (codes, scales)
+            else:
+                new_span_delta = d
     if return_span_delta and span_lo == span_hi:
         # empty span: delta is identically zero (skip path == full path)
-        new_span_delta = jnp.zeros_like(tokens)
+        if cfg.cache_span_dtype == "int8":
+            new_span_delta = (
+                jnp.zeros(tokens.shape, jnp.int8),
+                jnp.zeros(tokens.shape[:-1] + (1,), jnp.float32),
+            )
+        else:
+            new_span_delta = jnp.zeros_like(tokens)
 
     # final layer (blocks.py:189-242)
     fshift, fscale = _adaln_modulation(params["final"]["adaln"], emb, lora, 2)

@@ -223,6 +223,7 @@ class Gen3CModel:
                 schedule=self.schedule,
                 step_cache_interval=step_cache_interval,
                 step_cache_threshold=step_cache_threshold,
+                net_in_dtype=self.dit_cfg.dtype,
             )
 
         use_span = (
@@ -248,4 +249,5 @@ class Gen3CModel:
             schedule=self.schedule,
             step_cache_interval=step_cache_interval,
             step_cache_threshold=step_cache_threshold,
+            net_in_dtype=self.dit_cfg.dtype,
         )

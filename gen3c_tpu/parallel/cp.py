@@ -92,6 +92,7 @@ def cp_generate_samples(
     schedule: EDMEulerSchedule = EDMEulerSchedule(),
     step_cache_interval: int = 1,
     step_cache_threshold: float = 0.0,
+    net_in_dtype=None,
 ) -> Array:
     """Context-parallel version of sampler.generate_samples.
 
@@ -160,6 +161,7 @@ def cp_generate_samples(
             schedule=schedule,
             step_cache_interval=step_cache_interval,
             step_cache_threshold=step_cache_threshold,
+            net_in_dtype=net_in_dtype,
         )
 
     mapped = jax.shard_map(

@@ -96,6 +96,7 @@ def build_gen3c_model(
     quantize: bool | str = False,
     parallel: str = "cp",
     cache_block_span: Optional[Tuple[int, int]] = None,
+    cache_span_dtype: str = "bf16",
 ) -> Tuple[Gen3CModel, Gen3CPreset]:
     """Build a Gen3CModel from a preset, loading weights if available.
 
@@ -125,7 +126,8 @@ def build_gen3c_model(
         preset = dataclasses.replace(
             preset,
             dit=dataclasses.replace(
-                preset.dit, cache_block_span=(lo, hi)
+                preset.dit, cache_block_span=(lo, hi),
+                cache_span_dtype=cache_span_dtype,
             ),
         )
 

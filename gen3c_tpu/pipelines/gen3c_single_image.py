@@ -57,7 +57,15 @@ def create_parser() -> argparse.ArgumentParser:
                         "caching — skipped steps run only the blocks "
                         "outside [LO,HI), re-applying the span's cached "
                         "residual (higher fidelity than whole-output "
-                        "reuse; single-device path)")
+                        "reuse). The delta carry does NOT fit beside the "
+                        "W8A8 7B on one 16 GB chip — use with cp>=2 "
+                        "(delta sharded) or smaller models; whole-output "
+                        "caching is the single-chip choice")
+    p.add_argument("--step_cache_span_dtype", type=str, default="bf16",
+                   choices=["bf16", "int8"],
+                   help="span-delta carry dtype; int8 is 4x smaller "
+                        "(needed to fit the 7B + span cache on one "
+                        "chip's HBM, ~0.4%% rel. delta error)")
     p.add_argument("--step_cache_threshold", type=float, default=0.0,
                    help=">0: ADAPTIVE step caching (TeaCache family) — "
                         "the DiT refreshes when the accumulated relative "
@@ -139,6 +147,7 @@ def demo(args) -> str:
             tuple(args.step_cache_block_span)
             if args.step_cache_block_span else None
         ),
+        cache_span_dtype=args.step_cache_span_dtype,
         quantize="w8a8" if args.quantize_w8a8 else args.quantize_int8,
     )
     validate_args(args, preset.chunk_size)

@@ -293,3 +293,30 @@ def test_sampler_span_cache_real_span_diverges_but_finite():
     )
     assert np.isfinite(np.asarray(out)).all()
     assert float(jnp.max(jnp.abs(out - ref))) > 1e-7
+
+
+def test_span_delta_int8_carry_close():
+    """int8 span-delta carry (cache_span_dtype='int8'): the skip path on
+    unchanged input stays within quantization tolerance of the full
+    forward, with a 4x smaller carry."""
+    import dataclasses
+
+    cfg = dataclasses.replace(TINY, num_blocks=3, cache_block_span=(1, 2),
+                              cache_span_dtype="int8")
+    params = _randomize_degenerate_inits(
+        init_dit_params(jax.random.PRNGKey(0), cfg)
+    )
+    B, C, T, H, W = 1, 81, 2, 8, 8
+    x = jax.random.normal(jax.random.PRNGKey(1), (B, C, T, H, W))
+    t = jnp.asarray([0.4])
+    ctx = jax.random.normal(jax.random.PRNGKey(2), (B, 6, 32))
+
+    full, delta = dit_forward(params, cfg, x, t, ctx, fps=24.0,
+                              return_span_delta=True)
+    codes, scales = delta
+    assert codes.dtype == jnp.int8 and scales.dtype == jnp.float32
+    skipped = dit_forward(params, cfg, x, t, ctx, fps=24.0,
+                          span_delta=delta)
+    err = float(jnp.max(jnp.abs(skipped - full)))
+    ref = float(jnp.max(jnp.abs(full))) + 1e-8
+    assert err / ref < 0.05, (err, ref)
