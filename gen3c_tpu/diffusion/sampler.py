@@ -59,6 +59,7 @@ def _net_inputs(x_scaled: Array, condition: VideoExtendCondition) -> Array:
         "step_cache_threshold",
         "net_fn_skip",
         "net_in_dtype",
+        "drift_axis",
     ),
 )
 def generate_samples(
@@ -81,6 +82,7 @@ def generate_samples(
     step_cache_threshold: float = 0.0,
     net_fn_skip: Optional[Callable[..., Array]] = None,
     net_in_dtype=None,
+    drift_axis: Optional[str] = None,
 ) -> Array:
     """Run the full denoising loop; returns the final latent (B,C,T,H,W).
 
@@ -250,9 +252,16 @@ def generate_samples(
             xt, cached, prev, acc = carry
             sigma, indicator, new_xt, x_in, t_in = _step_inputs(i, xt)
             cur = new_xt * schedule.c_in(sigma)
-            rel = jnp.mean(jnp.abs(cur - prev)) / (
-                jnp.mean(jnp.abs(prev)) + 1e-8
-            )
+            num = jnp.mean(jnp.abs(cur - prev))
+            den = jnp.mean(jnp.abs(prev))
+            if drift_axis is not None:
+                # under sequence (cp) sharding the refresh decision MUST
+                # be identical on every rank — the refresh branch holds
+                # collectives, and divergent lax.cond branches deadlock.
+                # Average the drift statistics over the axis first.
+                num = jax.lax.pmean(num, drift_axis)
+                den = jax.lax.pmean(den, drift_axis)
+            rel = num / (den + 1e-8)
             # the first step has no predecessor: force-refresh via warmup
             drift = acc + rel
             refresh = (

@@ -228,20 +228,34 @@ def _apply_rope(x: Array, cos: Array, sin: Array) -> Array:
 
 
 def _gqa_attention(q, k, v, causal_offset: Optional[Array] = None,
-                   kv_valid_start: Optional[Array] = None):
+                   kv_valid_start: Optional[Array] = None,
+                   k_scale: Optional[Array] = None,
+                   v_scale: Optional[Array] = None):
     """q: (B, Lq, Hq, d); k/v: (B, Lk, Hkv, d) with Hq % Hkv == 0.
 
     causal_offset: absolute position of q[0] (None => full causal square).
     kv_valid_start: (B,) — keys at positions < kv_valid_start[b] are
     masked out (left-padding support for bucketed prompt lengths).
+    k_scale/v_scale: (B, Lk, Hkv, 1) int8-KV dequantization scales,
+    FOLDED into the attention math (scores scaled per key column, probs
+    scaled before PV) so the int8 cache is never materialized as a full
+    bf16 copy — the dtype convert fuses into the matmul reads.
     """
     B, Lq, Hq, d = q.shape
     Lk, Hkv = k.shape[1], k.shape[2]
     rep = Hq // Hkv
     k = jnp.repeat(k, rep, axis=2)
     v = jnp.repeat(v, rep, axis=2)
+    if k_scale is not None:
+        k = k.astype(q.dtype)
+    if v_scale is not None:
+        v = v.astype(q.dtype)
     logits = jnp.einsum("bqhd,bkhd->bhqk", q, k).astype(jnp.float32)
     logits = logits / math.sqrt(d)
+    if k_scale is not None:
+        # per-key-column rescale: s_j factors out of q_i . (k_j * s_j)
+        ks = jnp.repeat(k_scale, rep, axis=2)  # (B, Lk, Hq, 1)
+        logits = logits * ks[..., 0].transpose(0, 2, 1)[:, :, None, :]
     kpos = jnp.arange(Lk)[None, :]
     if causal_offset is not None:
         qpos = jnp.arange(Lq)[:, None] + causal_offset
@@ -252,7 +266,12 @@ def _gqa_attention(q, k, v, causal_offset: Optional[Array] = None,
     elif kv_valid_start is not None:
         mask = kpos >= kv_valid_start[:, None]  # (B, Lk)
         logits = jnp.where(mask[:, None, None, :], logits, -1e30)
-    probs = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+    probs = jax.nn.softmax(logits, axis=-1)
+    if v_scale is not None:
+        # fold the value scales into the probs: sum_j p_ij s_j v_j
+        vs = jnp.repeat(v_scale, rep, axis=2)  # (B, Lk, Hq, 1)
+        probs = probs * vs[..., 0].transpose(0, 2, 1)[:, :, None, :]
+    probs = probs.astype(v.dtype)
     return jnp.einsum("bhqk,bkhd->bqhd", probs, v)
 
 
@@ -309,10 +328,14 @@ def ar_forward(
         k = _apply_rope(k, cos, sin)
 
         if cache is not None:
+            cks = cvs = None
             if cache.k_scale is not None:
-                # int8 KV cache: store codes + per-(pos,head) scales,
-                # dequantize for this step's attention (halves cache
-                # HBM footprint and read bandwidth; ~0.4% rel. error)
+                # int8 KV cache: store codes + per-(pos,head) scales.
+                # The scales are FOLDED into the attention (k_scale /
+                # v_scale args) rather than dequantizing the whole
+                # cache into a bf16 copy — the int8->bf16 convert fuses
+                # into the matmul reads, so both the footprint AND the
+                # read bandwidth halve (~0.4% rel. error).
                 kq, ks = _kv_quantize(k)
                 vq, vs = _kv_quantize(v)
                 ck = jax.lax.dynamic_update_slice_in_dim(
@@ -329,8 +352,6 @@ def ar_forward(
                 )
                 new_ks.append(cks)
                 new_vs.append(cvs)
-                k_att = (ck.astype(jnp.float32) * cks).astype(dtype)
-                v_att = (cv.astype(jnp.float32) * cvs).astype(dtype)
             else:
                 ck = jax.lax.dynamic_update_slice_in_dim(
                     cache.k[li], k.astype(cache.k.dtype), pos0, axis=1
@@ -338,13 +359,15 @@ def ar_forward(
                 cv = jax.lax.dynamic_update_slice_in_dim(
                     cache.v[li], v.astype(cache.v.dtype), pos0, axis=1
                 )
-                k_att = ck.astype(dtype)
-                v_att = cv.astype(dtype)
             new_k.append(ck)
             new_v.append(cv)
             attn = _gqa_attention(
-                q, k_att, v_att, causal_offset=pos0,
+                q,
+                ck if cks is not None else ck.astype(dtype),
+                cv if cvs is not None else cv.astype(dtype),
+                causal_offset=pos0,
                 kv_valid_start=pad_lens,
+                k_scale=cks, v_scale=cvs,
             )
         else:
             attn = _gqa_attention(q, k, v, causal_offset=jnp.asarray(0),

@@ -645,6 +645,7 @@ def dit_forward(
     tp_axis: Optional[str] = None,
     span_delta: Optional[Array] = None,
     return_span_delta: bool = False,
+    return_block_residuals: bool = False,
 ) -> Array:
     """Full GeneralDIT forward. Returns (B, out_channels, T, H, W).
 
@@ -752,6 +753,7 @@ def dit_forward(
     span_lo, span_hi = span if span is not None else (-1, -1)
     tokens_at_lo = None
     new_span_delta = None
+    block_residuals = []  # per-block mean|delta|/mean|x| (span ranking)
     for bi, blk in enumerate(params["blocks"]):
         if bi == span_lo:
             if span_delta is not None:
@@ -767,7 +769,14 @@ def dit_forward(
                 tokens_at_lo = tokens
         if span_delta is not None and span_lo <= bi < span_hi:
             continue
+        before = tokens if return_block_residuals else None
         tokens = block_step(tokens, blk, emb, lora, extra, ctx_emb)
+        if return_block_residuals:
+            bf = before.astype(jnp.float32)
+            block_residuals.append(
+                jnp.mean(jnp.abs(tokens.astype(jnp.float32) - bf))
+                / (jnp.mean(jnp.abs(bf)) + 1e-8)
+            )
         if return_span_delta and span_lo < span_hi and bi == span_hi - 1:
             d = tokens - tokens_at_lo
             if cfg.cache_span_dtype == "int8":
@@ -800,9 +809,33 @@ def dit_forward(
     tokens = tokens @ _w(params["final"]["linear"], dtype)
     tokens = tokens.reshape(B, Tp, Hp, Wp, -1)
     out = unpatchify(cfg, tokens, T, H, W)
+    if return_block_residuals:
+        return out, jnp.stack(block_residuals)
     if return_span_delta:
         return out, new_span_delta
     return out
+
+
+def randomize_degenerate_inits(params: Params, seed: int = 9) -> Params:
+    """Bench/test helper: a fresh init has ZERO adaLN gates and a zero
+    final linear (general_dit.py zero-init parity), which makes every
+    block an identity and the output constant — useless for exercising
+    caching policies or ranking block contributions without a real
+    checkpoint. Randomize those entries (in place) so blocks contribute.
+    """
+    keys = iter(jax.random.split(jax.random.PRNGKey(seed),
+                                 4 * len(params["blocks"]) + 4))
+    for blk in params["blocks"]:
+        for sub in ("fa", "ca", "mlp"):
+            w2 = blk[sub]["adaln"]["w2"]
+            blk[sub]["adaln"]["w2"] = 0.1 * jax.random.normal(
+                next(keys), w2.shape, w2.dtype
+            )
+    fl = params["final"]["linear"]["w"]
+    params["final"]["linear"]["w"] = 0.1 * jax.random.normal(
+        next(keys), fl.shape, fl.dtype
+    )
+    return params
 
 
 def build_extra_pos_emb(params: Params, T: int, H: int, W: int) -> Array:

@@ -226,6 +226,13 @@ class Gen3CModel:
                 net_in_dtype=self.dit_cfg.dtype,
             )
 
+        if (self.dit_cfg.cache_block_span is not None
+                and step_cache_interval > 1
+                and step_cache_threshold > 0):
+            raise ValueError(
+                "step_cache_block_span and step_cache_threshold are "
+                "mutually exclusive caching policies; pick one"
+            )
         use_span = (
             self.dit_cfg.cache_block_span is not None
             and step_cache_interval > 1

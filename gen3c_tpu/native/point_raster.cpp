@@ -63,6 +63,12 @@ void point_raster_frame(const float* points, const uint8_t* colors,
     float u = 0.f, v = 0.f, z = -1.f;
     project_point(P, K, points + i * 3, &u, &v, &z);
     if (z <= znear || !std::isfinite(u) || !std::isfinite(v)) continue;
+    // bounds-check in float BEFORE the int cast: a huge projected
+    // coordinate would make lround->int undefined behavior and could
+    // wrap back into the frame with a tiny depth
+    if (u < -rad - 1.f || u > static_cast<float>(w) + rad ||
+        v < -rad - 1.f || v > static_cast<float>(h) + rad)
+      continue;
     const int cu = static_cast<int>(std::lround(u));
     const int cv = static_cast<int>(std::lround(v));
     if (cu + rad < 0 || cu - rad >= w || cv + rad < 0 || cv - rad >= h)

@@ -162,6 +162,7 @@ def cp_generate_samples(
             step_cache_interval=step_cache_interval,
             step_cache_threshold=step_cache_threshold,
             net_in_dtype=net_in_dtype,
+            drift_axis="cp",
         )
 
     mapped = jax.shard_map(

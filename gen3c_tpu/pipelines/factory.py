@@ -214,6 +214,12 @@ def build_gen3c_model(
         dit_params = quantize_dit_params_inplace(dit_params, act_quant=act)
 
     mesh = None
+    cp_tp_match = re.fullmatch(r"cp(\d+)tp(\d+)", parallel)
+    if parallel not in ("cp", "tp") and not cp_tp_match:
+        # validate even when num_devices==1 so a typo'd strategy (or a
+        # forgotten --num_devices) fails loudly instead of silently
+        # running single-device
+        raise ValueError(f"unknown parallel strategy {parallel!r}")
     if num_devices > 1:
         from gen3c_tpu.parallel.mesh import make_mesh
 
@@ -236,13 +242,13 @@ def build_gen3c_model(
             log.info(
                 f"context-parallel denoising over {num_devices} devices"
             )
-        elif re.fullmatch(r"cp(\d+)tp(\d+)", parallel):
+        else:
             # 2D cp x tp mesh, e.g. parallel="cp4tp2" on 8 chips: tokens
             # sharded over cp, heads/hidden Megatron-sharded over tp —
             # one shard_map runs both (parallel/cp.py). Latent T must
             # divide cp; num_heads must divide tp.
-            m = re.fullmatch(r"cp(\d+)tp(\d+)", parallel)
-            cp_n, tp_n = int(m.group(1)), int(m.group(2))
+            cp_n = int(cp_tp_match.group(1))
+            tp_n = int(cp_tp_match.group(2))
             if cp_n * tp_n != num_devices:
                 raise ValueError(
                     f"parallel={parallel!r} needs {cp_n * tp_n} devices, "
@@ -259,8 +265,6 @@ def build_gen3c_model(
                 f"2D context x tensor parallel denoising: cp={cp_n} "
                 f"tp={tp_n}"
             )
-        else:
-            raise ValueError(f"unknown parallel strategy {parallel!r}")
 
     model = Gen3CModel(
         dit_params=dit_params,

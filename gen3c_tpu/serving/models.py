@@ -163,6 +163,7 @@ class Gen3cPersistentModel(InferenceModel):
         )
         self.depth_estimator = make_depth_estimator(depth_source)
         self.cache = None
+        self._native_pc = None  # (points, colors) memo for previews
         self.seeding_request: Optional[SeedingRequest] = None
         self._latest_rgb = None
         self._inference_times = []
@@ -209,6 +210,7 @@ class Gen3cPersistentModel(InferenceModel):
                 input_format=["F", "C", "H", "W"],
             )
         self.seeding_request = req
+        self._native_pc = None
         self._latest_rgb = (images[0] * 255).astype(np.uint8)
         self._seed_frame = imgs_bchw[0:1][:, :, None]  # (1, 3, 1, H, W)
         return SeedingResult.from_request(req, fallback_depths=depths)
@@ -303,7 +305,13 @@ class Gen3cPersistentModel(InferenceModel):
             from gen3c_tpu.native import point_raster as pr
 
             if pr.available():
-                pts, cols = self.get_point_cloud(max_points=2_000_000)
+                # the cache geometry only changes on seeding: memoize the
+                # host-side point-cloud extraction across preview calls
+                if self._native_pc is None:
+                    self._native_pc = self.get_point_cloud(
+                        max_points=2_000_000
+                    )
+                pts, cols = self._native_pc
                 frames = pr.raster_points(
                     pts, cols,
                     req.world_to_cameras().astype(np.float32),
@@ -359,6 +367,7 @@ class Gen3cPersistentModel(InferenceModel):
 
     def clear_cache(self) -> None:
         self.cache = None
+        self._native_pc = None
         self.seeding_request = None
 
     def metadata(self) -> dict:

@@ -43,6 +43,9 @@ def save_video(
 
         for i, frame in enumerate(video):
             Image.fromarray(frame).save(os.path.join(base, f"{i:05d}.png"))
+        # sidecar so read_video_bcthw can restore the frame rate
+        with open(os.path.join(base, "fps.txt"), "w") as f:
+            f.write(str(fps))
         return base
 
 
@@ -102,7 +105,12 @@ def read_video_bcthw(
                 img = img.resize((w, h), _Image.BICUBIC)
             frames.append(np.asarray(img))
         video = np.stack(frames).astype(np.float32) / 127.5 - 1.0
-        return video.transpose(3, 0, 1, 2)[None], 24.0
+        fps = 24.0
+        fps_file = os.path.join(path, "fps.txt")
+        if os.path.exists(fps_file):  # sidecar written by save_video
+            with open(fps_file) as f:
+                fps = float(f.read().strip())
+        return video.transpose(3, 0, 1, 2)[None], fps
 
     reader = imageio.get_reader(path)
     meta = reader.get_meta_data()

@@ -65,18 +65,9 @@ def main():
         # fresh init has zero adaLN gates + zero final linear (blocks
         # are identity, output constant) -> every policy would trivially
         # match; randomize those so the trajectory is non-degenerate
-        keys = iter(jax.random.split(jax.random.PRNGKey(99),
-                                     4 * cfg.num_blocks + 4))
-        for blk in params["blocks"]:
-            for sub in ("fa", "ca", "mlp"):
-                w2 = blk[sub]["adaln"]["w2"]
-                blk[sub]["adaln"]["w2"] = 0.1 * jax.random.normal(
-                    next(keys), w2.shape, w2.dtype
-                )
-        fl = params["final"]["linear"]["w"]
-        params["final"]["linear"]["w"] = 0.1 * jax.random.normal(
-            next(keys), fl.shape, fl.dtype
-        )
+        from gen3c_tpu.models.dit import randomize_degenerate_inits
+
+        params = randomize_degenerate_inits(params, seed=99)
     C, Tl, Hl, Wl = preset.state_shape
     B = 1
     rng = np.random.RandomState(args.seed)

@@ -7,12 +7,15 @@ per block, the relative residual magnitude
 
     r_i = mean ||block_i(x) - x|| / mean ||x||
 
-across a few denoise steps, then prints the contiguous span of a
-requested width with the smallest total contribution — the recommended
+across a few denoise noise levels — via dit_forward's
+return_block_residuals hook, so the measurement always matches the real
+forward — then prints the contiguous span of a requested width with the
+smallest total contribution: the recommended
 `--step_cache_block_span LO HI`.
 
 With real GEN3C weights (--checkpoint_dir) the ranking reflects the
-production model; with random init it only demonstrates the method.
+production model; with random init the degenerate zero-init gates are
+randomized first and the run only demonstrates the method.
 
 Run: python scripts/rank_block_contributions.py [--span_width 14]
      [--preset gen3c_tiny] [--checkpoint_dir checkpoints]
@@ -21,6 +24,7 @@ Run: python scripts/rank_block_contributions.py [--span_width 14]
 from __future__ import annotations
 
 import argparse
+import json
 import os
 import sys
 
@@ -48,17 +52,8 @@ def main():
 
     from gen3c_tpu.diffusion.scheduler import EDMEulerSchedule
     from gen3c_tpu.models.dit import (
-        _adaln_modulation,
-        _attn_block,
-        _layer_norm,
-        _mlp_block,
-        _modulated_residual,
-        build_extra_pos_emb,
-        patchify,
-        rope_3d_table,
-        timestep_sincos,
-        _rms_norm,
-        _w,
+        dit_forward,
+        randomize_degenerate_inits,
     )
     from gen3c_tpu.pipelines.factory import build_gen3c_model
 
@@ -67,6 +62,8 @@ def main():
     )
     cfg = model.dit_cfg
     params = model.dit_params
+    if args.checkpoint_dir is None:
+        params = randomize_degenerate_inits(params)
     n = cfg.num_blocks
     width = args.span_width or n // 2
 
@@ -74,53 +71,16 @@ def main():
     rng = np.random.RandomState(args.seed)
     sched = EDMEulerSchedule()
     sigmas = np.asarray(sched.sigmas(args.num_sigmas + 1))[:-1]
+    ctx = jnp.zeros((1, 8, cfg.crossattn_emb_channels), jnp.float32)
 
-    def per_block_residuals(x, t_scalar):
-        """Trace one forward, recording each block's relative residual."""
-        x = x.astype(cfg.dtype)
-        tokens = patchify(cfg, params, x, None)
-        B, Tp, Hp, Wp, D = tokens.shape
-        L = Tp * Hp * Wp
-        tokens = tokens.reshape(B, L, D)
-        rope = rope_3d_table(cfg, Tp, Hp, Wp, fps=24.0)
-        extra = build_extra_pos_emb(params, Tp, Hp, Wp).astype(cfg.dtype)
-        extra = extra.reshape(1, L, D)
-        ts = jnp.full((B,), t_scalar, jnp.float32)
-        sincos = timestep_sincos(ts, D)
-        h = sincos @ _w(params["t_embedder"]["linear_1"], jnp.float32)
-        h = jax.nn.silu(h)
-        lora = h @ _w(params["t_embedder"]["linear_2"], jnp.float32)
-        emb = _rms_norm(sincos, params["affline_norm"]["scale"])
-        ctx = jnp.zeros((B, 8, cfg.crossattn_emb_channels), cfg.dtype)
+    @jax.jit
+    def residuals(x, t):
+        _, rels = dit_forward(
+            params, cfg, x, jnp.full((1,), t, jnp.float32), ctx,
+            fps=24.0, return_block_residuals=True,
+        )
+        return rels
 
-        rels = []
-        for blk in params["blocks"]:
-            before = tokens
-            tokens = tokens + extra
-            tokens = _modulated_residual(
-                tokens,
-                lambda t: _attn_block(blk["fa"], t, None, cfg.num_heads,
-                                      rope),
-                blk["fa"], emb, lora,
-            )
-            tokens = _modulated_residual(
-                tokens,
-                lambda t: _attn_block(blk["ca"], t, ctx, cfg.num_heads,
-                                      None),
-                blk["ca"], emb, lora,
-            )
-            tokens = _modulated_residual(
-                tokens, lambda t: _mlp_block(blk["mlp"], t), blk["mlp"],
-                emb, lora,
-            )
-            rel = jnp.mean(
-                jnp.abs(tokens.astype(jnp.float32)
-                        - before.astype(jnp.float32))
-            ) / (jnp.mean(jnp.abs(before.astype(jnp.float32))) + 1e-8)
-            rels.append(rel)
-        return jnp.stack(rels)
-
-    fwd = jax.jit(per_block_residuals)
     total = np.zeros((n,), np.float64)
     for sigma in sigmas:
         x = jnp.asarray(
@@ -128,7 +88,7 @@ def main():
             jnp.float32,
         ) * float(sched.c_in(float(sigma)))
         t = float(np.log(sigma) / 4.0)
-        rels = np.asarray(fwd(x, t), np.float64)
+        rels = np.asarray(residuals(x, t), np.float64)
         total += rels
         print(f"sigma={float(sigma):9.3f}: "
               + " ".join(f"{v:.3f}" for v in rels), file=sys.stderr)
@@ -146,8 +106,6 @@ def main():
     print(f"\nrecommended --step_cache_block_span {best_lo} "
           f"{best_lo + width} (width {width}, total contribution "
           f"{best_sum:.4f})", file=sys.stderr)
-    import json
-
     print(json.dumps({
         "span": [best_lo, best_lo + width],
         "per_block": [round(float(v), 5) for v in total],

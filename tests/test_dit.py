@@ -155,21 +155,9 @@ def test_apply_rope_rotates_pairs():
     np.testing.assert_allclose(out[..., 4:], xn[..., :4], atol=1e-6)
 
 
-def _randomize_degenerate_inits(params, seed=9):
-    """zero-init adaLN gates make blocks identity (and the final linear
-    zeros the output); randomize them so blocks actually contribute."""
-    keys = iter(jax.random.split(jax.random.PRNGKey(seed), 64))
-    for blk in params["blocks"]:
-        for sub in ("fa", "ca", "mlp"):
-            w2 = blk[sub]["adaln"]["w2"]
-            blk[sub]["adaln"]["w2"] = 0.1 * jax.random.normal(
-                next(keys), w2.shape, w2.dtype
-            )
-    fl = params["final"]["linear"]["w"]
-    params["final"]["linear"]["w"] = 0.1 * jax.random.normal(
-        next(keys), fl.shape, fl.dtype
-    )
-    return params
+from gen3c_tpu.models.dit import (  # noqa: E402 (shared bench/test util)
+    randomize_degenerate_inits as _randomize_degenerate_inits,
+)
 
 
 def test_span_delta_refresh_then_skip_identical():

@@ -381,3 +381,28 @@ def test_cp_span_cache_real_span_runs():
         mesh, params, cfg, num_steps=4, step_cache_interval=2, **args
     )
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_cp_adaptive_cache_consistent_refresh():
+    """Adaptive (drift-threshold) caching under CP: the refresh decision
+    is pmean'd over the cp axis so every rank takes the same branch.
+    With a ~0 threshold (refresh every step) the output must equal the
+    single-device uncached denoise."""
+    mesh = make_mesh(dp=1, cp=4, tp=1, devices=jax.devices()[:4])
+    params = init_dit_params(jax.random.PRNGKey(0), CFG, jnp.float32)
+    rng = np.random.RandomState(8)
+    args = _sample_args(rng)
+    ref = generate_samples(
+        net_fn=_net_fn, net_params=(params, CFG), num_steps=4, **args
+    )
+    out = cp_generate_samples(
+        mesh, params, CFG, num_steps=4, step_cache_threshold=1e-12, **args
+    )
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-4
+    )
+    # a skipping threshold still runs (consistent branches, no deadlock)
+    lazy = cp_generate_samples(
+        mesh, params, CFG, num_steps=4, step_cache_threshold=0.5, **args
+    )
+    assert np.isfinite(np.asarray(lazy)).all()
