@@ -98,6 +98,70 @@ class ProgressWatchdog(Callback):
         return (time.monotonic() - self.last_tick) > self.timeout_s
 
 
+class StepTimeout(Exception):
+    """A training step exceeded the watchdog timeout."""
+
+
+class HangWatchdog(Callback):
+    """ENFORCING hung-step watchdog: `signal.alarm` armed at every step
+    start and cleared at step end; a step that blocks longer than
+    `timeout_s` gets a SIGALRM whose handler raises StepTimeout inside
+    the blocked call, unwinding the train loop instead of hanging the
+    job forever.
+
+    Parity: utils/trainer.py:108-109 arms `signal.alarm(timeout_period)`
+    once and re-arms per step (:197); the handler (misc.py:262-266)
+    raises. Same semantics here, scoped to steps (disarmed outside) so
+    checkpoint saves and validation are not killed. Main-thread only
+    (signal restriction); install() is a no-op elsewhere so the trainer
+    can enable it unconditionally.
+    """
+
+    def __init__(self, timeout_s: float = 1800.0):
+        self.timeout_s = max(1, int(timeout_s))
+        self._installed = False
+        self._prev_handler = None
+
+    def _handler(self, signum, frame):
+        raise StepTimeout(
+            f"training step exceeded {self.timeout_s}s watchdog"
+        )
+
+    def install(self) -> bool:
+        import signal
+        import threading
+
+        if threading.current_thread() is not threading.main_thread():
+            log.warning("HangWatchdog: not on main thread; disabled")
+            return False
+        self._prev_handler = signal.signal(signal.SIGALRM, self._handler)
+        self._installed = True
+        return True
+
+    def on_train_start(self, trainer):
+        self.install()
+
+    def on_training_step_start(self, trainer, step):
+        if self._installed:
+            import signal
+
+            signal.alarm(self.timeout_s)
+
+    def on_training_step_end(self, trainer, step, metrics):
+        if self._installed:
+            import signal
+
+            signal.alarm(0)
+
+    def on_train_end(self, trainer):
+        if self._installed:
+            import signal
+
+            signal.alarm(0)
+            signal.signal(signal.SIGALRM, self._prev_handler)
+            self._installed = False
+
+
 class MetricsJsonl(Callback):
     """Append per-step metrics to a JSONL file — the local observability
     equivalent of the reference's wandb logging (callbacks/iter_speed.py

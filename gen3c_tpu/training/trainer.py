@@ -44,6 +44,9 @@ class TrainerConfig:
     grad_accum_steps: int = 1
     remat: bool = False  # rematerialize DiT blocks (activation ckpt)
     fsdp: bool = False  # shard params/opt/EMA over 'dp' (ZeRO-3)
+    # kill a hung step after this many seconds via SIGALRM
+    # (utils/trainer.py:108-109 timeout_period parity); 0 = off
+    step_timeout_s: float = 0.0
 
 
 class Trainer:
@@ -85,6 +88,10 @@ class Trainer:
         self.callbacks = callbacks or CallBackGroup(
             [IterSpeed(config.log_every)]
         )
+        if config.step_timeout_s > 0:
+            from gen3c_tpu.training.callbacks import HangWatchdog
+
+            self.callbacks.append(HangWatchdog(config.step_timeout_s))
         self._rng = jax.random.PRNGKey(config.seed)
 
     def maybe_resume(self) -> int:

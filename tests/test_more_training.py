@@ -151,3 +151,30 @@ def test_tokenizer_train_cli(tmp_path):
         "--save", str(out),
     ])
     assert out.exists()
+
+
+def test_hang_watchdog_kills_hung_step():
+    """The SIGALRM watchdog interrupts a step that blocks past the
+    timeout and is disarmed outside steps (utils/trainer.py:108-109,197
+    parity)."""
+    import signal
+    import time
+
+    import pytest
+
+    from gen3c_tpu.training.callbacks import HangWatchdog, StepTimeout
+
+    cb = HangWatchdog(timeout_s=1)
+    cb.on_train_start(None)
+    assert cb._installed
+    # a fast step passes and disarms the alarm
+    cb.on_training_step_start(None, 1)
+    cb.on_training_step_end(None, 1, {})
+    assert signal.alarm(0) == 0  # nothing pending after step end
+    # a hung step gets killed
+    cb.on_training_step_start(None, 2)
+    with pytest.raises(StepTimeout):
+        time.sleep(3)
+    cb.on_train_end(None)
+    # handler restored; alarm clear
+    assert signal.getsignal(signal.SIGALRM) is not cb._handler
