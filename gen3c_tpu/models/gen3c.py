@@ -76,6 +76,12 @@ class Gen3CModel:
         default_factory=EDMEulerSchedule
     )
     mesh: Optional[object] = None  # jax.sharding.Mesh -> CP denoising
+    # offload_dit=True: dit_params rest in host RAM and are staged into
+    # HBM only for the denoise phase (reference
+    # --offload_diffusion_transformer, gen3c_pipeline.py:186-225) — on a
+    # 16 GB chip the W8A8 7B and the full-res VAE phases fit alone but
+    # not together
+    offload_dit: bool = False
 
     def __post_init__(self):
         # stable closure identity so the jitted sampler doesn't retrace
@@ -237,24 +243,37 @@ class Gen3CModel:
             self.dit_cfg.cache_block_span is not None
             and step_cache_interval > 1
         )
-        return generate_samples(
-            net_fn=(_dit_net_fn_span_refresh if use_span else self._net_fn),
-            net_fn_skip=(_dit_net_fn_span_skip if use_span else None),
-            net_params=(self.dit_params, self.dit_cfg),
-            init_noise=jnp.asarray(init_noise),
-            augment_noise=jnp.asarray(augment_noise),
-            crossattn_cond=cond.crossattn_emb,
-            crossattn_uncond=uncond.crossattn_emb,
-            gt_latent=cond.gt_latent,
-            condition_video_indicator=cond.condition_video_indicator,
-            condition_video_input_mask=cond.condition_video_input_mask,
-            pose_latent_cond=cond.condition_video_pose,
-            pose_latent_uncond=uncond.condition_video_pose,
-            num_steps=num_steps,
-            guidance=guidance,
-            condition_augment_sigma=condition_augment_sigma,
-            schedule=self.schedule,
-            step_cache_interval=step_cache_interval,
-            step_cache_threshold=step_cache_threshold,
-            net_in_dtype=self.dit_cfg.dtype,
-        )
+        from gen3c_tpu.utils.offload import staged
+
+        with staged(self.dit_params, self.offload_dit, tag="dit") as dp:
+            out = generate_samples(
+                net_fn=(
+                    _dit_net_fn_span_refresh if use_span else self._net_fn
+                ),
+                net_fn_skip=(_dit_net_fn_span_skip if use_span else None),
+                net_params=(dp, self.dit_cfg),
+                init_noise=jnp.asarray(init_noise),
+                augment_noise=jnp.asarray(augment_noise),
+                crossattn_cond=cond.crossattn_emb,
+                crossattn_uncond=uncond.crossattn_emb,
+                gt_latent=cond.gt_latent,
+                condition_video_indicator=cond.condition_video_indicator,
+                condition_video_input_mask=cond.condition_video_input_mask,
+                pose_latent_cond=cond.condition_video_pose,
+                pose_latent_uncond=uncond.condition_video_pose,
+                num_steps=num_steps,
+                guidance=guidance,
+                condition_augment_sigma=condition_augment_sigma,
+                schedule=self.schedule,
+                step_cache_interval=step_cache_interval,
+                step_cache_threshold=step_cache_threshold,
+                net_in_dtype=self.dit_cfg.dtype,
+            )
+            if self.offload_dit:
+                # make sure the denoise has actually finished before the
+                # staged params are deleted and the next (VAE) phase
+                # starts allocating (block_until_ready alone can return
+                # early through the axon tunnel — force a host read)
+                jax.block_until_ready(out)
+                np.asarray(out[:1, :1, :1, :1, :1])
+        return out

@@ -615,8 +615,16 @@ class VideoTokenizer:
             latent_std = jnp.ones((1, cfg.latent_channels, lc, 1, 1))
         self.latent_mean = latent_mean.astype(jnp.float32)
         self.latent_std = latent_std.astype(jnp.float32)
+        # offload=True: params rest in host RAM and are staged into HBM
+        # per encode/decode call (reference --offload_tokenizer parity)
+        self.offload = False
         self._encode = jax.jit(partial(vae_encode, cfg=cfg))
         self._decode = jax.jit(partial(vae_decode, cfg=cfg))
+
+    def _staged_params(self):
+        from gen3c_tpu.utils.offload import staged
+
+        return staged(self.params, self.offload, tag="vae")
 
     @property
     def latent_chunk_duration(self) -> int:
@@ -647,7 +655,8 @@ class VideoTokenizer:
         """(B, 3, H, W) -> (B, C, 1, H/8, W/8): the shared image path
         (JointImageVideoSharedJITTokenizer parity, pretrained_vae.py:508-
         611 — T=1 through the same causal weights)."""
-        latent = self._encode(params=self.params, x=image[:, :, None])
+        with self._staged_params() as p:
+            latent = self._encode(params=p, x=image[:, :, None])
         mean = self.latent_mean[:, :, :1].astype(latent.dtype)
         std = self.latent_std[:, :, :1].astype(latent.dtype)
         return (latent - mean) / std
@@ -656,7 +665,8 @@ class VideoTokenizer:
         """(B, C, 1, H', W') -> (B, 3, H, W)."""
         mean = self.latent_mean[:, :, :1].astype(latent.dtype)
         std = self.latent_std[:, :, :1].astype(latent.dtype)
-        return self._decode(params=self.params, z=latent * std + mean)[:, :, 0]
+        with self._staged_params() as p:
+            return self._decode(params=p, z=latent * std + mean)[:, :, 0]
 
     def encode(self, state: Array) -> Array:
         """(B, 3, N*chunk, H, W) in [-1,1] -> normalized latent."""
@@ -667,7 +677,8 @@ class VideoTokenizer:
         chunks = chunks.transpose(0, 2, 1, 3, 4, 5).reshape(
             B * n, C, self.pixel_chunk_duration, H, W
         )
-        latent = self._encode(params=self.params, x=chunks)
+        with self._staged_params() as p:
+            latent = self._encode(params=p, x=chunks)
         lc = self.latent_chunk_duration
         latent = latent.reshape(B, n, self.latent_ch, lc, *latent.shape[-2:])
         latent = latent.transpose(0, 2, 1, 3, 4, 5).reshape(
@@ -688,7 +699,8 @@ class VideoTokenizer:
         latent = latent * std + mean
         chunks = latent.reshape(B, C, n, lc, H, W)
         chunks = chunks.transpose(0, 2, 1, 3, 4, 5).reshape(B * n, C, lc, H, W)
-        state = self._decode(params=self.params, z=chunks)
+        with self._staged_params() as p:
+            state = self._decode(params=p, z=chunks)
         pc = self.pixel_chunk_duration
         state = state.reshape(B, n, state.shape[1], pc, *state.shape[-2:])
         return state.transpose(0, 2, 1, 3, 4, 5).reshape(

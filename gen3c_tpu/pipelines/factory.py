@@ -97,6 +97,8 @@ def build_gen3c_model(
     parallel: str = "cp",
     cache_block_span: Optional[Tuple[int, int]] = None,
     cache_span_dtype: str = "bf16",
+    offload_dit: bool = False,
+    offload_tokenizer: bool = False,
 ) -> Tuple[Gen3CModel, Gen3CPreset]:
     """Build a Gen3CModel from a preset, loading weights if available.
 
@@ -213,6 +215,23 @@ def build_gen3c_model(
                  + ("(W8A8 dynamic activations)" if act else "(weight-only)"))
         dit_params = quantize_dit_params_inplace(dit_params, act_quant=act)
 
+    if offload_dit and num_devices == 1:
+        # params rest in host RAM; Gen3CModel stages them into HBM for
+        # the denoise phase only (reference --offload_diffusion_transformer
+        # parity — see utils/offload.py for why single-chip 7B needs it)
+        from gen3c_tpu.utils.offload import tree_to_host
+
+        dit_params = tree_to_host(dit_params)
+    elif offload_dit:
+        log.warning("offload_dit ignored: multi-device serving shards "
+                    "params across chips instead")
+        offload_dit = False
+    if offload_tokenizer:
+        from gen3c_tpu.utils.offload import tree_to_host
+
+        tokenizer.params = tree_to_host(tokenizer.params)
+        tokenizer.offload = True
+
     mesh = None
     cp_tp_match = re.fullmatch(r"cp(\d+)tp(\d+)", parallel)
     if parallel not in ("cp", "tp") and not cp_tp_match:
@@ -274,6 +293,7 @@ def build_gen3c_model(
         chunk_size=preset.chunk_size,
         state_shape=preset.state_shape,
         mesh=mesh,
+        offload_dit=offload_dit and num_devices == 1,
     )
     return model, preset
 

@@ -110,15 +110,20 @@ def create_parser() -> argparse.ArgumentParser:
                    dest="num_devices",
                    help="context-parallel denoise over N devices "
                         "(torchrun --num_gpus parity)")
-    # reference offload flags accepted for CLI compatibility; on TPU the
-    # tokenizer/text-encoder/guardrails are host-side or absent, so these
-    # are no-ops (inference_utils.py:53-170 offload args)
+    # reference offload flags (inference_utils.py:53-170).
+    # --offload_diffusion_transformer and --offload_tokenizer are REAL:
+    # params rest in host RAM and are staged into HBM per phase
+    # (utils/offload.py) — required for the 7B + full-res VAE on one
+    # 16 GB chip (auto-enabled there). The text-encoder/upsampler/
+    # guardrail variants are no-ops on TPU (those run host-side or are
+    # checkpoint-gated).
     for flag in ("offload_diffusion_transformer", "offload_tokenizer",
                  "offload_text_encoder_model", "offload_prompt_upsampler",
                  "offload_guardrail_models", "disable_guardrail",
                  "disable_prompt_upsampler"):
         p.add_argument(f"--{flag}", action="store_true",
-                       help="accepted for reference-CLI compatibility")
+                       help="reference offload flag (DiT/tokenizer ones "
+                            "are functional on TPU)")
     p.add_argument("--quantize_int8", action="store_true",
                    help="int8 weight-only DiT (fits the 7B on one chip)")
     p.add_argument("--quantize_w8a8", action="store_true",
@@ -137,12 +142,23 @@ def validate_args(args, chunk_size: int) -> None:
 
 
 def demo(args) -> str:
+    offload_dit = args.offload_diffusion_transformer
+    if (args.model_preset == "gen3c_7b" and args.num_devices == 1
+            and not offload_dit):
+        # the 7B DiT and the full-res VAE phases fit a 16 GB chip alone
+        # but not together (measured OOM, utils/offload.py) — stage the
+        # DiT out during VAE phases
+        log.info("single-chip 7B: enabling DiT offload "
+                 "(--offload_diffusion_transformer)")
+        offload_dit = True
     model, preset = build_gen3c_model(
         args.model_preset,
         checkpoint_dir=args.checkpoint_dir,
         seed=args.seed,
         num_devices=args.num_devices,
         parallel=args.parallel,
+        offload_dit=offload_dit,
+        offload_tokenizer=args.offload_tokenizer,
         cache_block_span=(
             tuple(args.step_cache_block_span)
             if args.step_cache_block_span else None

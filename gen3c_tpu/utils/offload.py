@@ -1,0 +1,70 @@
+"""Phase-wise parameter offloading: host RAM <-> device HBM staging.
+
+Parity: the reference's --offload_* flags (inference_utils.py:53-170;
+gen3c_pipeline.py:186-225 `_run_model_with_offload` moves each torch
+module off the GPU after its phase so the 7B pipeline fits in GPU
+memory — README.md:146-155 documents ~43 GB peak H100 with everything
+offloaded). TPU-native equivalent: params rest as host numpy pytrees;
+`staged()` device_puts them into HBM for the phase that needs them and
+explicitly deletes the device buffers on exit, so XLA frees the HBM
+immediately instead of waiting for GC. PJRT refcounts keep buffers
+alive for any in-flight execution that was dispatched with them, so
+deletion right after an async jit dispatch is safe.
+
+Why it matters here: one v5e chip has 16 GB HBM. The W8A8 7B DiT is
+7.6 GB; the full-res VAE encode/decode needs most of the rest — they
+fit alone but not together (measured OOM in the 121-frame e2e run,
+2026-08-16). With the DiT staged out during VAE phases the whole
+single-image pipeline runs single-chip.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import time
+from typing import Any
+
+import numpy as np
+
+from gen3c_tpu.utils import log
+
+
+def tree_to_host(tree: Any) -> Any:
+    """Pull every array leaf into host RAM (numpy). jax.Array leaves are
+    device_get; numpy/scalar leaves pass through."""
+    import jax
+
+    return jax.tree.map(np.asarray, tree)
+
+
+def tree_nbytes(tree: Any) -> int:
+    import jax
+
+    return sum(
+        getattr(leaf, "nbytes", 0) for leaf in jax.tree.leaves(tree)
+    )
+
+
+@contextlib.contextmanager
+def staged(tree: Any, enabled: bool = True, tag: str = "params"):
+    """Yield `tree` staged onto the default device; delete the device
+    buffers on exit. With enabled=False, yields `tree` unchanged (the
+    resident, non-offloaded configuration)."""
+    import jax
+
+    if not enabled:
+        yield tree
+        return
+    t0 = time.perf_counter()
+    device_tree = jax.device_put(tree)
+    log.info(
+        f"offload: staged {tag} ({tree_nbytes(tree)/1e9:.2f} GB) to "
+        f"device in {time.perf_counter()-t0:.2f}s"
+    )
+    try:
+        yield device_tree
+    finally:
+        for leaf in jax.tree.leaves(device_tree):
+            if isinstance(leaf, jax.Array):
+                leaf.delete()
+        log.info(f"offload: released {tag} from device")

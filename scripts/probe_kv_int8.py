@@ -1,16 +1,22 @@
 """Probe: int8 KV cache decode throughput vs bf16 on the real chip.
 
-Measures steady-state single-token decode (the KV-bandwidth-bound
-regime) for a llama-8B-shaped config at a long context, with the cache
-pre-filled: tokens/s with a bf16 cache vs the int8 cache (scales folded
-into attention — models/ar_transformer.py). Decode reads the whole
-cache every step, so the expected ceiling is ~2x when decode is
-KV-bound and ~1x when weight reads dominate.
+Measures steady-state batched decode (the regime where KV reads rival or
+exceed weight reads) for a llama-8B-shaped config: tokens/s with a bf16
+cache vs the int8 cache (scales folded into attention —
+models/ar_transformer.py). Every decode step reads all weights once and
+every sequence's full KV buffer, so with W = weight bytes and K = bf16
+KV bytes the expected wall-clock ratio is ~(W + K) / (W + K/2); the
+probe prints that prediction next to the measurement. At B=1 (the
+original probe shape) W dominates 13:1 and the expected win is ~4% —
+int8 KV is then a *capacity* feature (2x context per chip), which is
+why the default shape is batched.
 
 NOTE: ~26 ms host-read floor (CLAUDE.md) — K decode steps are chained
-inside one jitted lax.scan before the single host read.
+inside one jitted lax.scan before the single host read. Kept small
+(--layers 4, --decode_tokens 32) so the remote compile helper finishes;
+the 8-layer variant timed out / broke the compile pipe twice 2026-08-16.
 
-Run: python scripts/probe_kv_int8.py [--layers 8] [--seq 8192]
+Run: python scripts/probe_kv_int8.py [--batch 16] [--layers 4] [--seq 8192]
 """
 
 from __future__ import annotations
@@ -30,11 +36,13 @@ import numpy as np
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--layers", type=int, default=8,
-                    help="8 layers of 8B-shape ~ 2 GB weights: decode "
-                         "stays KV-bound at long context")
+    ap.add_argument("--batch", type=int, default=16,
+                    help="decode batch: each sequence owns a full KV "
+                         "buffer, so B scales KV reads but not weight "
+                         "reads — B=8 makes the step KV-bound")
+    ap.add_argument("--layers", type=int, default=4)
     ap.add_argument("--seq", type=int, default=8192)
-    ap.add_argument("--decode_tokens", type=int, default=64)
+    ap.add_argument("--decode_tokens", type=int, default=32)
     args = ap.parse_args()
 
     import jax
@@ -55,19 +63,24 @@ def main():
     )
     params = init_ar_params(jax.random.PRNGKey(0), cfg, jnp.bfloat16)
     rope = rope_tables(cfg)
+    B = args.batch
     # short prefill: decode attends over (and therefore reads) the FULL
     # max_seq cache buffer every step regardless of pos, which is the
     # bandwidth being measured; a long prefill would only OOM on the
     # naive causal score matrix
-    prefill_len = 1024
+    prefill_len = min(128, args.seq // 2)
     rng = np.random.RandomState(0)
-    prompt = jnp.asarray(rng.randint(0, 32000, (1, prefill_len)), jnp.int32)
+    prompt = jnp.asarray(rng.randint(0, 32000, (B, prefill_len)), jnp.int32)
 
-    kv_bytes = (2 * cfg.n_layers * args.seq * cfg.n_kv_heads
-                * cfg.head_dim)
+    kv_bytes_bf16 = (2 * B * cfg.n_layers * args.seq * cfg.n_kv_heads
+                     * cfg.head_dim * 2)
+    w_bytes = sum(
+        np.prod(p.shape) * 2 for p in jax.tree.leaves(params)
+    )
+    pred = (w_bytes + kv_bytes_bf16) / (w_bytes + kv_bytes_bf16 / 2)
 
     def bench(quantized):
-        cache = init_kv_cache(cfg, 1, dtype=cfg.dtype,
+        cache = init_kv_cache(cfg, B, dtype=cfg.dtype,
                               quantized=quantized)
         _, cache = ar_forward(params, cfg, prompt, rope, cache)
 
@@ -84,32 +97,34 @@ def main():
             )
             return tok
 
-        tok0 = jnp.asarray([[1]], jnp.int32)
+        tok0 = jnp.ones((B, 1), jnp.int32)
         float(jnp.sum(decode_n(cache, tok0)))  # compile + warm
         t0 = time.perf_counter()
         float(jnp.sum(decode_n(cache, tok0)))
         dt = time.perf_counter() - t0 - 0.026
         per_tok = dt / args.decode_tokens
-        bytes_per_tok = kv_bytes * (1 if quantized else 2)
+        bytes_per_tok = w_bytes + kv_bytes_bf16 // (2 if quantized else 1)
         eff_bw = bytes_per_tok / per_tok / 1e9
         tag = "int8" if quantized else "bf16"
-        print(f"  {tag} cache: {per_tok*1e3:7.2f} ms/token "
-              f"({1/per_tok:6.1f} tok/s, KV read ~{eff_bw:.0f} GB/s)",
+        print(f"  {tag} cache: {per_tok*1e3:7.2f} ms/step "
+              f"({B/per_tok:6.1f} tok/s, HBM read ~{eff_bw:.0f} GB/s)",
               file=sys.stderr)
         return per_tok
 
-    print(f"decode probe: {args.layers} layers x 8B shape, "
-          f"seq {args.seq}, KV cache "
-          f"{kv_bytes*2/1e9:.2f} GB bf16 / {kv_bytes/1e9:.2f} GB int8",
+    print(f"decode probe: B={B}, {args.layers} layers x 8B shape, "
+          f"seq {args.seq}: weights {w_bytes/1e9:.2f} GB, KV "
+          f"{kv_bytes_bf16/1e9:.2f} GB bf16 / {kv_bytes_bf16/2e9:.2f} GB "
+          f"int8; predicted bandwidth-bound speedup {pred:.2f}x",
           file=sys.stderr)
     t_bf16 = bench(False)
     t_int8 = bench(True)
     import json
 
     print(json.dumps({
-        "bf16_ms_per_token": round(t_bf16 * 1e3, 2),
-        "int8_ms_per_token": round(t_int8 * 1e3, 2),
+        "bf16_ms_per_step": round(t_bf16 * 1e3, 2),
+        "int8_ms_per_step": round(t_int8 * 1e3, 2),
         "speedup": round(t_bf16 / t_int8, 3),
+        "predicted_speedup": round(pred, 3),
     }))
 
 

@@ -1,0 +1,85 @@
+"""Phase-wise param offloading (utils/offload.py): staging must not
+change any numerics, and staged device buffers must actually be freed.
+
+Reference parity: --offload_diffusion_transformer / --offload_tokenizer
+(inference_utils.py:53-170, gen3c_pipeline.py:186-225).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+def _tiny_model(offload_dit=False, offload_tokenizer=False):
+    from gen3c_tpu.pipelines.factory import build_gen3c_model
+
+    return build_gen3c_model(
+        "gen3c_tiny",
+        checkpoint_dir=None,
+        seed=0,
+        offload_dit=offload_dit,
+        offload_tokenizer=offload_tokenizer,
+    )
+
+
+def _generate(model, preset, seed=3):
+    rng = np.random.RandomState(seed)
+    chunk = preset.chunk_size
+    h, w = preset.height, preset.width
+    frames = jnp.asarray(rng.rand(1, 3, 1, h, w) * 2 - 1, jnp.float32)
+    warps = jnp.asarray(
+        rng.rand(1, chunk, 1, 3, h, w) * 2 - 1, jnp.float32
+    )
+    masks = jnp.asarray(
+        (rng.rand(1, chunk, 1, 1, h, w) > 0.3), jnp.float32
+    )
+    cond_latent = model.create_condition_latent_from_input_frames(frames)
+    t5 = jnp.asarray(rng.rand(1, 8, 1024), jnp.float32)
+    samples = model.generate_samples(
+        t5_embeddings=t5,
+        condition_latent=cond_latent,
+        condition_state=warps,
+        condition_state_mask=masks,
+        num_steps=3,
+        seed=seed,
+    )
+    return np.asarray(model.decode(samples))
+
+
+def test_offload_bitwise_parity():
+    model_a, preset = _tiny_model()
+    out_a = _generate(model_a, preset)
+    model_b, _ = _tiny_model(offload_dit=True, offload_tokenizer=True)
+    assert model_b.offload_dit and model_b.tokenizer.offload
+    # offloaded params rest on host as numpy
+    assert all(
+        isinstance(leaf, np.ndarray)
+        for leaf in jax.tree.leaves(model_b.dit_params)
+    )
+    out_b = _generate(model_b, preset)
+    assert out_a.shape == out_b.shape
+    assert np.array_equal(out_a, out_b), (
+        f"offload changed numerics: max |diff| = "
+        f"{np.max(np.abs(out_a - out_b))}"
+    )
+
+
+def test_staged_releases_buffers():
+    from gen3c_tpu.utils.offload import staged, tree_to_host
+
+    tree = {"w": np.ones((16, 16), np.float32)}
+    with staged(tree, enabled=True, tag="test") as dev:
+        leaves = jax.tree.leaves(dev)
+        assert all(isinstance(x, jax.Array) for x in leaves)
+        float(jnp.sum(leaves[0]))  # usable on device
+    assert all(x.is_deleted() for x in leaves)
+
+    # enabled=False passes the tree through untouched
+    with staged(tree, enabled=False) as same:
+        assert same is tree
+
+    host = tree_to_host({"a": jnp.ones((2,)), "b": 3})
+    assert isinstance(host["a"], np.ndarray) and host["b"] == 3
