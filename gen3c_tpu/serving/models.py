@@ -142,14 +142,21 @@ class Gen3cPersistentModel(InferenceModel):
         step_cache_threshold: float = 0.0,
         num_devices: int = 1,
         parallel: str = "cp",
+        offload_dit: Optional[bool] = None,
     ):
         from gen3c_tpu.pipelines.depth import make_depth_estimator
         from gen3c_tpu.pipelines.factory import build_gen3c_model
         from gen3c_tpu.pipelines.gen3c_pipeline import Gen3cPipeline
 
+        if offload_dit is None:
+            # same auto-enable as the single-image CLI: 7B + full-res
+            # VAE phases don't fit one 16 GB chip together
+            # (utils/offload.py)
+            offload_dit = model_preset == "gen3c_7b" and num_devices == 1
         self.model, self.preset = build_gen3c_model(
             model_preset, checkpoint_dir=checkpoint_dir, seed=seed,
             quantize=quantize, num_devices=num_devices, parallel=parallel,
+            offload_dit=offload_dit,
         )
         self.pipeline = Gen3cPipeline(
             model=self.model,

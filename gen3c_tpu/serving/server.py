@@ -254,6 +254,11 @@ def build_model_from_env():
         ),
         num_devices=int(os.environ.get("GEN3C_NUM_DEVICES", "1")),
         parallel=os.environ.get("GEN3C_PARALLEL", "cp"),
+        # GEN3C_OFFLOAD_DIT=1/0 overrides the single-chip-7B auto-enable
+        offload_dit=(
+            bool(int(os.environ["GEN3C_OFFLOAD_DIT"]))
+            if "GEN3C_OFFLOAD_DIT" in os.environ else None
+        ),
     )
 
 
