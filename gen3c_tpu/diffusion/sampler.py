@@ -60,6 +60,7 @@ def _net_inputs(x_scaled: Array, condition: VideoExtendCondition) -> Array:
         "net_fn_skip",
         "net_in_dtype",
         "drift_axis",
+        "cfg_sequential",
     ),
 )
 def generate_samples(
@@ -83,6 +84,7 @@ def generate_samples(
     net_fn_skip: Optional[Callable[..., Array]] = None,
     net_in_dtype=None,
     drift_axis: Optional[str] = None,
+    cfg_sequential: bool = False,
 ) -> Array:
     """Run the full denoising loop; returns the final latent (B,C,T,H,W).
 
@@ -99,6 +101,14 @@ def generate_samples(
     CURRENT sigma and latent. Denoise wall-clock scales by roughly
     (refreshed steps / num_steps) at the quality cost characterized in
     those papers. interval=1 is bit-identical to the uncached loop.
+
+    cfg_sequential=True evaluates the CFG pair as two sequential B-sized
+    DiT forwards instead of one batched 2B forward — identical math,
+    XLA temp memory halves (9.49 -> ~4.8 GB at the production shape,
+    scripts/probe_sampler_memory.py) at the cost of reading the weights
+    twice per step (~10 ms at HBM bandwidth vs a ~30 s step). Used by
+    the memory-constrained single-chip 7B path (utils/offload.py);
+    incompatible with span caching (net_fn_skip).
 
     step_cache_threshold > 0 switches to ADAPTIVE caching (TeaCache
     family, arXiv:2411.19108): the relative L1 drift of the scaled
@@ -136,6 +146,19 @@ def generate_samples(
 
     crossattn_both = jnp.concatenate([crossattn_cond, crossattn_uncond], axis=0)
     B = init_noise.shape[0]
+
+    if cfg_sequential and net_fn_skip is not None:
+        raise ValueError("cfg_sequential is not supported with span "
+                         "caching (net_fn_skip)")
+
+    def _net_call(x_in: Array, t_in: Array) -> Array:
+        """One CFG evaluation: batched [cond|uncond] forward, or two
+        sequential B-sized forwards (halved temp memory)."""
+        if not cfg_sequential:
+            return net_fn(net_params, x_in, t_in, crossattn_both)
+        out_c = net_fn(net_params, x_in[:B], t_in[:B], crossattn_cond)
+        out_u = net_fn(net_params, x_in[B:], t_in[B:], crossattn_uncond)
+        return jnp.concatenate([out_c, out_u], axis=0)
 
     # net inputs may be assembled in the network's compute dtype
     # (bf16 for the 7B): the DiT casts to its dtype on entry anyway, and
@@ -185,9 +208,7 @@ def generate_samples(
 
     def body(i, xt):
         sigma, indicator, new_xt, x_in, t_in = _step_inputs(i, xt)
-        net_out = net_fn(net_params, x_in, t_in, crossattn_both).astype(
-            jnp.float32
-        )
+        net_out = _net_call(x_in, t_in).astype(jnp.float32)
         return _step_outputs(i, sigma, indicator, new_xt, net_out)
 
     if (step_cache_interval <= 1 and step_cache_threshold <= 0
@@ -271,9 +292,7 @@ def generate_samples(
             )
             net_out = jax.lax.cond(
                 refresh,
-                lambda: net_fn(
-                    net_params, x_in, t_in, crossattn_both
-                ).astype(jnp.float32),
+                lambda: _net_call(x_in, t_in).astype(jnp.float32),
                 lambda: cached,
             )
             acc_next = jnp.where(refresh, 0.0, drift)
@@ -302,9 +321,7 @@ def generate_samples(
         )
         net_out = jax.lax.cond(
             refresh,
-            lambda: net_fn(net_params, x_in, t_in, crossattn_both).astype(
-                jnp.float32
-            ),
+            lambda: _net_call(x_in, t_in).astype(jnp.float32),
             lambda: cached,
         )
         return (_step_outputs(i, sigma, indicator, new_xt, net_out),
@@ -316,3 +333,168 @@ def generate_samples(
         0, num_steps, cached_body, (xt0, cache0)
     )
     return final
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "net_fn",
+        "guidance",
+        "aug",
+        "schedule",
+        "net_in_dtype",
+        "refresh",
+        "cfg_sequential",
+    ),
+)
+def _host_loop_step(
+    net_fn,
+    net_params,
+    xt: Array,
+    cached_out: Array,
+    sigma: Array,  # () f32, traced: one compile covers all steps
+    sigma_next: Array,
+    c_noise: Array,
+    augment_latent: Array,
+    gt: Array,
+    indicator_base: Array,
+    crossattn_cond: Array,
+    crossattn_uncond: Array,
+    condition_video_input_mask: Optional[Array],
+    pose_latent_cond: Optional[Array],
+    pose_latent_uncond: Optional[Array],
+    guidance: float,
+    aug: float,
+    schedule: EDMEulerSchedule,
+    net_in_dtype,
+    refresh: bool,
+    cfg_sequential: bool,
+):
+    """One denoise step for the host-driven loop (same math as the
+    fori_loop body in generate_samples). Returns (xt_next, net_out)."""
+    B = xt.shape[0]
+    indicator = jnp.where(aug >= sigma, jnp.zeros_like(indicator_base),
+                          indicator_base)
+    augment_latent_unscaled = augment_latent / schedule.c_in(sigma)
+    new_xt = indicator * augment_latent_unscaled + (1 - indicator) * xt
+    new_xt_scaled = (new_xt * schedule.c_in(sigma)).astype(net_in_dtype)
+
+    cond_parts = [new_xt_scaled]
+    uncond_parts = [new_xt_scaled]
+    if condition_video_input_mask is not None:
+        m = condition_video_input_mask.astype(net_in_dtype)
+        cond_parts.append(m)
+        uncond_parts.append(m)
+    if pose_latent_cond is not None:
+        cond_parts.append(pose_latent_cond.astype(net_in_dtype))
+        uncond_parts.append(pose_latent_uncond.astype(net_in_dtype))
+    x_cond = jnp.concatenate(cond_parts, axis=1)
+    x_uncond = jnp.concatenate(uncond_parts, axis=1)
+    t_in = jnp.broadcast_to(c_noise[None], (B,))
+
+    if refresh:
+        if cfg_sequential:
+            out_c = net_fn(net_params, x_cond, t_in, crossattn_cond)
+            out_u = net_fn(net_params, x_uncond, t_in, crossattn_uncond)
+            net_out = jnp.concatenate([out_c, out_u], axis=0).astype(
+                jnp.float32
+            )
+        else:
+            x_in = jnp.concatenate([x_cond, x_uncond], axis=0)
+            t2 = jnp.broadcast_to(c_noise[None], (2 * B,))
+            both = jnp.concatenate([crossattn_cond, crossattn_uncond],
+                                   axis=0)
+            net_out = net_fn(net_params, x_in, t2, both).astype(
+                jnp.float32
+            )
+    else:
+        net_out = cached_out
+
+    out_cond, out_uncond = net_out[:B], net_out[B:]
+    net_output = out_cond + guidance * (out_cond - out_uncond)
+    latent_unscaled = schedule.reverse_precondition_output(gt, new_xt, sigma)
+    new_output = indicator * latent_unscaled + (1 - indicator) * net_output
+    return schedule.step(new_output, new_xt, sigma, sigma_next), net_out
+
+
+def generate_samples_host_loop(
+    net_fn,
+    net_params,
+    init_noise: Array,
+    augment_noise: Array,
+    crossattn_cond: Array,
+    crossattn_uncond: Array,
+    gt_latent: Array,
+    condition_video_indicator: Array,
+    condition_video_input_mask: Optional[Array] = None,
+    pose_latent_cond: Optional[Array] = None,
+    pose_latent_uncond: Optional[Array] = None,
+    num_steps: int = 35,
+    guidance: float = 1.0,
+    condition_augment_sigma: float = 0.001,
+    schedule: EDMEulerSchedule = EDMEulerSchedule(),
+    step_cache_interval: int = 1,
+    cfg_sequential: bool = False,
+    net_in_dtype=None,
+) -> Array:
+    """Memory-lean sampler: a HOST python loop over a jitted single-step
+    program, instead of one jit holding the whole `num_steps` fori_loop.
+
+    Why: XLA's whole-loop program needs args 7.84 GB + temp 9.5-11.2 GB
+    at the production W8A8 7B shape — over one v5e's 16 GB HBM, and this
+    backend rejects it at COMPILE time (scripts/probe_sampler_memory.py).
+    The single-step program is the same one bench.py measures, which
+    compiles and runs with the params resident. Cost: num_steps dispatch
+    round-trips (~26 ms each through the axon tunnel) against a ~30 s
+    step — <0.2% overhead. Math is identical to generate_samples;
+    step_cache_interval reuses the cached raw output on skipped steps
+    with the same warmup/tail refresh schedule.
+    """
+    sig = np.asarray(schedule.sigmas(num_steps), np.float32)
+    c_noises = np.asarray(schedule.timesteps(num_steps), np.float32)
+
+    xt = init_noise.astype(jnp.float32) * schedule.init_noise_sigma
+    aug = condition_augment_sigma
+    gt = gt_latent.astype(jnp.float32)
+    indicator_base = condition_video_indicator.astype(jnp.float32)
+    augment_latent = (
+        gt + augment_noise.astype(jnp.float32) * aug
+    ) * schedule.c_in(aug)
+
+    B = init_noise.shape[0]
+    C_out = gt.shape[1]
+    net_out = jnp.zeros((2 * B, C_out) + gt.shape[2:], jnp.float32)
+    warmup, tail = 2, 2
+    for i in range(num_steps):
+        refresh = (
+            step_cache_interval <= 1
+            or i < warmup
+            or i >= num_steps - tail
+            or (i - warmup) % step_cache_interval == 0
+        )
+        xt, net_out = _host_loop_step(
+            net_fn,
+            net_params,
+            xt,
+            net_out,
+            jnp.float32(sig[i]),
+            jnp.float32(sig[i + 1]),
+            jnp.float32(c_noises[i]),
+            augment_latent,
+            gt,
+            indicator_base,
+            crossattn_cond,
+            crossattn_uncond,
+            condition_video_input_mask,
+            pose_latent_cond,
+            pose_latent_uncond,
+            guidance=guidance,
+            aug=aug,
+            schedule=schedule,
+            net_in_dtype=(
+                jnp.float32 if net_in_dtype is None else net_in_dtype
+            ),
+            refresh=bool(refresh),
+            cfg_sequential=cfg_sequential,
+        )
+    return xt

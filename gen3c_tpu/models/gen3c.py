@@ -152,8 +152,9 @@ class Gen3CModel:
         self,
         t5_embeddings: Array,  # (B, 512, 1024)
         condition_latent: Array,  # (B, 16, T, H, W) (sigma_data-scaled)
-        condition_state: Array,  # (B, F, N, 3, H, W) warped buffers
-        condition_state_mask: Array,  # (B, F, N, 1, H, W)
+        condition_state: Optional[Array] = None,  # (B,F,N,3,H,W) warps
+        condition_state_mask: Optional[Array] = None,  # (B,F,N,1,H,W)
+        pose_latent: Optional[Array] = None,  # pre-encoded warp latent
         num_condition_t: int = 1,
         guidance: float = 1.0,
         num_steps: int = 35,
@@ -163,13 +164,20 @@ class Gen3CModel:
         init_noise: Optional[np.ndarray] = None,
         step_cache_interval: int = 1,
         step_cache_threshold: float = 0.0,
+        cfg_sequential: Optional[bool] = None,
     ) -> Array:
-        """Run the full GEN3C denoise; returns latent (B, 16, T, H', W')."""
+        """Run the full GEN3C denoise; returns latent (B, 16, T, H', W').
+
+        Callers may pass pre-encoded `pose_latent` instead of the
+        pixel-space condition_state(+mask) — the pipeline does this so
+        the ~1.7 GB warp buffers can be freed before the denoise phase
+        (see utils/offload.py memory budget)."""
         from gen3c_tpu.models.conditioner import make_condition_pair
 
-        pose_latent = self.encode_warped_frames(
-            condition_state, condition_state_mask
-        )
+        if pose_latent is None:
+            pose_latent = self.encode_warped_frames(
+                condition_state, condition_state_mask
+            )
 
         B = condition_latent.shape[0]
         state_shape = tuple(self.state_shape)
@@ -245,6 +253,51 @@ class Gen3CModel:
         )
         from gen3c_tpu.utils.offload import staged
 
+        if self.offload_dit and not use_span:
+            # memory-constrained single-chip serving: the whole-loop
+            # sampler program needs args 7.84 GB + temp 9.5-11.2 GB at
+            # the production shape — over 16 GB HBM, rejected at compile
+            # time (scripts/probe_sampler_memory.py). Drive the denoise
+            # as a host loop over the single-step program instead (the
+            # same program bench.py proves fits and runs). ~26 ms
+            # dispatch overhead per step vs a ~30 s step.
+            from gen3c_tpu.diffusion.sampler import (
+                generate_samples_host_loop,
+            )
+
+            if step_cache_threshold > 0:
+                from gen3c_tpu.utils import log
+
+                log.warning(
+                    "adaptive step caching is not available in the "
+                    "memory-constrained host-loop sampler; running "
+                    "uncached (use step_cache_interval instead)"
+                )
+            with staged(self.dit_params, True, tag="dit") as dp:
+                out = generate_samples_host_loop(
+                    net_fn=self._net_fn,
+                    net_params=(dp, self.dit_cfg),
+                    init_noise=jnp.asarray(init_noise),
+                    augment_noise=jnp.asarray(augment_noise),
+                    crossattn_cond=cond.crossattn_emb,
+                    crossattn_uncond=uncond.crossattn_emb,
+                    gt_latent=cond.gt_latent,
+                    condition_video_indicator=cond.condition_video_indicator,
+                    condition_video_input_mask=cond.condition_video_input_mask,
+                    pose_latent_cond=cond.condition_video_pose,
+                    pose_latent_uncond=uncond.condition_video_pose,
+                    num_steps=num_steps,
+                    guidance=guidance,
+                    condition_augment_sigma=condition_augment_sigma,
+                    schedule=self.schedule,
+                    step_cache_interval=step_cache_interval,
+                    cfg_sequential=bool(cfg_sequential),
+                    net_in_dtype=self.dit_cfg.dtype,
+                )
+                jax.block_until_ready(out)
+                np.asarray(out[:1, :1, :1, :1, :1])  # tunnel-safe sync
+            return out
+
         with staged(self.dit_params, self.offload_dit, tag="dit") as dp:
             out = generate_samples(
                 net_fn=(
@@ -268,6 +321,7 @@ class Gen3CModel:
                 step_cache_interval=step_cache_interval,
                 step_cache_threshold=step_cache_threshold,
                 net_in_dtype=self.dit_cfg.dtype,
+                cfg_sequential=bool(cfg_sequential),
             )
             if self.offload_dit:
                 # make sure the denoise has actually finished before the

@@ -81,12 +81,30 @@ class Gen3cPipeline:
             image_frames.shape[2]
         )
 
+        log.info("Encoding warped buffers into the pose latent...")
+        warp_dev = jnp.asarray(rendered_warp_images)
+        mask_dev = jnp.asarray(rendered_warp_masks)
+        pose_latent = self.model.encode_warped_frames(warp_dev, mask_dev)
+        if self.model.offload_dit:
+            # memory-constrained single-chip mode: the pixel-space warp
+            # buffers (~1.7 GB at 121x704x1280) are dead once encoded —
+            # delete() frees their HBM even though the caller still
+            # holds references (they are never read again; the AR loop
+            # re-renders them per chunk)
+            import jax
+
+            jax.block_until_ready(pose_latent)
+            np.asarray(pose_latent[:1, :1, :1, :1, :1])  # tunnel-safe sync
+            for a in (warp_dev, mask_dev, rendered_warp_images,
+                      rendered_warp_masks):
+                if isinstance(a, jax.Array) and not a.is_deleted():
+                    a.delete()
+
         log.info(f"Denoising ({self.num_steps} steps, CFG batched)...")
         samples = self.model.generate_samples(
             t5_embeddings=t5_emb,
             condition_latent=condition_latent,
-            condition_state=jnp.asarray(rendered_warp_images),
-            condition_state_mask=jnp.asarray(rendered_warp_masks),
+            pose_latent=pose_latent,
             num_condition_t=num_condition_t,
             guidance=self.guidance,
             num_steps=self.num_steps,

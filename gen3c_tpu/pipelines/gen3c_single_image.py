@@ -143,14 +143,15 @@ def validate_args(args, chunk_size: int) -> None:
 
 def demo(args) -> str:
     offload_dit = args.offload_diffusion_transformer
-    if (args.model_preset == "gen3c_7b" and args.num_devices == 1
-            and not offload_dit):
+    offload_tok = args.offload_tokenizer
+    if args.model_preset == "gen3c_7b" and args.num_devices == 1:
         # the 7B DiT and the full-res VAE phases fit a 16 GB chip alone
-        # but not together (measured OOM, utils/offload.py) — stage the
-        # DiT out during VAE phases
-        log.info("single-chip 7B: enabling DiT offload "
-                 "(--offload_diffusion_transformer)")
-        offload_dit = True
+        # but not together (measured OOM, utils/offload.py) — stage each
+        # out during the other's phase
+        if not (offload_dit and offload_tok):
+            log.info("single-chip 7B: enabling DiT + tokenizer offload "
+                     "(--offload_diffusion_transformer --offload_tokenizer)")
+        offload_dit = offload_tok = True
     model, preset = build_gen3c_model(
         args.model_preset,
         checkpoint_dir=args.checkpoint_dir,
@@ -158,7 +159,7 @@ def demo(args) -> str:
         num_devices=args.num_devices,
         parallel=args.parallel,
         offload_dit=offload_dit,
-        offload_tokenizer=args.offload_tokenizer,
+        offload_tokenizer=offload_tok,
         cache_block_span=(
             tuple(args.step_cache_block_span)
             if args.step_cache_block_span else None

@@ -330,3 +330,96 @@ def test_adaptive_cache_threshold_orders_error():
     # adaptive caching with a practical threshold still converges to the
     # perfect-denoiser target within the fixed-interval test's tolerance
     np.testing.assert_allclose(np.asarray(out), x0, rtol=2e-2, atol=2e-2)
+
+
+def test_cfg_sequential_matches_batched():
+    """cfg_sequential=True (two B-sized forwards per step, halved temp
+    memory — scripts/probe_sampler_memory.py) must reproduce the
+    batched-CFG trajectory."""
+    B, C, T, H, W, P = _shapes()
+    rng = np.random.RandomState(0)
+    w = jnp.asarray(rng.randn(C + 1 + P, C) * 0.05, jnp.float32)
+
+    def net_fn(params, x_in, t, crossattn):
+        # a real (nonlinear, cross-attn-dependent) toy net so any
+        # batched-vs-sequential wiring mistake changes the output
+        h = jnp.einsum("bcthw,cd->bdthw", x_in, w)
+        bias = jnp.mean(crossattn, axis=(1, 2))[:, None, None, None, None]
+        return jnp.tanh(h + bias + t[:, None, None, None, None] * 0.01)
+
+    kwargs = dict(
+        net_fn=net_fn,
+        net_params=None,
+        init_noise=jnp.asarray(rng.randn(B, C, T, H, W), jnp.float32),
+        augment_noise=jnp.asarray(rng.randn(B, C, T, H, W), jnp.float32),
+        crossattn_cond=jnp.asarray(rng.randn(B, 2, 4), jnp.float32),
+        crossattn_uncond=jnp.zeros((B, 2, 4), jnp.float32),
+        gt_latent=jnp.asarray(rng.randn(B, C, T, H, W), jnp.float32),
+        condition_video_indicator=jnp.zeros((1, 1, T, 1, 1))
+        .at[:, :, :2].set(1.0),
+        condition_video_input_mask=jnp.zeros((B, 1, T, H, W)),
+        pose_latent_cond=jnp.asarray(rng.randn(B, P, T, H, W), jnp.float32),
+        pose_latent_uncond=jnp.zeros((B, P, T, H, W), jnp.float32),
+        num_steps=6,
+        guidance=1.5,
+    )
+    batched = np.asarray(generate_samples(**kwargs))
+    seq = np.asarray(generate_samples(cfg_sequential=True, **kwargs))
+    np.testing.assert_allclose(seq, batched, rtol=1e-5, atol=1e-6)
+
+    # also under whole-output step caching
+    batched_c = np.asarray(
+        generate_samples(step_cache_interval=2, **kwargs)
+    )
+    seq_c = np.asarray(
+        generate_samples(step_cache_interval=2, cfg_sequential=True,
+                         **kwargs)
+    )
+    np.testing.assert_allclose(seq_c, batched_c, rtol=1e-5, atol=1e-6)
+
+
+def test_host_loop_matches_fori_loop():
+    """generate_samples_host_loop (memory-lean single-chip path) must
+    reproduce the one-jit fori_loop sampler, uncached and interval-cached."""
+    from gen3c_tpu.diffusion.sampler import generate_samples_host_loop
+
+    B, C, T, H, W, P = _shapes()
+    rng = np.random.RandomState(1)
+    w = jnp.asarray(rng.randn(C + 1 + P, C) * 0.05, jnp.float32)
+
+    def net_fn(params, x_in, t, crossattn):
+        h = jnp.einsum("bcthw,cd->bdthw", x_in, w)
+        bias = jnp.mean(crossattn, axis=(1, 2))[:, None, None, None, None]
+        return jnp.tanh(h + bias + t[:, None, None, None, None] * 0.01)
+
+    kwargs = dict(
+        net_fn=net_fn,
+        net_params=None,
+        init_noise=jnp.asarray(rng.randn(B, C, T, H, W), jnp.float32),
+        augment_noise=jnp.asarray(rng.randn(B, C, T, H, W), jnp.float32),
+        crossattn_cond=jnp.asarray(rng.randn(B, 2, 4), jnp.float32),
+        crossattn_uncond=jnp.zeros((B, 2, 4), jnp.float32),
+        gt_latent=jnp.asarray(rng.randn(B, C, T, H, W), jnp.float32),
+        condition_video_indicator=jnp.zeros((1, 1, T, 1, 1))
+        .at[:, :, :2].set(1.0),
+        condition_video_input_mask=jnp.zeros((B, 1, T, H, W)),
+        pose_latent_cond=jnp.asarray(rng.randn(B, P, T, H, W), jnp.float32),
+        pose_latent_uncond=jnp.zeros((B, P, T, H, W), jnp.float32),
+        num_steps=7,
+        guidance=1.5,
+    )
+    ref = np.asarray(generate_samples(**kwargs))
+    host = np.asarray(generate_samples_host_loop(**kwargs))
+    np.testing.assert_allclose(host, ref, rtol=1e-5, atol=1e-6)
+
+    ref_c = np.asarray(generate_samples(step_cache_interval=3, **kwargs))
+    host_c = np.asarray(
+        generate_samples_host_loop(step_cache_interval=3, **kwargs)
+    )
+    np.testing.assert_allclose(host_c, ref_c, rtol=1e-5, atol=1e-6)
+
+    # sequential CFG inside the host step
+    host_s = np.asarray(
+        generate_samples_host_loop(cfg_sequential=True, **kwargs)
+    )
+    np.testing.assert_allclose(host_s, ref, rtol=1e-5, atol=1e-6)
