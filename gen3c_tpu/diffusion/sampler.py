@@ -103,12 +103,15 @@ def generate_samples(
     those papers. interval=1 is bit-identical to the uncached loop.
 
     cfg_sequential=True evaluates the CFG pair as two sequential B-sized
-    DiT forwards instead of one batched 2B forward — identical math,
-    XLA temp memory halves (9.49 -> ~4.8 GB at the production shape,
-    scripts/probe_sampler_memory.py) at the cost of reading the weights
-    twice per step (~10 ms at HBM bandwidth vs a ~30 s step). Used by
-    the memory-constrained single-chip 7B path (utils/offload.py);
-    incompatible with span caching (net_fn_skip).
+    DiT forwards instead of one batched 2B forward — identical math, at
+    the cost of reading the weights twice per step (~10 ms at HBM
+    bandwidth vs a ~30 s step). NOTE: inside this whole-loop jit it does
+    NOT reduce XLA temp memory at the production shape (measured 11.2 GB
+    vs 9.5 GB batched — XLA schedules the two calls' temps together;
+    scripts/probe_sampler_memory.py). It DOES halve the single-step
+    program's temp in generate_samples_host_loop, which is where the
+    memory-constrained path uses it if the batched step ever regresses.
+    Incompatible with span caching (net_fn_skip).
 
     step_cache_threshold > 0 switches to ADAPTIVE caching (TeaCache
     family, arXiv:2411.19108): the relative L1 drift of the scaled
