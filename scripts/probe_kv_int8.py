@@ -85,7 +85,9 @@ def main():
         _, cache = ar_forward(params, cfg, prompt, rope, cache)
 
         @jax.jit
-        def decode_n(cache, tok):
+        def decode_n(params, cache, tok):
+            # params as an ARGUMENT: closure capture would bake 2.3 GB
+            # of weights into the program as constants (slow compile)
             def step(carry, _):
                 cache, tok = carry
                 logits, cache = ar_forward(params, cfg, tok, rope, cache)
@@ -98,9 +100,9 @@ def main():
             return tok
 
         tok0 = jnp.ones((B, 1), jnp.int32)
-        float(jnp.sum(decode_n(cache, tok0)))  # compile + warm
+        float(jnp.sum(decode_n(params, cache, tok0)))  # compile + warm
         t0 = time.perf_counter()
-        float(jnp.sum(decode_n(cache, tok0)))
+        float(jnp.sum(decode_n(params, cache, tok0)))
         dt = time.perf_counter() - t0 - 0.026
         per_tok = dt / args.decode_tokens
         bytes_per_tok = w_bytes + kv_bytes_bf16 // (2 if quantized else 1)
