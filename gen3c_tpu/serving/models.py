@@ -157,6 +157,9 @@ class Gen3cPersistentModel(InferenceModel):
             model_preset, checkpoint_dir=checkpoint_dir, seed=seed,
             quantize=quantize, num_devices=num_devices, parallel=parallel,
             offload_dit=offload_dit,
+            # VAE params (0.42 GB) would otherwise sit in the ~0.5 GB
+            # slack the host-loop denoise step leaves (docs/STATUS.md)
+            offload_tokenizer=offload_dit,
         )
         self.pipeline = Gen3cPipeline(
             model=self.model,
