@@ -501,3 +501,52 @@ def generate_samples_host_loop(
             cfg_sequential=cfg_sequential,
         )
     return xt
+
+
+def generate_samples_auto(
+    net_fn,
+    net_params,  # (param_tree, cfg) as used by every pipeline net_fn
+    offload: bool = False,
+    step_cache_threshold: float = 0.0,
+    **kwargs,
+):
+    """Dispatch between the one-jit whole-loop sampler and the
+    memory-constrained host-loop sampler.
+
+    offload=True means the params rest in host RAM (factory
+    offload_dit): they are staged into HBM, the denoise runs as a host
+    loop over the single-step program (the whole-loop program does not
+    fit beside the staged 7B — docs/STATUS.md "Memory / offload"), and
+    the staged buffers are freed before returning. Used by the
+    text2world / world-interpolator / multiview CLIs; Gen3CModel carries
+    its own variant (span caching + CP considerations).
+    """
+    if not offload:
+        return generate_samples(
+            net_fn=net_fn,
+            net_params=net_params,
+            step_cache_threshold=step_cache_threshold,
+            **kwargs,
+        )
+    from gen3c_tpu.utils.offload import staged
+
+    params, cfg = net_params
+    if step_cache_threshold > 0:
+        from gen3c_tpu.utils import log
+
+        log.warning(
+            "adaptive step caching is not available in the "
+            "memory-constrained host-loop sampler; running uncached "
+            "(use step_cache_interval instead)"
+        )
+    kwargs.pop("net_in_dtype", None)
+    with staged(params, True, tag="dit") as dp:
+        out = generate_samples_host_loop(
+            net_fn=net_fn,
+            net_params=(dp, cfg),
+            net_in_dtype=cfg.dtype,
+            **kwargs,
+        )
+        jax.block_until_ready(out)
+        np.asarray(out[:1, :1, :1, :1, :1])  # tunnel-safe sync
+    return out

@@ -122,9 +122,7 @@ def generate_world(
     init_noise = np.random.RandomState(seed).standard_normal(
         (B,) + state_shape
     ).astype(np.float32)
-    samples = generate_samples(
-        net_fn=_dit_net_fn,
-        net_params=(model.dit_params, model.dit_cfg),
+    sample_kwargs = dict(
         init_noise=jnp.asarray(init_noise),
         augment_noise=jnp.asarray(
             arch_invariant_randn((B,) + state_shape, seed)
@@ -141,7 +139,15 @@ def generate_world(
         num_steps=num_steps,
         guidance=guidance,
         step_cache_interval=step_cache_interval,
+    )
+    from gen3c_tpu.diffusion.sampler import generate_samples_auto
+
+    samples = generate_samples_auto(
+        net_fn=_dit_net_fn,
+        net_params=(model.dit_params, model.dit_cfg),
+        offload=getattr(model, "offload_dit", False),
         step_cache_threshold=step_cache_threshold,
+        **sample_kwargs,
     )
     video = model.decode(samples)
     video = np.asarray(video[0]).transpose(1, 2, 3, 0)
@@ -173,6 +179,14 @@ def create_parser() -> argparse.ArgumentParser:
                    default=True)
     p.add_argument("--video_save_name", type=str, default="output")
     p.add_argument("--video_save_folder", type=str, default="outputs/")
+    p.add_argument("--quantize_int8", action="store_true",
+                   help="int8 weight-only DiT (fits the 7B on one chip)")
+    p.add_argument("--quantize_w8a8", action="store_true",
+                   help="int8 weights + dynamic int8 activations")
+    p.add_argument("--offload_diffusion_transformer", action="store_true",
+                   help="stage DiT params host<->HBM per phase "
+                        "(auto-enabled for 7B presets on one device)")
+    p.add_argument("--offload_tokenizer", action="store_true")
     return p
 
 
@@ -181,8 +195,15 @@ def demo(args) -> str:
         "cosmos_t2w_7b" if args.mode == "text2world" else "cosmos_v2w_7b"
     )
     preset = T2W_PRESETS[preset_name]
+    offload = (args.offload_diffusion_transformer
+               or preset_name.endswith("_7b"))
+    if offload and not args.offload_diffusion_transformer:
+        log.info("single-chip 7B: enabling DiT + tokenizer offload")
     model, preset = build_gen3c_model(
-        preset, checkpoint_dir=args.checkpoint_dir, seed=args.seed
+        preset, checkpoint_dir=args.checkpoint_dir, seed=args.seed,
+        quantize="w8a8" if args.quantize_w8a8 else args.quantize_int8,
+        offload_dit=offload,
+        offload_tokenizer=offload or args.offload_tokenizer,
     )
 
     if args.disable_prompt_encoder:

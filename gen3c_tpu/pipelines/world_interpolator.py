@@ -45,14 +45,23 @@ def create_parser() -> argparse.ArgumentParser:
     p.add_argument("--seed", type=int, default=1)
     p.add_argument("--video_save_name", type=str, default="output")
     p.add_argument("--video_save_folder", type=str, default="outputs/")
+    p.add_argument("--quantize_int8", action="store_true")
+    p.add_argument("--quantize_w8a8", action="store_true")
+    p.add_argument("--offload_diffusion_transformer", action="store_true",
+                   help="stage DiT params host<->HBM per phase "
+                        "(auto-enabled for 7B presets on one device)")
     return p
 
 
 def demo(args) -> str:
     preset = T2W_PRESETS[args.model_preset]
     assert preset.dit.in_channels >= 17, "interpolation needs a v2w preset"
+    offload = (args.offload_diffusion_transformer
+               or args.model_preset.endswith("_7b"))
     model, preset = build_gen3c_model(
-        preset, checkpoint_dir=args.checkpoint_dir, seed=args.seed
+        preset, checkpoint_dir=args.checkpoint_dir, seed=args.seed,
+        quantize="w8a8" if args.quantize_w8a8 else args.quantize_int8,
+        offload_dit=offload, offload_tokenizer=offload,
     )
     h, w = preset.height, preset.width
     C, T, Hl, Wl = preset.state_shape
@@ -88,9 +97,12 @@ def demo(args) -> str:
     init_noise = np.random.RandomState(args.seed).standard_normal(
         (B, C, T, Hl, Wl)
     ).astype(np.float32)
-    samples = generate_samples(
+    from gen3c_tpu.diffusion.sampler import generate_samples_auto
+
+    samples = generate_samples_auto(
         net_fn=_dit_net_fn,
         net_params=(model.dit_params, model.dit_cfg),
+        offload=getattr(model, "offload_dit", False),
         init_noise=jnp.asarray(init_noise),
         augment_noise=jnp.asarray(
             arch_invariant_randn((B, C, T, Hl, Wl), args.seed)
