@@ -30,10 +30,35 @@ from gen3c_tpu.utils import log
 
 
 def tree_to_host(tree: Any) -> Any:
-    """Pull every array leaf into host RAM (numpy). jax.Array leaves are
-    device_get; numpy/scalar leaves pass through."""
+    """Move every array leaf off the device for offload residency.
+
+    Preferred residency is the device-adjacent PINNED HOST memory (the
+    TPU VM's RAM, jax memory_kind="pinned_host"): staging back into HBM
+    then rides local DMA instead of the client<->TPU tunnel that costs
+    ~165 s for the 7.6 GB DiT. Falls back to client-side numpy when the
+    backend has no pinned_host memory or GEN3C_OFFLOAD_VIA=client is
+    set.
+    """
+    import os
+
     import jax
 
+    if os.environ.get("GEN3C_OFFLOAD_VIA", "pinned_host") == "pinned_host":
+        try:
+            from jax.sharding import SingleDeviceSharding
+
+            d = jax.devices()[0]
+            kinds = {m.kind for m in d.addressable_memories()}
+            if "pinned_host" in kinds:
+                sh = SingleDeviceSharding(d, memory_kind="pinned_host")
+                out = jax.tree.map(
+                    lambda x: jax.device_put(x, sh), tree
+                )
+                jax.block_until_ready(out)
+                return out
+        except Exception as e:  # noqa: BLE001
+            log.warning(f"pinned_host offload unavailable ({e}); "
+                        "falling back to client-side numpy")
     return jax.tree.map(np.asarray, tree)
 
 
@@ -56,7 +81,19 @@ def staged(tree: Any, enabled: bool = True, tag: str = "params"):
         yield tree
         return
     t0 = time.perf_counter()
-    device_tree = jax.device_put(tree)
+    # explicit device-memory placement: leaves may rest in pinned_host,
+    # where a plain device_put would be a no-op
+    from jax.sharding import SingleDeviceSharding
+
+    try:
+        dev_sh = SingleDeviceSharding(
+            jax.devices()[0], memory_kind="device"
+        )
+        device_tree = jax.tree.map(
+            lambda x: jax.device_put(x, dev_sh), tree
+        )
+    except Exception:  # noqa: BLE001
+        device_tree = jax.device_put(tree)
     log.info(
         f"offload: staged {tag} ({tree_nbytes(tree)/1e9:.2f} GB) to "
         f"device in {time.perf_counter()-t0:.2f}s"

@@ -57,10 +57,16 @@ def test_offload_numerical_parity():
     out_a = _generate(model_a, preset)
     model_b, _ = _tiny_model(offload_dit=True, offload_tokenizer=True)
     assert model_b.offload_dit and model_b.tokenizer.offload
-    # offloaded params rest on host as numpy
+    # offloaded params rest off-device: client-side numpy, or jax arrays
+    # in the device-adjacent pinned_host memory when the backend has one
+    def _off_device(leaf):
+        if isinstance(leaf, np.ndarray):
+            return True
+        mk = getattr(getattr(leaf, "sharding", None), "memory_kind", None)
+        return mk == "pinned_host"
+
     assert all(
-        isinstance(leaf, np.ndarray)
-        for leaf in jax.tree.leaves(model_b.dit_params)
+        _off_device(leaf) for leaf in jax.tree.leaves(model_b.dit_params)
     )
     out_b = _generate(model_b, preset)
     assert out_a.shape == out_b.shape
@@ -85,4 +91,7 @@ def test_staged_releases_buffers():
         assert same is tree
 
     host = tree_to_host({"a": jnp.ones((2,)), "b": 3})
-    assert isinstance(host["a"], np.ndarray) and host["b"] == 3
+    a = host["a"]
+    mk = getattr(getattr(a, "sharding", None), "memory_kind", None)
+    assert isinstance(a, np.ndarray) or mk == "pinned_host"
+    assert int(np.asarray(host["b"])) == 3
