@@ -518,8 +518,10 @@ def generate_samples_auto(
     loop over the single-step program (the whole-loop program does not
     fit beside the staged 7B — docs/STATUS.md "Memory / offload"), and
     the staged buffers are freed before returning. Used by the
-    text2world / world-interpolator / multiview CLIs; Gen3CModel carries
-    its own variant (span caching + CP considerations).
+    text2world / world-interpolator CLIs and Gen3CModel (the multiview
+    CLI keeps the whole-loop sampler: its (params, cfg, frame_repeat)
+    net_params layout and multi-view shapes have no single-chip-7B
+    serving mode).
     """
     if not offload:
         return generate_samples(
@@ -540,6 +542,12 @@ def generate_samples_auto(
             "(use step_cache_interval instead)"
         )
     kwargs.pop("net_in_dtype", None)
+    kwargs.pop("drift_axis", None)
+    if kwargs.pop("net_fn_skip", None) is not None:
+        raise ValueError(
+            "span caching (net_fn_skip) is not available in the "
+            "memory-constrained host-loop sampler"
+        )
     with staged(params, True, tag="dit") as dp:
         out = generate_samples_host_loop(
             net_fn=net_fn,

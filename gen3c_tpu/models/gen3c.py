@@ -136,11 +136,16 @@ class Gen3CModel:
         B, F, N = condition_state.shape[:3]
         mask3 = jnp.repeat(condition_state_mask * 2.0 - 1.0, 3, axis=3)
         latents = []
-        for i in range(N):
-            video = jnp.transpose(condition_state[:, :, i], (0, 2, 1, 3, 4))
-            mvideo = jnp.transpose(mask3[:, :, i], (0, 2, 1, 3, 4))
-            latents.append(self.encode(video))
-            latents.append(self.encode(mvideo))
+        # stage the (possibly offloaded) VAE params ONCE for all 2N
+        # encodes instead of per call
+        with self.tokenizer.resident():
+            for i in range(N):
+                video = jnp.transpose(
+                    condition_state[:, :, i], (0, 2, 1, 3, 4)
+                )
+                mvideo = jnp.transpose(mask3[:, :, i], (0, 2, 1, 3, 4))
+                latents.append(self.encode(video))
+                latents.append(self.encode(mvideo))
         for _ in range(self.frame_buffer_max - N):
             latents.append(jnp.zeros_like(latents[-2]))
             latents.append(jnp.zeros_like(latents[-1]))
@@ -175,6 +180,11 @@ class Gen3CModel:
         from gen3c_tpu.models.conditioner import make_condition_pair
 
         if pose_latent is None:
+            if condition_state is None or condition_state_mask is None:
+                raise ValueError(
+                    "pass either pose_latent or condition_state + "
+                    "condition_state_mask"
+                )
             pose_latent = self.encode_warped_frames(
                 condition_state, condition_state_mask
             )
@@ -251,83 +261,41 @@ class Gen3CModel:
             self.dit_cfg.cache_block_span is not None
             and step_cache_interval > 1
         )
-        from gen3c_tpu.utils.offload import staged
-
-        if self.offload_dit and not use_span:
-            # memory-constrained single-chip serving: the whole-loop
-            # sampler program needs args 7.84 GB + temp 9.5-11.2 GB at
-            # the production shape — over 16 GB HBM, rejected at compile
-            # time (scripts/probe_sampler_memory.py). Drive the denoise
-            # as a host loop over the single-step program instead (the
-            # same program bench.py proves fits and runs). ~26 ms
-            # dispatch overhead per step vs a ~30 s step.
-            from gen3c_tpu.diffusion.sampler import (
-                generate_samples_host_loop,
+        if use_span and self.offload_dit:
+            # the host-loop sampler has no span path, and the whole-loop
+            # span program does not fit HBM beside the staged params
+            # (scripts/probe_sampler_memory.py) — fail fast instead of
+            # staging for minutes and dying at compile time
+            raise ValueError(
+                "span caching (cache_block_span) is not available in the "
+                "memory-constrained single-chip offload mode; use "
+                "step_cache_interval/threshold caching, or run span "
+                "caching under cp>=2 (docs/STATUS.md)"
             )
+        from gen3c_tpu.diffusion.sampler import generate_samples_auto
 
-            if step_cache_threshold > 0:
-                from gen3c_tpu.utils import log
-
-                log.warning(
-                    "adaptive step caching is not available in the "
-                    "memory-constrained host-loop sampler; running "
-                    "uncached (use step_cache_interval instead)"
-                )
-            with staged(self.dit_params, True, tag="dit") as dp:
-                out = generate_samples_host_loop(
-                    net_fn=self._net_fn,
-                    net_params=(dp, self.dit_cfg),
-                    init_noise=jnp.asarray(init_noise),
-                    augment_noise=jnp.asarray(augment_noise),
-                    crossattn_cond=cond.crossattn_emb,
-                    crossattn_uncond=uncond.crossattn_emb,
-                    gt_latent=cond.gt_latent,
-                    condition_video_indicator=cond.condition_video_indicator,
-                    condition_video_input_mask=cond.condition_video_input_mask,
-                    pose_latent_cond=cond.condition_video_pose,
-                    pose_latent_uncond=uncond.condition_video_pose,
-                    num_steps=num_steps,
-                    guidance=guidance,
-                    condition_augment_sigma=condition_augment_sigma,
-                    schedule=self.schedule,
-                    step_cache_interval=step_cache_interval,
-                    cfg_sequential=bool(cfg_sequential),
-                    net_in_dtype=self.dit_cfg.dtype,
-                )
-                jax.block_until_ready(out)
-                np.asarray(out[:1, :1, :1, :1, :1])  # tunnel-safe sync
-            return out
-
-        with staged(self.dit_params, self.offload_dit, tag="dit") as dp:
-            out = generate_samples(
-                net_fn=(
-                    _dit_net_fn_span_refresh if use_span else self._net_fn
-                ),
-                net_fn_skip=(_dit_net_fn_span_skip if use_span else None),
-                net_params=(dp, self.dit_cfg),
-                init_noise=jnp.asarray(init_noise),
-                augment_noise=jnp.asarray(augment_noise),
-                crossattn_cond=cond.crossattn_emb,
-                crossattn_uncond=uncond.crossattn_emb,
-                gt_latent=cond.gt_latent,
-                condition_video_indicator=cond.condition_video_indicator,
-                condition_video_input_mask=cond.condition_video_input_mask,
-                pose_latent_cond=cond.condition_video_pose,
-                pose_latent_uncond=uncond.condition_video_pose,
-                num_steps=num_steps,
-                guidance=guidance,
-                condition_augment_sigma=condition_augment_sigma,
-                schedule=self.schedule,
-                step_cache_interval=step_cache_interval,
-                step_cache_threshold=step_cache_threshold,
-                net_in_dtype=self.dit_cfg.dtype,
-                cfg_sequential=bool(cfg_sequential),
-            )
-            if self.offload_dit:
-                # make sure the denoise has actually finished before the
-                # staged params are deleted and the next (VAE) phase
-                # starts allocating (block_until_ready alone can return
-                # early through the axon tunnel — force a host read)
-                jax.block_until_ready(out)
-                np.asarray(out[:1, :1, :1, :1, :1])
-        return out
+        return generate_samples_auto(
+            net_fn=(
+                _dit_net_fn_span_refresh if use_span else self._net_fn
+            ),
+            net_fn_skip=(_dit_net_fn_span_skip if use_span else None),
+            net_params=(self.dit_params, self.dit_cfg),
+            offload=self.offload_dit,
+            init_noise=jnp.asarray(init_noise),
+            augment_noise=jnp.asarray(augment_noise),
+            crossattn_cond=cond.crossattn_emb,
+            crossattn_uncond=uncond.crossattn_emb,
+            gt_latent=cond.gt_latent,
+            condition_video_indicator=cond.condition_video_indicator,
+            condition_video_input_mask=cond.condition_video_input_mask,
+            pose_latent_cond=cond.condition_video_pose,
+            pose_latent_uncond=uncond.condition_video_pose,
+            num_steps=num_steps,
+            guidance=guidance,
+            condition_augment_sigma=condition_augment_sigma,
+            schedule=self.schedule,
+            step_cache_interval=step_cache_interval,
+            step_cache_threshold=step_cache_threshold,
+            net_in_dtype=self.dit_cfg.dtype,
+            cfg_sequential=bool(cfg_sequential),
+        )

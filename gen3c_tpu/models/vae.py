@@ -34,6 +34,7 @@ BasePretrainedVideoTokenizer (pretrained_vae.py:314-505).
 
 from __future__ import annotations
 
+import contextlib
 import dataclasses
 import math
 from functools import partial
@@ -625,6 +626,24 @@ class VideoTokenizer:
         from gen3c_tpu.utils.offload import staged
 
         return staged(self.params, self.offload, tag="vae")
+
+    @contextlib.contextmanager
+    def resident(self):
+        """Keep the (possibly offloaded) params on device for a whole
+        block of encode/decode calls — one stage/release instead of one
+        per call (e.g. the 2N warp-buffer encodes per chunk)."""
+        if not self.offload:
+            yield
+            return
+        from gen3c_tpu.utils.offload import staged
+
+        with staged(self.params, True, tag="vae") as p:
+            host_params = self.params
+            self.params, self.offload = p, False
+            try:
+                yield
+            finally:
+                self.params, self.offload = host_params, True
 
     @property
     def latent_chunk_duration(self) -> int:

@@ -152,6 +152,12 @@ def demo(args) -> str:
             log.info("single-chip 7B: enabling DiT + tokenizer offload "
                      "(--offload_diffusion_transformer --offload_tokenizer)")
         offload_dit = offload_tok = True
+        if not (args.quantize_int8 or args.quantize_w8a8):
+            log.warning(
+                "the bf16 7B (14.5 GB) does NOT fit one 16 GB chip even "
+                "with offload — pass --quantize_w8a8 (or --quantize_int8), "
+                "or use --num_devices > 1"
+            )
     model, preset = build_gen3c_model(
         args.model_preset,
         checkpoint_dir=args.checkpoint_dir,

@@ -199,6 +199,11 @@ def demo(args) -> str:
                or preset_name.endswith("_7b"))
     if offload and not args.offload_diffusion_transformer:
         log.info("single-chip 7B: enabling DiT + tokenizer offload")
+        if not (args.quantize_int8 or args.quantize_w8a8):
+            log.warning(
+                "the bf16 7B (14.5 GB) does NOT fit one 16 GB chip even "
+                "with offload — pass --quantize_w8a8 or --quantize_int8"
+            )
     model, preset = build_gen3c_model(
         preset, checkpoint_dir=args.checkpoint_dir, seed=args.seed,
         quantize="w8a8" if args.quantize_w8a8 else args.quantize_int8,

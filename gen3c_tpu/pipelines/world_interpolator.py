@@ -58,6 +58,11 @@ def demo(args) -> str:
     assert preset.dit.in_channels >= 17, "interpolation needs a v2w preset"
     offload = (args.offload_diffusion_transformer
                or args.model_preset.endswith("_7b"))
+    if offload and not (args.quantize_int8 or args.quantize_w8a8):
+        log.warning(
+            "the bf16 7B (14.5 GB) does NOT fit one 16 GB chip even "
+            "with offload — pass --quantize_w8a8 or --quantize_int8"
+        )
     model, preset = build_gen3c_model(
         preset, checkpoint_dir=args.checkpoint_dir, seed=args.seed,
         quantize="w8a8" if args.quantize_w8a8 else args.quantize_int8,

@@ -153,6 +153,14 @@ class Gen3cPersistentModel(InferenceModel):
             # VAE phases don't fit one 16 GB chip together
             # (utils/offload.py)
             offload_dit = model_preset == "gen3c_7b" and num_devices == 1
+            if offload_dit and not quantize:
+                from gen3c_tpu.utils import log
+
+                log.warning(
+                    "the bf16 7B (14.5 GB) does NOT fit one 16 GB chip "
+                    "even with offload — set GEN3C_QUANTIZE=w8a8 (or "
+                    "int8), or GEN3C_NUM_DEVICES > 1"
+                )
         self.model, self.preset = build_gen3c_model(
             model_preset, checkpoint_dir=checkpoint_dir, seed=seed,
             quantize=quantize, num_devices=num_devices, parallel=parallel,

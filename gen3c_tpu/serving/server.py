@@ -256,8 +256,9 @@ def build_model_from_env():
         parallel=os.environ.get("GEN3C_PARALLEL", "cp"),
         # GEN3C_OFFLOAD_DIT=1/0 overrides the single-chip-7B auto-enable
         offload_dit=(
-            bool(int(os.environ["GEN3C_OFFLOAD_DIT"]))
-            if "GEN3C_OFFLOAD_DIT" in os.environ else None
+            os.environ["GEN3C_OFFLOAD_DIT"].strip().lower()
+            in ("1", "true", "yes", "on")
+            if os.environ.get("GEN3C_OFFLOAD_DIT", "").strip() else None
         ),
     )
 

@@ -101,7 +101,11 @@ def staged(tree: Any, enabled: bool = True, tag: str = "params"):
     try:
         yield device_tree
     finally:
+        # identity guard: a leaf already resident in device memory comes
+        # back from device_put as the SAME array (no copy) — deleting it
+        # would destroy the caller's only copy of the params
+        src_ids = {id(leaf) for leaf in jax.tree.leaves(tree)}
         for leaf in jax.tree.leaves(device_tree):
-            if isinstance(leaf, jax.Array):
+            if isinstance(leaf, jax.Array) and id(leaf) not in src_ids:
                 leaf.delete()
         log.info(f"offload: released {tag} from device")
