@@ -508,6 +508,7 @@ def generate_samples_auto(
     net_params,  # (param_tree, cfg) as used by every pipeline net_fn
     offload: bool = False,
     step_cache_threshold: float = 0.0,
+    streaming_net=None,  # models/dit_streaming.StreamingDiT -> streamed
     **kwargs,
 ):
     """Dispatch between the one-jit whole-loop sampler and the
@@ -523,6 +524,32 @@ def generate_samples_auto(
     net_params layout and multi-view shapes have no single-chip-7B
     serving mode).
     """
+    if streaming_net is not None:
+        if step_cache_threshold > 0:
+            from gen3c_tpu.utils import log
+
+            log.warning(
+                "adaptive step caching is not available in the "
+                "streaming sampler; running uncached (use "
+                "step_cache_interval instead)"
+            )
+        for k in ("net_in_dtype", "drift_axis", "cfg_sequential"):
+            kwargs.pop(k, None)
+        if kwargs.pop("net_fn_skip", None) is not None:
+            raise ValueError(
+                "span caching is not available with the block-streamed "
+                "DiT"
+            )
+
+        def net_py(x_in, t_in, crossattn_both):
+            return streaming_net(x_in, t_in, crossattn_both, fps=24.0)
+
+        return generate_samples_streaming(
+            net_py,
+            net_in_dtype=streaming_net.cfg.dtype,
+            **kwargs,
+        )
+
     if not offload:
         return generate_samples(
             net_fn=net_fn,
@@ -558,3 +585,130 @@ def generate_samples_auto(
         jax.block_until_ready(out)
         np.asarray(out[:1, :1, :1, :1, :1])  # tunnel-safe sync
     return out
+
+
+@partial(jax.jit, static_argnames=("aug", "schedule", "net_in_dtype"))
+def _stream_step_pre(
+    xt,
+    sigma,
+    augment_latent,
+    gt,
+    indicator_base,
+    condition_video_input_mask,
+    pose_latent_cond,
+    pose_latent_uncond,
+    aug: float,
+    schedule: EDMEulerSchedule,
+    net_in_dtype,
+):
+    """Per-step input assembly for the streaming sampler (same math as
+    _host_loop_step's preamble). Returns (new_xt, indicator, x_in(2B))."""
+    indicator = jnp.where(aug >= sigma, jnp.zeros_like(indicator_base),
+                          indicator_base)
+    augment_latent_unscaled = augment_latent / schedule.c_in(sigma)
+    new_xt = indicator * augment_latent_unscaled + (1 - indicator) * xt
+    new_xt_scaled = (new_xt * schedule.c_in(sigma)).astype(net_in_dtype)
+
+    cond_parts = [new_xt_scaled]
+    uncond_parts = [new_xt_scaled]
+    if condition_video_input_mask is not None:
+        m = condition_video_input_mask.astype(net_in_dtype)
+        cond_parts.append(m)
+        uncond_parts.append(m)
+    if pose_latent_cond is not None:
+        cond_parts.append(pose_latent_cond.astype(net_in_dtype))
+        uncond_parts.append(pose_latent_uncond.astype(net_in_dtype))
+    x_in = jnp.concatenate(
+        [jnp.concatenate(cond_parts, axis=1),
+         jnp.concatenate(uncond_parts, axis=1)], axis=0,
+    )
+    return new_xt, indicator, x_in
+
+
+@partial(jax.jit, static_argnames=("guidance", "schedule"))
+def _stream_step_post(
+    net_out,
+    new_xt,
+    indicator,
+    gt,
+    sigma,
+    sigma_next,
+    guidance: float,
+    schedule: EDMEulerSchedule,
+):
+    """CFG combine + conditioned-region replacement + Euler step."""
+    B = new_xt.shape[0]
+    net_out = net_out.astype(jnp.float32)
+    out_cond, out_uncond = net_out[:B], net_out[B:]
+    net_output = out_cond + guidance * (out_cond - out_uncond)
+    latent_unscaled = schedule.reverse_precondition_output(gt, new_xt, sigma)
+    new_output = indicator * latent_unscaled + (1 - indicator) * net_output
+    return schedule.step(new_output, new_xt, sigma, sigma_next)
+
+
+def generate_samples_streaming(
+    net_py,  # python callable (x_in(2B), t_in(2B), crossattn_both) -> out
+    init_noise: Array,
+    augment_noise: Array,
+    crossattn_cond: Array,
+    crossattn_uncond: Array,
+    gt_latent: Array,
+    condition_video_indicator: Array,
+    condition_video_input_mask: Optional[Array] = None,
+    pose_latent_cond: Optional[Array] = None,
+    pose_latent_uncond: Optional[Array] = None,
+    num_steps: int = 35,
+    guidance: float = 1.0,
+    condition_augment_sigma: float = 0.001,
+    schedule: EDMEulerSchedule = EDMEulerSchedule(),
+    step_cache_interval: int = 1,
+    net_in_dtype=None,
+) -> Array:
+    """Sampler for PYTHON-level networks (models/dit_streaming.py): the
+    per-step Euler math runs in two small jits around a python net call
+    that itself orchestrates block staging + per-block jits. Same math
+    as generate_samples/generate_samples_host_loop (parity-tested);
+    whole-output step caching supported via step_cache_interval.
+    """
+    sig = np.asarray(schedule.sigmas(num_steps), np.float32)
+    c_noises = np.asarray(schedule.timesteps(num_steps), np.float32)
+
+    xt = init_noise.astype(jnp.float32) * schedule.init_noise_sigma
+    aug = condition_augment_sigma
+    gt = gt_latent.astype(jnp.float32)
+    indicator_base = condition_video_indicator.astype(jnp.float32)
+    augment_latent = (
+        gt + augment_noise.astype(jnp.float32) * aug
+    ) * schedule.c_in(aug)
+    crossattn_both = jnp.concatenate(
+        [crossattn_cond, crossattn_uncond], axis=0
+    )
+    in_dtype = jnp.float32 if net_in_dtype is None else net_in_dtype
+    B = init_noise.shape[0]
+
+    warmup, tail = 2, 2
+    cached = None
+    for i in range(num_steps):
+        sigma = jnp.float32(sig[i])
+        new_xt, indicator, x_in = _stream_step_pre(
+            xt, sigma, augment_latent, gt, indicator_base,
+            condition_video_input_mask, pose_latent_cond,
+            pose_latent_uncond, aug=aug, schedule=schedule,
+            net_in_dtype=in_dtype,
+        )
+        refresh = (
+            step_cache_interval <= 1
+            or i < warmup
+            or i >= num_steps - tail
+            or (i - warmup) % step_cache_interval == 0
+        )
+        if refresh or cached is None:
+            t_in = jnp.broadcast_to(
+                jnp.float32(c_noises[i])[None], (2 * B,)
+            )
+            cached = net_py(x_in, t_in, crossattn_both)
+        xt = _stream_step_post(
+            cached, new_xt, indicator, gt, sigma,
+            jnp.float32(sig[i + 1]), guidance=guidance, schedule=schedule,
+        )
+    return xt

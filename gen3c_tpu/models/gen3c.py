@@ -76,12 +76,16 @@ class Gen3CModel:
         default_factory=EDMEulerSchedule
     )
     mesh: Optional[object] = None  # jax.sharding.Mesh -> CP denoising
-    # offload_dit=True: dit_params rest in host RAM and are staged into
-    # HBM only for the denoise phase (reference
+    # offload_dit=True: dit_params rest off-device (pinned_host) and are
+    # staged into HBM only for the denoise phase (reference
     # --offload_diffusion_transformer, gen3c_pipeline.py:186-225) — on a
     # 16 GB chip the W8A8 7B and the full-res VAE phases fit alone but
     # not together
     offload_dit: bool = False
+    # block-streamed bf16 net (models/dit_streaming.py) for UNQUANTIZED
+    # single-chip serving; when set, dit_params is empty and the
+    # streaming net replaces the sampler's jitted net
+    streaming_net: Optional[object] = None
 
     def __post_init__(self):
         # stable closure identity so the jitted sampler doesn't retrace
@@ -261,6 +265,48 @@ class Gen3CModel:
             self.dit_cfg.cache_block_span is not None
             and step_cache_interval > 1
         )
+        if self.streaming_net is not None:
+            # block-streamed bf16 single-chip path
+            if use_span:
+                raise ValueError(
+                    "span caching is not available with the "
+                    "block-streamed DiT; use step_cache_interval"
+                )
+            from gen3c_tpu.diffusion.sampler import (
+                generate_samples_streaming,
+            )
+            from gen3c_tpu.utils import log as _log
+
+            if step_cache_threshold > 0:
+                _log.warning(
+                    "adaptive step caching is not available in the "
+                    "streaming sampler; running uncached (use "
+                    "step_cache_interval instead)"
+                )
+            net = self.streaming_net
+
+            def net_py(x_in, t_in, crossattn_both):
+                return net(x_in, t_in, crossattn_both, fps=24.0)
+
+            return generate_samples_streaming(
+                net_py,
+                init_noise=jnp.asarray(init_noise),
+                augment_noise=jnp.asarray(augment_noise),
+                crossattn_cond=cond.crossattn_emb,
+                crossattn_uncond=uncond.crossattn_emb,
+                gt_latent=cond.gt_latent,
+                condition_video_indicator=cond.condition_video_indicator,
+                condition_video_input_mask=cond.condition_video_input_mask,
+                pose_latent_cond=cond.condition_video_pose,
+                pose_latent_uncond=uncond.condition_video_pose,
+                num_steps=num_steps,
+                guidance=guidance,
+                condition_augment_sigma=condition_augment_sigma,
+                schedule=self.schedule,
+                step_cache_interval=step_cache_interval,
+                net_in_dtype=self.dit_cfg.dtype,
+            )
+
         if use_span and self.offload_dit:
             # the host-loop sampler has no span path, and the whole-loop
             # span program does not fit HBM beside the staged params

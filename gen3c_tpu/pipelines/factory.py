@@ -215,7 +215,19 @@ def build_gen3c_model(
                  + ("(W8A8 dynamic activations)" if act else "(weight-only)"))
         dit_params = quantize_dit_params_inplace(dit_params, act_quant=act)
 
-    if offload_dit and num_devices == 1:
+    streaming_net = None
+    if offload_dit and num_devices == 1 and not quantize:
+        # UNQUANTIZED offload: the bf16 7B (14.5 GB) cannot be staged
+        # whole, so the DiT runs block-STREAMED — blocks rest in
+        # pinned_host and flow through HBM overlapping compute
+        # (models/dit_streaming.py). Full-precision single-chip serving.
+        from gen3c_tpu.models.dit_streaming import StreamingDiT
+
+        log.info("offload without quantization: block-streamed bf16 DiT "
+                 "(blocks pinned off-device, streamed per forward)")
+        streaming_net = StreamingDiT(dit_params, dit_cfg, free_source=True)
+        dit_params = {}
+    elif offload_dit and num_devices == 1:
         # params rest in host RAM; Gen3CModel stages them into HBM for
         # the denoise phase only (reference --offload_diffusion_transformer
         # parity — see utils/offload.py for why single-chip 7B needs it)
@@ -294,6 +306,7 @@ def build_gen3c_model(
         state_shape=preset.state_shape,
         mesh=mesh,
         offload_dit=offload_dit and num_devices == 1,
+        streaming_net=streaming_net,
     )
     return model, preset
 

@@ -200,9 +200,9 @@ def demo(args) -> str:
     if offload and not args.offload_diffusion_transformer:
         log.info("single-chip 7B: enabling DiT + tokenizer offload")
         if not (args.quantize_int8 or args.quantize_w8a8):
-            log.warning(
-                "the bf16 7B (14.5 GB) does NOT fit one 16 GB chip even "
-                "with offload — pass --quantize_w8a8 or --quantize_int8"
+            log.info(
+                "unquantized 7B on one chip: the DiT will run "
+                "block-streamed at full bf16 precision"
             )
     model, preset = build_gen3c_model(
         preset, checkpoint_dir=args.checkpoint_dir, seed=args.seed,

@@ -59,9 +59,9 @@ def demo(args) -> str:
     offload = (args.offload_diffusion_transformer
                or args.model_preset.endswith("_7b"))
     if offload and not (args.quantize_int8 or args.quantize_w8a8):
-        log.warning(
-            "the bf16 7B (14.5 GB) does NOT fit one 16 GB chip even "
-            "with offload — pass --quantize_w8a8 or --quantize_int8"
+        log.info(
+            "unquantized model with offload: the DiT will run "
+            "block-streamed at full bf16 precision"
         )
     model, preset = build_gen3c_model(
         preset, checkpoint_dir=args.checkpoint_dir, seed=args.seed,

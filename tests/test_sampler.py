@@ -423,3 +423,49 @@ def test_host_loop_matches_fori_loop():
         generate_samples_host_loop(cfg_sequential=True, **kwargs)
     )
     np.testing.assert_allclose(host_s, ref, rtol=1e-5, atol=1e-6)
+
+
+def test_streaming_sampler_matches_fori_loop():
+    """generate_samples_streaming (python net around jitted pre/post
+    steps, used by the block-streamed bf16 7B) reproduces the one-jit
+    sampler, uncached and interval-cached."""
+    from gen3c_tpu.diffusion.sampler import generate_samples_streaming
+
+    B, C, T, H, W, P = _shapes()
+    rng = np.random.RandomState(2)
+    w = jnp.asarray(rng.randn(C + 1 + P, C) * 0.05, jnp.float32)
+
+    def net_fn(params, x_in, t, crossattn):
+        h = jnp.einsum("bcthw,cd->bdthw", x_in, w)
+        bias = jnp.mean(crossattn, axis=(1, 2))[:, None, None, None, None]
+        return jnp.tanh(h + bias + t[:, None, None, None, None] * 0.01)
+
+    kwargs = dict(
+        init_noise=jnp.asarray(rng.randn(B, C, T, H, W), jnp.float32),
+        augment_noise=jnp.asarray(rng.randn(B, C, T, H, W), jnp.float32),
+        crossattn_cond=jnp.asarray(rng.randn(B, 2, 4), jnp.float32),
+        crossattn_uncond=jnp.zeros((B, 2, 4), jnp.float32),
+        gt_latent=jnp.asarray(rng.randn(B, C, T, H, W), jnp.float32),
+        condition_video_indicator=jnp.zeros((1, 1, T, 1, 1))
+        .at[:, :, :2].set(1.0),
+        condition_video_input_mask=jnp.zeros((B, 1, T, H, W)),
+        pose_latent_cond=jnp.asarray(rng.randn(B, P, T, H, W), jnp.float32),
+        pose_latent_uncond=jnp.zeros((B, P, T, H, W), jnp.float32),
+        num_steps=7,
+        guidance=1.5,
+    )
+    ref = np.asarray(generate_samples(net_fn=net_fn, net_params=None,
+                                      **kwargs))
+
+    def net_py(x_in, t_in, crossattn_both):
+        return net_fn(None, x_in, t_in, crossattn_both)
+
+    out = np.asarray(generate_samples_streaming(net_py, **kwargs))
+    np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-6)
+
+    ref_c = np.asarray(generate_samples(net_fn=net_fn, net_params=None,
+                                        step_cache_interval=3, **kwargs))
+    out_c = np.asarray(
+        generate_samples_streaming(net_py, step_cache_interval=3, **kwargs)
+    )
+    np.testing.assert_allclose(out_c, ref_c, rtol=1e-5, atol=1e-6)
