@@ -711,4 +711,11 @@ def generate_samples_streaming(
             cached, new_xt, indicator, gt, sigma,
             jnp.float32(sig[i + 1]), guidance=guidance, schedule=schedule,
         )
+        # throttle: force this step's chain to finish before dispatching
+        # the next. Without it, all num_steps x num_blocks transfers and
+        # block programs enqueue at once (the whole denoise "completes"
+        # in seconds of dispatch and drains during the next host read),
+        # unbounding in-flight staged-block memory and making phase logs
+        # meaningless. ~26 ms/step through the tunnel vs a ~33 s step.
+        float(jnp.sum(xt[:1, :1, :1, :1, :1]))
     return xt
