@@ -533,8 +533,15 @@ def generate_samples_auto(
                 "streaming sampler; running uncached (use "
                 "step_cache_interval instead)"
             )
-        for k in ("net_in_dtype", "drift_axis", "cfg_sequential"):
+        for k in ("net_in_dtype", "drift_axis"):
             kwargs.pop(k, None)
+        if kwargs.pop("cfg_sequential", False):
+            from gen3c_tpu.utils import log
+
+            log.warning(
+                "cfg_sequential is not implemented in the streaming "
+                "sampler; running the batched 2B forward"
+            )
         if kwargs.pop("net_fn_skip", None) is not None:
             raise ValueError(
                 "span caching is not available with the block-streamed "
@@ -592,7 +599,6 @@ def _stream_step_pre(
     xt,
     sigma,
     augment_latent,
-    gt,
     indicator_base,
     condition_video_input_mask,
     pose_latent_cond,
@@ -691,7 +697,7 @@ def generate_samples_streaming(
     for i in range(num_steps):
         sigma = jnp.float32(sig[i])
         new_xt, indicator, x_in = _stream_step_pre(
-            xt, sigma, augment_latent, gt, indicator_base,
+            xt, sigma, augment_latent, indicator_base,
             condition_video_input_mask, pose_latent_cond,
             pose_latent_uncond, aug=aug, schedule=schedule,
             net_in_dtype=in_dtype,

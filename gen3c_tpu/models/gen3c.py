@@ -265,48 +265,11 @@ class Gen3CModel:
             self.dit_cfg.cache_block_span is not None
             and step_cache_interval > 1
         )
-        if self.streaming_net is not None:
-            # block-streamed bf16 single-chip path
-            if use_span:
-                raise ValueError(
-                    "span caching is not available with the "
-                    "block-streamed DiT; use step_cache_interval"
-                )
-            from gen3c_tpu.diffusion.sampler import (
-                generate_samples_streaming,
+        if use_span and self.streaming_net is not None:
+            raise ValueError(
+                "span caching is not available with the block-streamed "
+                "DiT; use step_cache_interval"
             )
-            from gen3c_tpu.utils import log as _log
-
-            if step_cache_threshold > 0:
-                _log.warning(
-                    "adaptive step caching is not available in the "
-                    "streaming sampler; running uncached (use "
-                    "step_cache_interval instead)"
-                )
-            net = self.streaming_net
-
-            def net_py(x_in, t_in, crossattn_both):
-                return net(x_in, t_in, crossattn_both, fps=24.0)
-
-            return generate_samples_streaming(
-                net_py,
-                init_noise=jnp.asarray(init_noise),
-                augment_noise=jnp.asarray(augment_noise),
-                crossattn_cond=cond.crossattn_emb,
-                crossattn_uncond=uncond.crossattn_emb,
-                gt_latent=cond.gt_latent,
-                condition_video_indicator=cond.condition_video_indicator,
-                condition_video_input_mask=cond.condition_video_input_mask,
-                pose_latent_cond=cond.condition_video_pose,
-                pose_latent_uncond=uncond.condition_video_pose,
-                num_steps=num_steps,
-                guidance=guidance,
-                condition_augment_sigma=condition_augment_sigma,
-                schedule=self.schedule,
-                step_cache_interval=step_cache_interval,
-                net_in_dtype=self.dit_cfg.dtype,
-            )
-
         if use_span and self.offload_dit:
             # the host-loop sampler has no span path, and the whole-loop
             # span program does not fit HBM beside the staged params
@@ -327,6 +290,7 @@ class Gen3CModel:
             net_fn_skip=(_dit_net_fn_span_skip if use_span else None),
             net_params=(self.dit_params, self.dit_cfg),
             offload=self.offload_dit,
+            streaming_net=self.streaming_net,
             init_noise=jnp.asarray(init_noise),
             augment_noise=jnp.asarray(augment_noise),
             crossattn_cond=cond.crossattn_emb,

@@ -146,6 +146,7 @@ def generate_world(
         net_fn=_dit_net_fn,
         net_params=(model.dit_params, model.dit_cfg),
         offload=getattr(model, "offload_dit", False),
+        streaming_net=getattr(model, "streaming_net", None),
         step_cache_threshold=step_cache_threshold,
         **sample_kwargs,
     )

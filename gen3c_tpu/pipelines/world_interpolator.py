@@ -108,6 +108,7 @@ def demo(args) -> str:
         net_fn=_dit_net_fn,
         net_params=(model.dit_params, model.dit_cfg),
         offload=getattr(model, "offload_dit", False),
+        streaming_net=getattr(model, "streaming_net", None),
         init_noise=jnp.asarray(init_noise),
         augment_noise=jnp.asarray(
             arch_invariant_randn((B, C, T, Hl, Wl), args.seed)

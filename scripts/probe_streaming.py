@@ -2,7 +2,8 @@
 
 Builds the UNQUANTIZED 7B (random weights), pins its blocks to
 pinned_host via StreamingDiT, and times full 28-block forwards at the
-production shape (B=2 CFG, 146 in-channels, 56,320 tokens). Compare to
+production shape (B=2 CFG, the 81-channel GEN3C_7B input, 56,320
+tokens — same shape bench.py measures). Compare to
 bench.py's resident W8A8 step (29.5 s) — bf16 matmuls are ~1.5x slower
 than W8A8 on the MLP shape, so the roofline expectation is ~33-36 s if
 the block DMA hides behind compute.

@@ -41,8 +41,33 @@ def test_streaming_matches_dit_forward():
 
     ref = np.asarray(dit_forward(params, cfg, x, t, ctx, fps=24.0))
     net = StreamingDiT(params, cfg, prefetch=2)
+    # spy on the staged copies so the free-after-use contract is checked
+    staged_seen = []
+    orig_stage = net._stage
+
+    def spy_stage(block):
+        dev = orig_stage(block)
+        staged_seen.append(dev)
+        return dev
+
+    net._stage = spy_stage
     out = np.asarray(net(x, t, ctx, fps=24.0))
     np.testing.assert_allclose(out, ref, rtol=2e-4, atol=2e-5)
+
+    # every staged HBM copy was freed...
+    assert staged_seen and all(
+        leaf.is_deleted()
+        for dev in staged_seen
+        for leaf in jax.tree.leaves(dev)
+        if isinstance(leaf, jax.Array)
+    )
+    # ...and the pinned sources survived
+    assert all(
+        not leaf.is_deleted()
+        for b in net.blocks
+        for leaf in jax.tree.leaves(b)
+        if isinstance(leaf, jax.Array)
+    )
 
     # repeat call works (pinned blocks still valid after deletion pass)
     out2 = np.asarray(net(x, t, ctx, fps=24.0))
