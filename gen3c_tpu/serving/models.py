@@ -156,10 +156,10 @@ class Gen3cPersistentModel(InferenceModel):
             if offload_dit and not quantize:
                 from gen3c_tpu.utils import log
 
-                log.warning(
-                    "the bf16 7B (14.5 GB) does NOT fit one 16 GB chip "
-                    "even with offload — set GEN3C_QUANTIZE=w8a8 (or "
-                    "int8), or GEN3C_NUM_DEVICES > 1"
+                log.info(
+                    "unquantized 7B on one chip: serving will run the "
+                    "block-streamed bf16 DiT (set GEN3C_QUANTIZE=w8a8 "
+                    "for resident-weight int8 denoising)"
                 )
         self.model, self.preset = build_gen3c_model(
             model_preset, checkpoint_dir=checkpoint_dir, seed=seed,
