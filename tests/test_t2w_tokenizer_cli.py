@@ -125,3 +125,51 @@ def test_multiview_v2w_cli(tmp_path):
     )
     paths = demo(args)
     assert len(paths) == 3
+
+
+def test_text2world_offload_streaming(tmp_path):
+    """Regression: unquantized + offload routes through the
+    block-streamed DiT (factory empties dit_params into a StreamingDiT;
+    generate_world must pass streaming_net to generate_samples_auto —
+    this path crashed with KeyError 'x_embedder' before the fix)."""
+    from gen3c_tpu.pipelines import text2world as cli
+
+    args = cli.create_parser().parse_args(
+        [
+            "--prompt", "a calm lake at sunrise",
+            "--model_preset", "cosmos_t2w_tiny",
+            "--checkpoint_dir", str(tmp_path / "none"),
+            "--num_steps", "2",
+            "--offload_diffusion_transformer",
+            "--video_save_folder", str(tmp_path / "out"),
+        ]
+    )
+    path = cli.demo(args)
+    assert os.path.exists(path) or os.path.isdir(os.path.splitext(path)[0])
+
+
+def test_interpolator_offload_streaming(tmp_path):
+    """Same regression coverage for the world-interpolator CLI."""
+    import numpy as np
+    from PIL import Image
+
+    from gen3c_tpu.pipelines import world_interpolator as cli
+
+    img = (np.random.RandomState(0).rand(96, 160, 3) * 255).astype("uint8")
+    p1 = str(tmp_path / "a.png")
+    p2 = str(tmp_path / "b.png")
+    Image.fromarray(img).save(p1)
+    Image.fromarray(img[::-1]).save(p2)
+    args = cli.create_parser().parse_args(
+        [
+            "--model_preset", "cosmos_v2w_tiny",
+            "--first_image", p1,
+            "--last_image", p2,
+            "--checkpoint_dir", str(tmp_path / "none"),
+            "--num_steps", "2",
+            "--offload_diffusion_transformer",
+            "--video_save_folder", str(tmp_path / "out"),
+        ]
+    )
+    path = cli.demo(args)
+    assert os.path.exists(path) or os.path.isdir(os.path.splitext(path)[0])
