@@ -522,6 +522,7 @@ def _attn_block(
     cp_axis: Optional[str] = None,
     cp_attn_impl: str = "allgather",
     tp_axis: Optional[str] = None,
+    sp: bool = False,
 ) -> Array:
     """Self- or cross-attention with per-head RMSNorm on q,k.
 
@@ -539,7 +540,21 @@ def _attn_block(
     Megatron attention semantics (reference: training/networks/
     general_dit.py:303-345 TE tp_group linears). Composes with cp_axis:
     KV all-gather rides 'cp', the output reduction rides 'tp'.
+
+    With sp=True (requires tp_axis; Megatron sequence parallelism,
+    reference training/networks/general_dit.py:221,623-630 +
+    training/tensor_parallel.py:23-102): x arrives TOKEN-SHARDED over
+    the tp axis (the norm/modulate region between TP matmuls runs on
+    L/tp local tokens). The block all-gathers tokens over tp before the
+    column-parallel projections and REDUCE-SCATTERS (psum_scatter) the
+    row-parallel output instead of all-reducing — same total comm bytes
+    as plain TP, 1/tp the activation memory + elementwise work outside
+    the matmuls. all_gather/psum_scatter are JAX-transposable, so the
+    backward pass gets the mirrored collectives for free.
     """
+    if sp:
+        assert tp_axis is not None, "sp requires tp_axis"
+        x = jax.lax.all_gather(x, tp_axis, axis=1, tiled=True)
     B, L, D = x.shape
     hd = D // num_heads
     dtype = x.dtype
@@ -572,17 +587,33 @@ def _attn_block(
     out = out.reshape(B, L, -1)
     out = _linear(out, p["out"], dtype)
     if tp_axis is not None:
-        out = jax.lax.psum(out, tp_axis)  # row-parallel reduction
+        if sp:
+            # row-parallel reduction fused with the token re-scatter
+            out = jax.lax.psum_scatter(
+                out, tp_axis, scatter_dimension=1, tiled=True
+            )
+        else:
+            out = jax.lax.psum(out, tp_axis)  # row-parallel reduction
     return out
 
 
-def _mlp_block(p: Params, x: Array, tp_axis: Optional[str] = None) -> Array:
+def _mlp_block(
+    p: Params, x: Array, tp_axis: Optional[str] = None, sp: bool = False
+) -> Array:
     dtype = x.dtype
+    if sp:
+        assert tp_axis is not None, "sp requires tp_axis"
+        x = jax.lax.all_gather(x, tp_axis, axis=1, tiled=True)
     h = _linear(x, p["fc1"], dtype)  # column shard under TP
     h = jax.nn.gelu(h, approximate=False)
     h = _linear(h, p["fc2"], dtype)  # row shard: partial sums
     if tp_axis is not None:
-        h = jax.lax.psum(h, tp_axis)
+        if sp:
+            h = jax.lax.psum_scatter(
+                h, tp_axis, scatter_dimension=1, tiled=True
+            )
+        else:
+            h = jax.lax.psum(h, tp_axis)
     return h
 
 
@@ -643,6 +674,8 @@ def dit_forward(
     cp_axis: Optional[str] = None,
     remat: bool = False,
     tp_axis: Optional[str] = None,
+    sp: bool = False,
+    sp_sharding=None,
     span_delta: Optional[Array] = None,
     return_span_delta: bool = False,
     return_block_residuals: bool = False,
@@ -669,6 +702,21 @@ def dit_forward(
     Megatron tensor-parallel: column-sharded projections, psum on the
     row-parallel outputs. cp_axis and tp_axis compose on a 2D mesh —
     tokens sharded over 'cp', heads/hidden over 'tp'.
+
+    sp=True (requires tp_axis) adds Megatron sequence parallelism
+    (reference general_dit.py:221,623-630, tensor_parallel.py:23-102):
+    the residual/norm/adaLN token stream between TP matmuls is sharded
+    L/tp per rank; each attn/MLP sub-block all-gathers tokens in and
+    reduce-scatters its row-parallel output back out. Requires
+    L % tp == 0. Composes with cp_axis (tokens already cp-sharded shard
+    further over tp).
+
+    sp_sharding (a NamedSharding for the (B, L, D) token stream, tokens
+    over the tp mesh axis) is the DECLARATIVE form for GSPMD/pjit
+    callers (the sharded train step): the token stream is constrained to
+    that sharding at every block boundary and XLA's SPMD partitioner
+    derives the same reduce-scatter/all-gather decomposition (and its
+    transpose for grads). Mutually exclusive with sp.
     """
     B, C, T, H, W = x.shape
     dtype = cfg.dtype
@@ -701,6 +749,23 @@ def dit_forward(
     if extra.ndim == 4:  # (T,H,W,D) -> (1, L, D)
         extra = extra.reshape(1, L, D)
 
+    if sp:
+        # Megatron-SP scatter: each tp rank keeps a contiguous L/tp token
+        # chunk for the norm/modulate/residual regions. RoPE tables stay
+        # full-length (applied after the in-block all-gather).
+        assert tp_axis is not None, "sp requires tp_axis"
+        assert sp_sharding is None, "sp and sp_sharding are exclusive"
+        tp_size = jax.lax.axis_size(tp_axis)
+        assert L % tp_size == 0, f"L={L} must divide tp={tp_size} for sp"
+        tp_idx = jax.lax.axis_index(tp_axis)
+        L_loc = L // tp_size
+        tokens = jax.lax.dynamic_slice_in_dim(
+            tokens, tp_idx * L_loc, L_loc, 1
+        )
+        extra = jax.lax.dynamic_slice_in_dim(extra, tp_idx * L_loc, L_loc, 1)
+    elif sp_sharding is not None:
+        tokens = jax.lax.with_sharding_constraint(tokens, sp_sharding)
+
     # timestep embedding: affine emb = RMSNorm(sincos), lora = MLP output
     sincos = timestep_sincos(timesteps.reshape(-1), D)  # (B, D) fp32
     h = sincos @ _w(params["t_embedder"]["linear_1"], jnp.float32)
@@ -714,7 +779,7 @@ def dit_forward(
             tokens,
             lambda t: _attn_block(
                 blk["fa"], t, None, cfg.num_heads, rope_tables, cp_axis,
-                cfg.cp_attn_impl, tp_axis,
+                cfg.cp_attn_impl, tp_axis, sp,
             ),
             blk["fa"],
             emb,
@@ -723,19 +788,27 @@ def dit_forward(
         tokens = _modulated_residual(
             tokens,
             lambda t: _attn_block(
-                blk["ca"], t, ctx_emb, cfg.num_heads, None, tp_axis=tp_axis
+                blk["ca"], t, ctx_emb, cfg.num_heads, None,
+                tp_axis=tp_axis, sp=sp,
             ),
             blk["ca"],
             emb,
             lora,
         )
-        return _modulated_residual(
+        tokens = _modulated_residual(
             tokens,
-            lambda t: _mlp_block(blk["mlp"], t, tp_axis),
+            lambda t: _mlp_block(blk["mlp"], t, tp_axis, sp),
             blk["mlp"],
             emb,
             lora,
         )
+        if sp_sharding is not None:
+            # declarative SP: pin the residual stream's token axis to the
+            # tp mesh axis at every block boundary; the SPMD partitioner
+            # turns the row-parallel all-reduces into reduce-scatter +
+            # all-gather pairs (and transposes them in the backward)
+            tokens = jax.lax.with_sharding_constraint(tokens, sp_sharding)
+        return tokens
 
     if remat:
         # rematerialize per block during training: activations of the 28
@@ -807,6 +880,9 @@ def dit_forward(
         normed.astype(jnp.float32) * (1 + fscale[:, None, :]) + fshift[:, None, :]
     ).astype(dtype)
     tokens = tokens @ _w(params["final"]["linear"], dtype)
+    if sp:
+        # re-assemble the full (cp-local) token stream for unpatchify
+        tokens = jax.lax.all_gather(tokens, tp_axis, axis=1, tiled=True)
     tokens = tokens.reshape(B, Tp, Hp, Wp, -1)
     out = unpatchify(cfg, tokens, T, H, W)
     if return_block_residuals:

@@ -73,6 +73,24 @@ def _cp_tp_span_skip_fn(bundle, x, t, ctx, delta):
                        tp_axis="tp", span_delta=delta)
 
 
+def _cp_tp_sp_net_fn(bundle, x, t, ctx):
+    params, cfg = bundle
+    return dit_forward(params, cfg, x, t, ctx, fps=24.0, cp_axis="cp",
+                       tp_axis="tp", sp=True)
+
+
+def _cp_tp_sp_span_refresh_fn(bundle, x, t, ctx):
+    params, cfg = bundle
+    return dit_forward(params, cfg, x, t, ctx, fps=24.0, cp_axis="cp",
+                       tp_axis="tp", sp=True, return_span_delta=True)
+
+
+def _cp_tp_sp_span_skip_fn(bundle, x, t, ctx, delta):
+    params, cfg = bundle
+    return dit_forward(params, cfg, x, t, ctx, fps=24.0, cp_axis="cp",
+                       tp_axis="tp", sp=True, span_delta=delta)
+
+
 def cp_generate_samples(
     mesh: Mesh,
     dit_params,
@@ -93,6 +111,7 @@ def cp_generate_samples(
     step_cache_interval: int = 1,
     step_cache_threshold: float = 0.0,
     net_in_dtype=None,
+    sequence_parallel: bool = False,
 ) -> Array:
     """Context-parallel version of sampler.generate_samples.
 
@@ -104,6 +123,9 @@ def cp_generate_samples(
     sharded per dit_param_pspecs, psum'd row-parallel outputs) — the 2D
     cp x tp serving layout. The reference composes the same two axes via
     megatron parallel_state process groups (utils/trainer.py:66-70).
+    sequence_parallel=True additionally shards the residual-stream token
+    axis over 'tp' between TP matmuls (Megatron-SP, reference
+    general_dit.py:221,623-630; see dit_forward sp=True).
     """
     T = init_noise.shape[2]
     cp = mesh.shape["cp"]
@@ -119,8 +141,13 @@ def cp_generate_samples(
         from gen3c_tpu.parallel.sharding import dit_param_pspecs
 
         param_spec = dit_param_pspecs(dit_params)
-        net_fn = _cp_tp_span_refresh_fn if use_span else _cp_tp_net_fn
-        net_fn_skip = _cp_tp_span_skip_fn if use_span else None
+        if sequence_parallel:
+            net_fn = (_cp_tp_sp_span_refresh_fn if use_span
+                      else _cp_tp_sp_net_fn)
+            net_fn_skip = _cp_tp_sp_span_skip_fn if use_span else None
+        else:
+            net_fn = _cp_tp_span_refresh_fn if use_span else _cp_tp_net_fn
+            net_fn_skip = _cp_tp_span_skip_fn if use_span else None
     else:
         param_spec = P()
         net_fn = _cp_span_refresh_fn if use_span else _cp_net_fn

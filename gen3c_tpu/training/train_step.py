@@ -69,8 +69,9 @@ def init_train_state(params, optimizer) -> TrainState:
 
 
 def _net(bundle, x, t, ctx):
-    params, cfg, remat = bundle
-    return dit_forward(params, cfg, x, t, ctx, fps=24.0, remat=remat)
+    params, cfg, remat, sp_sharding = bundle
+    return dit_forward(params, cfg, x, t, ctx, fps=24.0, remat=remat,
+                       sp_sharding=sp_sharding)
 
 
 def train_step(
@@ -81,10 +82,15 @@ def train_step(
     optimizer: optax.GradientTransformation,
     schedule: EDMEulerSchedule = EDMEulerSchedule(),
     remat: bool = False,
+    sp_sharding=None,
 ) -> Tuple[TrainState, dict]:
     """One optimizer step. batch keys:
     x0 (B,16,T,H,W), crossattn_emb (B,M,1024), extra_channels
     (B,C_extra,T,H,W) condition channels (input mask + pose latents).
+
+    sp_sharding: optional NamedSharding for the DiT token stream —
+    Megatron sequence parallelism via GSPMD constraints (see
+    dit_forward).
     """
     k_sigma, k_noise = jax.random.split(rng)
     B = batch["x0"].shape[0]
@@ -94,7 +100,7 @@ def train_step(
     def loss_fn(params):
         loss, per_sample = edm_loss(
             _net,
-            (params, cfg, remat),
+            (params, cfg, remat, sp_sharding),
             batch["x0"].astype(jnp.float32),
             sigma,
             noise,
@@ -127,18 +133,28 @@ def make_sharded_train_step(
     params_template: Any,
     remat: bool = False,
     fsdp_axis: Optional[str] = None,
+    sequence_parallel: bool = False,
 ):
     """jit the train step with (dp, tp) shardings over the mesh.
 
     Params/opt-state/EMA shard Megatron-style on 'tp'; the batch shards on
-    'dp' (+ latent-T on 'cp' for sequence-parallel activation sharding).
+    'dp' (+ latent-T on 'cp' for context-parallel activation sharding).
     XLA inserts the dp grad all-reduce and the tp collectives.
     remat=True rematerializes DiT blocks in the backward pass;
     fsdp_axis='dp' additionally shards params/opt-state/EMA over data
     parallel (ZeRO-3 — see parallel.sharding.dit_param_pspecs).
+    sequence_parallel=True enables Megatron-SP: the DiT residual stream
+    is constrained to shard its token axis over 'tp' between TP matmuls
+    (reference general_dit.py:221,623-630), so the partitioner emits
+    reduce-scatter + all-gather around each attn/MLP in place of
+    all-reduce and the norm/adaLN work runs on L/tp tokens per rank.
     """
     from gen3c_tpu.parallel.sharding import dit_param_pspecs
 
+    sp_sharding = (
+        NamedSharding(mesh, P(None, "tp", None)) if sequence_parallel
+        else None
+    )
     pspecs = dit_param_pspecs(params_template, fsdp_axis=fsdp_axis)
     param_sh = jax.tree.map(
         lambda s: NamedSharding(mesh, s), pspecs,
@@ -150,7 +166,8 @@ def make_sharded_train_step(
         "crossattn_emb": NamedSharding(mesh, P("dp")),
         "extra_channels": NamedSharding(mesh, P("dp", None, "cp")),
     }
-    step_fn = partial(train_step, cfg=cfg, optimizer=optimizer, remat=remat)
+    step_fn = partial(train_step, cfg=cfg, optimizer=optimizer, remat=remat,
+                      sp_sharding=sp_sharding)
     # state shardings are inferred from the input state (device_put the
     # params with dit_param_shardings first — see parallel.sharding)
     return jax.jit(

@@ -406,3 +406,61 @@ def test_cp_adaptive_cache_consistent_refresh():
         mesh, params, CFG, num_steps=4, step_cache_threshold=0.5, **args
     )
     assert np.isfinite(np.asarray(lazy)).all()
+
+
+def test_cp_tp_sp_sampler_matches_single_device():
+    """Megatron sequence parallelism (explicit scatter/gather inside the
+    cp x tp shard_map, dit_forward sp=True) must reproduce the
+    single-device denoise (reference general_dit.py:221,623-630)."""
+    mesh = make_mesh(dp=1, cp=2, tp=2, devices=jax.devices()[:4])
+    params = init_dit_params(jax.random.PRNGKey(0), CFG, jnp.float32)
+    rng = np.random.RandomState(9)
+    args = _sample_args(rng)
+    ref = generate_samples(
+        net_fn=_net_fn, net_params=(params, CFG), num_steps=3, **args
+    )
+    out = cp_generate_samples(
+        mesh, params, CFG, num_steps=3, sequence_parallel=True, **args
+    )
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), rtol=5e-4, atol=5e-4
+    )
+
+
+def test_pure_tp_sp_sampler_matches_single_device():
+    """cp=1, tp=4 with sequence parallelism: the residual stream runs on
+    L/4 tokens per rank; output must still match single-device."""
+    mesh = make_mesh(dp=1, cp=1, tp=4, devices=jax.devices()[:4])
+    params = init_dit_params(jax.random.PRNGKey(0), CFG, jnp.float32)
+    rng = np.random.RandomState(10)
+    args = _sample_args(rng)
+    ref = generate_samples(
+        net_fn=_net_fn, net_params=(params, CFG), num_steps=2, **args
+    )
+    out = cp_generate_samples(
+        mesh, params, CFG, num_steps=2, sequence_parallel=True, **args
+    )
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), rtol=5e-4, atol=5e-4
+    )
+
+
+def test_sp_span_cache_matches_uncached_empty_span():
+    """Span caching composes with SP: empty span's skip path == uncached."""
+    import dataclasses
+
+    cfg = dataclasses.replace(CFG, cache_block_span=(1, 1))
+    mesh = make_mesh(dp=1, cp=2, tp=2, devices=jax.devices()[:4])
+    params = init_dit_params(jax.random.PRNGKey(0), cfg, jnp.float32)
+    rng = np.random.RandomState(11)
+    args = _sample_args(rng)
+    ref = generate_samples(
+        net_fn=_net_fn, net_params=(params, cfg), num_steps=4, **args
+    )
+    out = cp_generate_samples(
+        mesh, params, cfg, num_steps=4, step_cache_interval=2,
+        sequence_parallel=True, **args
+    )
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), rtol=5e-4, atol=5e-4
+    )

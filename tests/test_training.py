@@ -169,3 +169,46 @@ def test_fsdp_param_specs_shard_large_leaves():
     assert dit_param_pspecs(big2, fsdp_axis="dp")["final"]["linear"][
         "w"
     ] == P("dp", None)
+
+
+def test_sequence_parallel_train_step_matches_baseline():
+    """Megatron-SP via GSPMD constraints (make_sharded_train_step
+    sequence_parallel=True): same loss + updated params as the plain
+    TP-sharded step (reference tensor_parallel.py:23-102 semantics)."""
+    from gen3c_tpu.parallel.sharding import shard_params
+    from gen3c_tpu.training.train_step import (
+        init_train_state,
+        make_optimizer,
+        make_sharded_train_step,
+    )
+
+    mesh = make_mesh(dp=2, cp=2, tp=2)
+    rng = np.random.RandomState(3)
+    batch = {
+        "x0": jnp.asarray(rng.randn(2, 16, 4, 4, 8), jnp.float32),
+        "crossattn_emb": jnp.asarray(rng.randn(2, 16, 1024), jnp.float32),
+        "extra_channels": jnp.asarray(rng.randn(2, 65, 4, 4, 8), jnp.float32),
+    }
+    key = jax.random.PRNGKey(11)
+    results = {}
+    for name, kw in (
+        ("base", dict()),
+        ("sp", dict(sequence_parallel=True)),
+        ("sp_remat_fsdp", dict(sequence_parallel=True, remat=True,
+                               fsdp_axis="dp")),
+    ):
+        params = init_dit_params(jax.random.PRNGKey(0), TINY, jnp.float32)
+        params = shard_params(mesh, params, fsdp_axis=kw.get("fsdp_axis"))
+        opt = make_optimizer(lr=1e-3, warmup_steps=1)
+        step_fn, _ = make_sharded_train_step(mesh, TINY, opt, params, **kw)
+        state = init_train_state(params, opt)
+        state, metrics = step_fn(state, batch, key)
+        results[name] = (
+            float(jax.device_get(metrics["loss"])),
+            jax.device_get(state.params["blocks"][0]["fa"]["q"]["w"]),
+        )
+    loss_a, w_a = results["base"]
+    for name in ("sp", "sp_remat_fsdp"):
+        loss_b, w_b = results[name]
+        np.testing.assert_allclose(loss_a, loss_b, rtol=1e-5)
+        np.testing.assert_allclose(w_a, w_b, rtol=1e-4, atol=1e-6)
