@@ -223,7 +223,19 @@ def generate_samples(
 
     if net_fn_skip is not None:
         # Delta-DiT span caching: carry the span's residual delta
-        interval = max(step_cache_interval, 2)
+        if step_cache_interval <= 1:
+            raise ValueError(
+                "net_fn_skip requires step_cache_interval >= 2 (interval "
+                f"{step_cache_interval} would silently enable caching on "
+                "a caller that asked for the uncached loop)"
+            )
+        if step_cache_threshold > 0:
+            raise ValueError(
+                "step_cache_threshold is not supported with net_fn_skip "
+                "(span caching refreshes on a fixed interval); use one "
+                "or the other"
+            )
+        interval = step_cache_interval
 
         def span_body(i, carry):
             xt, delta = carry

@@ -88,17 +88,24 @@ class Gen3cPipeline:
         if self.model.offload_dit:
             # memory-constrained single-chip mode: the pixel-space warp
             # buffers (~1.7 GB at 121x704x1280) are dead once encoded —
-            # delete() frees their HBM even though the caller still
-            # holds references (they are never read again; the AR loop
-            # re-renders them per chunk)
+            # delete() frees their HBM. Only the locally created device
+            # copies are deleted: jnp.asarray of a jax.Array ALIASES the
+            # caller's buffer, so deleting warp_dev/mask_dev when they
+            # alias the inputs would destroy caller-owned arrays. In the
+            # aliased case HBM is reclaimed only when the caller drops
+            # its reference (chunked.py snapshots np.asarray copies).
             import jax
 
             jax.block_until_ready(pose_latent)
             np.asarray(pose_latent[:1, :1, :1, :1, :1])  # tunnel-safe sync
-            for a in (warp_dev, mask_dev, rendered_warp_images,
-                      rendered_warp_masks):
-                if isinstance(a, jax.Array) and not a.is_deleted():
-                    a.delete()
+            for dev, src in ((warp_dev, rendered_warp_images),
+                             (mask_dev, rendered_warp_masks)):
+                if (
+                    isinstance(dev, jax.Array)
+                    and dev is not src
+                    and not dev.is_deleted()
+                ):
+                    dev.delete()
 
         log.info(f"Denoising ({self.num_steps} steps, CFG batched)...")
         samples = self.model.generate_samples(

@@ -151,15 +151,26 @@ class PickleHandler:
     importable (torch.load on a BytesIO)."""
 
     def loads(self, data: bytes) -> Any:
-        try:
-            return pickle.loads(data)
-        except Exception:  # noqa: BLE001 — torch zipfile checkpoints
+        # torch checkpoints are zip archives (magic PK\x03\x04) — route
+        # those to torch.load, trying the safe weights_only path first.
+        # Anything else is a plain pickle; a corrupt one re-raises the
+        # original pickle error instead of a confusing torch fallback
+        # (and never reaches weights_only=False arbitrary-code paths
+        # through e.g. the read-only HTTP backend).
+        if data[:4] == b"PK\x03\x04":
             import torch
 
-            return torch.load(
-                _stdio.BytesIO(data), map_location="cpu",
-                weights_only=False,
-            )
+            try:
+                return torch.load(
+                    _stdio.BytesIO(data), map_location="cpu",
+                    weights_only=True,
+                )
+            except Exception:  # noqa: BLE001 — non-tensor payloads
+                return torch.load(
+                    _stdio.BytesIO(data), map_location="cpu",
+                    weights_only=False,
+                )
+        return pickle.loads(data)
 
     def dumps(self, obj: Any) -> bytes:
         return pickle.dumps(obj)

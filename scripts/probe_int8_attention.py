@@ -69,7 +69,9 @@ def mxu_rate(M, K, N, dtype, reps=20000):
         return None
     t0 = time.perf_counter()
     float(f(a, b))
-    dt = time.perf_counter() - t0 - 0.026  # host-read floor
+    # subtract the host-read floor, clamped: a config faster than the
+    # floor would otherwise report a negative/infinite rate
+    dt = max(time.perf_counter() - t0 - 0.026, 1e-4)
     rate = 2 * M * K * N * reps / dt / 1e12
     log(f"  M{M:<5} K{K:<5} N{N:<5} {jnp.dtype(dtype).name:<5} "
         f"{dt*1e3:8.1f} ms  {rate:7.1f} T/s")
