@@ -47,23 +47,65 @@ def _a(x) -> np.ndarray:
     return np.asarray(x)
 
 
+def normalize_reference_checkpoint(
+    ckpt: Mapping[str, Any], use_ema: bool = False
+) -> Dict[str, Any]:
+    """Unwrap a reference checkpoint dict to a flat state dict.
+
+    Mirrors load_network_model (inference_utils.py:327-346): a checkpoint
+    may be {"model": sd, "ema": ema_sd} where EMA keys are "-"-mangled
+    ("net.blocks.block0..." saved as "net-blocks-block0..."). The default
+    returns the "model" weights; use_ema=True overlays the de-mangled EMA
+    weights on top (the reference does this only on the PEFT path,
+    inference_utils.py:337-341)."""
+    if "model" in ckpt and isinstance(ckpt["model"], Mapping):
+        sd = dict(ckpt["model"])
+        if use_ema and isinstance(ckpt.get("ema"), Mapping):
+            sd.update(
+                {k.replace("-", "."): v for k, v in ckpt["ema"].items()}
+            )
+        return sd
+    return dict(ckpt)
+
+
+def _skippable(key: str) -> bool:
+    """State-dict keys with no JAX-side parameter: TE FP8 metadata, the
+    EDM logvar head (training-only), and RoPE position buffers
+    (pos_embedder.seq — computed on the fly via rope_3d_table; NOT the
+    learnable extra_pos_embedder, which does convert)."""
+    if "_extra_state" in key:
+        return True
+    k = key[4:] if key.startswith("net.") else key
+    return k.startswith(("logvar", "pos_embedder."))
+
+
 def convert_dit_state_dict(
-    state_dict: Mapping[str, Any], cfg: DiTConfig, dtype=jnp.float32
+    state_dict: Mapping[str, Any], cfg: DiTConfig, dtype=jnp.float32,
+    strict: bool = False,
 ) -> Dict[str, Any]:
     """Convert a (numpy-valued) reference DiT state dict to a param pytree.
 
     Accepts keys with or without a leading "net." prefix; values may be
     torch tensors (must implement __array__) or numpy arrays.
+
+    strict=True raises if any checkpoint key is neither consumed nor
+    recognized-skippable (the converter-side analogue of
+    non_strict_load_model's unexpected_keys report,
+    inference_utils.py:217-292) — the guard that catches key-mapping
+    drift before real weights arrive.
     """
     sd = {}
     for k, v in state_dict.items():
-        if "_extra_state" in k or k.startswith("logvar"):
+        if _skippable(k):
             continue
         if k.startswith("net."):
             k = k[len("net.") :]
         sd[k] = v
 
+    consumed = set()
+
     def get(key):
+        consumed.add(key)
         return sd[key]
 
     def attn(prefix):
@@ -115,6 +157,13 @@ def convert_dit_state_dict(
             "adaln": adaln("final_layer.adaLN_modulation"),
         },
     }
+    if strict:
+        leftover = sorted(set(sd) - consumed)
+        if leftover:
+            raise ValueError(
+                f"{len(leftover)} unconsumed checkpoint keys (key-mapping "
+                f"drift?): {leftover[:8]}{'...' if len(leftover) > 8 else ''}"
+            )
     import jax
 
     return jax.tree.map(lambda x: jnp.asarray(x, dtype), params)

@@ -22,29 +22,40 @@ import numpy as np
 from gen3c_tpu.utils import log
 
 
-def load_torch_dit_checkpoint(path: str, cfg, dtype=None) -> Dict[str, Any]:
+def load_torch_dit_checkpoint(
+    path: str, cfg, dtype=None, use_ema: bool = False, strict: bool = True
+) -> Dict[str, Any]:
     """Load reference model.pt and convert to a DiT param pytree.
 
-    Handles the EMA '-'-mangled key style (inference_utils.py:337-341):
-    keys like "net.blocks.block0..." are preferred; "-" are mapped back
-    to "." for EMA checkpoints.
+    Mirrors load_network_model (inference_utils.py:327-346): {"model":
+    ..., "ema": ...} wrappers unwrap to "model" by default; use_ema=True
+    overlays the EMA weights with their '-'-mangled keys mapped back to
+    '.' (inference_utils.py:337-341 — the reference does this on its PEFT
+    path). strict=True asserts every checkpoint key is consumed or
+    recognized-skippable (catches key-mapping drift).
     """
     import torch
 
     import jax.numpy as jnp
 
-    from gen3c_tpu.models.convert import convert_dit_state_dict
+    from gen3c_tpu.models.convert import (
+        convert_dit_state_dict,
+        normalize_reference_checkpoint,
+    )
 
-    sd = torch.load(path, map_location="cpu", weights_only=False)
-    if isinstance(sd, dict) and "model" in sd:
-        sd = sd["model"]
-    if isinstance(sd, dict) and "ema" in sd and isinstance(sd["ema"], dict):
-        sd = {k.replace("-", "."): v for k, v in sd["ema"].items()}
+    try:
+        sd = torch.load(path, map_location="cpu", weights_only=True)
+    except Exception:  # noqa: BLE001 — posttrained ckpts need full pickle
+        sd = torch.load(path, map_location="cpu", weights_only=False)
+    if isinstance(sd, dict):
+        sd = normalize_reference_checkpoint(sd, use_ema=use_ema)
     np_sd = {
         k: v.float().numpy() if hasattr(v, "numpy") else np.asarray(v)
         for k, v in sd.items()
     }
-    return convert_dit_state_dict(np_sd, cfg, dtype=dtype or jnp.bfloat16)
+    return convert_dit_state_dict(
+        np_sd, cfg, dtype=dtype or jnp.bfloat16, strict=strict
+    )
 
 
 def load_torchscript_tokenizer(
