@@ -169,6 +169,208 @@ class JaxPromptUpsampler(PromptUpsampler):
         return text or prompt
 
 
+class VLMPromptUpsampler(PromptUpsampler):
+    """Frames-conditioned (video2world) prompt upsampler: the TPU-native
+    equivalent of the reference's Pixtral-12B path
+    (video2world_prompt_upsampler_inference.py:40-105). The LAST frame is
+    resized (resize_image parity, :62-70), encoded by the JAX Pixtral
+    vision tower (aux/vision_encoder.py), projected into the text
+    embedding space, and spliced into the chat stream at the [IMG]
+    placeholder (prepare_dialog parity, :73-95); generation runs on the
+    in-house JAX AR stack from the spliced embeddings."""
+
+    # prepare_dialog's instruction, verbatim semantics
+    INSTRUCTION = (
+        "Your task is to transform a given prompt into a refined and "
+        "concise video description, no more than 150 words. Focus only "
+        "on the content, no filler words or descriptions on the style. "
+        "Never mention things outside the video."
+    )
+    # HF Pixtral processor normalization (OpenAI-CLIP statistics)
+    IMAGE_MEAN = (0.48145466, 0.4578275, 0.40821073)
+    IMAGE_STD = (0.26862954, 0.26130258, 0.27577711)
+
+    def __init__(self, text_params, text_cfg, vision_params, vision_cfg,
+                 tokenizer, image_token_id: int,
+                 max_new_tokens: int = 400, image_max_size: int = 1024):
+        self.text_params = text_params
+        self.text_cfg = text_cfg
+        self.vision_params = vision_params
+        self.vision_cfg = vision_cfg
+        self.tokenizer = tokenizer
+        self.image_token_id = int(image_token_id)
+        self.max_new_tokens = max_new_tokens
+        self.image_max_size = image_max_size
+
+    def _prepare_frame(self, frames):
+        """Last frame -> (3, H, W) normalized, H/W multiples of the
+        vision patch size, longest side <= image_max_size."""
+        import numpy as np
+
+        fr = np.asarray(frames)
+        if fr.ndim == 4:  # (T, H, W, 3): condition on the LAST frame
+            fr = fr[-1]
+        if fr.dtype == np.uint8:
+            fr = fr.astype(np.float32) / 255.0
+        h, w = fr.shape[:2]
+        ratio = max(h / self.image_max_size, w / self.image_max_size, 1.0)
+        P = self.vision_cfg.patch_size
+        nh = max(P, int(round(h / ratio / P)) * P)
+        nw = max(P, int(round(w / ratio / P)) * P)
+        if (nh, nw) != (h, w):
+            import jax.image
+
+            fr = np.asarray(
+                jax.image.resize(jnp_asarray(fr), (nh, nw, 3), "bilinear")
+            )
+        mean = np.asarray(self.IMAGE_MEAN, np.float32)
+        std = np.asarray(self.IMAGE_STD, np.float32)
+        fr = (fr - mean) / std
+        return np.ascontiguousarray(fr.transpose(2, 0, 1))
+
+    def _chat_ids(self, prompt: str):
+        import numpy as np
+
+        user = "[IMG]\n" + self.INSTRUCTION + "\n" + prompt
+        tok = self.tokenizer
+        if getattr(tok, "chat_template", None):
+            ids = tok.apply_chat_template(
+                [{"role": "user", "content": user}],
+                return_tensors="np", add_generation_prompt=True,
+            )
+            return np.asarray(ids).reshape(-1)
+        return np.asarray(tok.encode(user), np.int32).reshape(-1)
+
+    def upsample(self, prompt: str, frames=None) -> str:
+        import numpy as np
+
+        import jax
+        import jax.numpy as jnp
+
+        from gen3c_tpu.aux.vision_encoder import vision_encode
+        from gen3c_tpu.models.ar_transformer import (
+            generate_bucketed,
+            generate_with_embeddings,
+        )
+
+        ids = self._chat_ids(prompt)
+        if frames is None:
+            # text-only fallback (text2world semantics)
+            ids = ids[ids != self.image_token_id]
+            out = generate_bucketed(
+                self.text_params, self.text_cfg,
+                ids[None], jax.random.PRNGKey(0),
+                max_new_tokens=self.max_new_tokens, temperature=0.0,
+                pad_id=int(getattr(self.tokenizer, "eos_token_id", 0) or 0),
+            )
+            new = np.asarray(out)[0][out.shape[1] - self.max_new_tokens:]
+        else:
+            frame = self._prepare_frame(frames)
+            img_emb = vision_encode(
+                self.vision_params, self.vision_cfg, jnp.asarray(frame)
+            )  # (Lv, D_text)
+            tok_emb = jnp.asarray(self.text_params["tok_embeddings"])[
+                jnp.asarray(ids, jnp.int32)
+            ]  # (L, D_text)
+            where = np.nonzero(ids == self.image_token_id)[0]
+            pos = int(where[0]) if where.size else 0
+            spliced = jnp.concatenate(
+                [tok_emb[:pos], img_emb.astype(tok_emb.dtype),
+                 tok_emb[pos + 1:]], axis=0,
+            )[None]
+            budget = self.text_cfg.max_seq_len - self.max_new_tokens
+            if spliced.shape[1] > budget:
+                raise ValueError(
+                    f"spliced prompt {spliced.shape[1]} tokens exceeds "
+                    f"max_seq_len budget {budget}; resize the image down"
+                )
+            new = np.asarray(
+                generate_with_embeddings(
+                    self.text_params, self.text_cfg, spliced,
+                    jax.random.PRNGKey(0),
+                    max_new_tokens=self.max_new_tokens, temperature=0.0,
+                )
+            )[0]
+        eos = getattr(self.tokenizer, "eos_token_id", None)
+        if eos is not None:
+            stop = np.nonzero(new == eos)[0]
+            if stop.size:
+                new = new[: stop[0]]
+        text = self.tokenizer.decode(
+            new.tolist(), skip_special_tokens=True
+        ).strip()
+        return text or prompt
+
+    @classmethod
+    def from_pretrained(cls, model_path: str, max_new_tokens: int = 400):
+        """Load an HF Llava-style Pixtral checkpoint: language_model.*
+        through convert_hf_llama, vision_tower.* + multi_modal_projector.*
+        through convert_hf_pixtral_vision."""
+        import jax.numpy as jnp
+        from transformers import AutoConfig, AutoTokenizer
+
+        from gen3c_tpu.aux.vision_encoder import (
+            VisionConfig,
+            convert_hf_pixtral_vision,
+        )
+        from gen3c_tpu.models.ar_transformer import ARConfig
+        from gen3c_tpu.models.convert import convert_hf_llama
+
+        tokenizer = AutoTokenizer.from_pretrained(model_path)
+        hf = AutoConfig.from_pretrained(model_path)
+        text_hf = getattr(hf, "text_config", hf)
+        vis_hf = getattr(hf, "vision_config", None)
+        if vis_hf is None:
+            raise ValueError(f"{model_path} has no vision tower")
+        from transformers import AutoModelForImageTextToText
+
+        model = AutoModelForImageTextToText.from_pretrained(model_path)
+        sd = model.state_dict()
+        del model
+        text_sd = {
+            k[len("language_model."):]: v
+            for k, v in sd.items()
+            if k.startswith("language_model.")
+        }
+        text_cfg = ARConfig(
+            dim=text_hf.hidden_size,
+            n_layers=text_hf.num_hidden_layers,
+            n_heads=text_hf.num_attention_heads,
+            n_kv_heads=text_hf.num_key_value_heads,
+            vocab_size=text_hf.vocab_size,
+            ffn_hidden_size=text_hf.intermediate_size,
+            norm_eps=text_hf.rms_norm_eps,
+            rope_theta=text_hf.rope_theta,
+            max_seq_len=4300,  # reference max_seq_len, :53
+            use_qk_normalization=False,
+            dtype=jnp.bfloat16,
+        )
+        text_params = convert_hf_llama(text_sd, text_cfg)
+        vision_cfg = VisionConfig(
+            hidden_size=vis_hf.hidden_size,
+            num_layers=vis_hf.num_hidden_layers,
+            num_heads=vis_hf.num_attention_heads,
+            intermediate_size=vis_hf.intermediate_size,
+            patch_size=vis_hf.patch_size,
+            image_size=vis_hf.image_size,
+            rope_theta=getattr(vis_hf, "rope_theta", 10000.0),
+            text_hidden_size=text_hf.hidden_size,
+            dtype=jnp.bfloat16,
+        )
+        vision_params = convert_hf_pixtral_vision(sd, vision_cfg)
+        return cls(
+            text_params, text_cfg, vision_params, vision_cfg, tokenizer,
+            image_token_id=getattr(hf, "image_token_index", 10),
+            max_new_tokens=max_new_tokens,
+        )
+
+
+def jnp_asarray(x):
+    import jax.numpy as jnp
+
+    return jnp.asarray(x)
+
+
 def create_prompt_upsampler(
     checkpoint_dir: Optional[str] = None, enabled: bool = False,
     backend: str = "jax",
@@ -182,13 +384,21 @@ def create_prompt_upsampler(
         if os.path.isdir(path):
             if backend != "jax":
                 return HFPromptUpsampler(path)
+            from gen3c_tpu.utils import log
+
+            try:
+                # frames-conditioned VLM path (video2world semantics)
+                return VLMPromptUpsampler.from_pretrained(path)
+            except (KeyError, AttributeError, ValueError,
+                    OSError, RuntimeError) as e:
+                log.warning(
+                    f"VLM upsampler unavailable ({e}); text-only JAX path"
+                )
             try:
                 return JaxPromptUpsampler(path)
             except (KeyError, AttributeError, ValueError,
                     OSError, RuntimeError) as e:
                 # non-llama-architecture checkpoint: fall back to torch
-                from gen3c_tpu.utils import log
-
                 log.warning(
                     f"JAX upsampler unavailable ({e}); torch fallback"
                 )

@@ -283,6 +283,7 @@ def ar_forward(
     cache: Optional[KVCache] = None,
     context: Optional[Array] = None,  # (B, M, context_dim)
     pad_lens: Optional[Array] = None,  # (B,) left-pad counts
+    input_embeddings: Optional[Array] = None,  # (B, L, D)
 ) -> Tuple[Array, Optional[KVCache]]:
     """Returns (logits (B, L, vocab), updated cache).
 
@@ -296,10 +297,18 @@ def ar_forward(
     pad_lens the output is bit-identical to an unpadded forward of each
     row (the retrace-per-prompt-length fix; reference pads via HF
     tokenizer batching instead).
+
+    input_embeddings: bypasses the token-embedding lookup — the
+    multimodal path (a VLM splices projected vision tokens into the
+    text stream, Pixtral semantics). `tokens` is ignored when given.
     """
-    B, L = tokens.shape
     dtype = cfg.dtype
-    h = params["tok_embeddings"].astype(dtype)[tokens]
+    if input_embeddings is not None:
+        h = input_embeddings.astype(dtype)
+        B, L = h.shape[:2]
+    else:
+        B, L = tokens.shape
+        h = params["tok_embeddings"].astype(dtype)[tokens]
     cos_full, sin_full = rope
     pos0 = cache.pos if cache is not None else jnp.asarray(0, jnp.int32)
     if pad_lens is None:
@@ -526,6 +535,51 @@ def generate_padded(
     return _generate_impl(params, cfg, prompt_tokens, key, max_new_tokens,
                           temperature, top_k, top_p, context, pad_lens,
                           quantize_kv)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("cfg", "max_new_tokens", "temperature", "top_k",
+                     "top_p", "quantize_kv"),
+)
+def generate_with_embeddings(
+    params: Params,
+    cfg: ARConfig,
+    prompt_embeddings: Array,  # (B, L0, D) — text+vision spliced stream
+    key: Array,
+    max_new_tokens: int,
+    temperature: float = 1.0,
+    top_k: int = 0,
+    top_p: float = 0.0,
+    context: Optional[Array] = None,
+    quantize_kv: bool = False,
+) -> Array:
+    """generate() with an embedding-space prefill (the VLM path: vision
+    tokens spliced into the text stream have no token ids). Returns only
+    the (B, max_new_tokens) NEW token ids; decode steps embed the
+    sampled ids as usual."""
+    B = prompt_embeddings.shape[0]
+    rope = rope_tables(cfg)
+    cache = init_kv_cache(cfg, B, dtype=cfg.dtype, quantized=quantize_kv)
+    logits, cache = ar_forward(
+        params, cfg, None, rope, cache, context,
+        input_embeddings=prompt_embeddings,
+    )
+    first = sample_logits(key, logits[:, -1], temperature, top_k, top_p)
+
+    def step(carry, k_i):
+        cache, tok = carry
+        logits, cache = ar_forward(
+            params, cfg, tok[:, None], rope, cache, context
+        )
+        nxt = sample_logits(k_i, logits[:, -1], temperature, top_k, top_p)
+        return (cache, nxt), nxt
+
+    keys = jax.random.split(jax.random.fold_in(key, 1), max_new_tokens - 1)
+    (_, _), rest = jax.lax.scan(step, (cache, first), keys)
+    return jnp.concatenate(
+        [first[:, None], jnp.swapaxes(rest, 0, 1)], axis=1
+    )
 
 
 def generate_bucketed(
