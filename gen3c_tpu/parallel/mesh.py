@@ -41,11 +41,70 @@ def make_mesh(
     return Mesh(arr, ("dp", "cp", "tp"))
 
 
-def maybe_distributed_init() -> None:
-    """Multi-host bootstrap (reference distributed.init parity): no-op for
-    single-process; uses jax.distributed env-driven init when the standard
-    coordinator env vars are present."""
+def maybe_distributed_init(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> bool:
+    """Multi-host bootstrap (reference utils/distributed.py:49-79
+    distributed.init parity — NCCL/MPI env plumbing replaced by
+    jax.distributed's coordinator service; collectives then ride
+    ICI/DCN via the global mesh).
+
+    Args may be passed explicitly or through env vars:
+      JAX_COORDINATOR_ADDRESS / COORDINATOR_ADDRESS / MASTER_ADDR(:PORT)
+      NUM_PROCESSES / WORLD_SIZE, PROCESS_ID / RANK
+    Returns True if jax.distributed was initialized (after which
+    jax.devices() is the GLOBAL device list and make_mesh builds the
+    global mesh), False for the single-process no-op path.
+
+    Tested with 2 local CPU-backend processes in
+    tests/test_distributed_bootstrap.py.
+    """
     import os
 
-    if "JAX_COORDINATOR_ADDRESS" in os.environ or "COORDINATOR_ADDRESS" in os.environ:
-        jax.distributed.initialize()
+    env = os.environ
+    if coordinator_address is None:
+        coordinator_address = env.get("JAX_COORDINATOR_ADDRESS") or env.get(
+            "COORDINATOR_ADDRESS"
+        )
+        if coordinator_address is None and "MASTER_ADDR" in env:
+            coordinator_address = (
+                f"{env['MASTER_ADDR']}:{env.get('MASTER_PORT', '6379')}"
+            )
+    if coordinator_address is None:
+        return False
+    if num_processes is None:
+        np_s = env.get("NUM_PROCESSES") or env.get("WORLD_SIZE")
+        num_processes = int(np_s) if np_s else None
+    if process_id is None:
+        pid_s = env.get("PROCESS_ID") or env.get("RANK")
+        process_id = int(pid_s) if pid_s else None
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+    return True
+
+
+def local_batch_to_global(mesh: Mesh, spec, local_batch):
+    """Assemble per-process host-local batch shards into global arrays
+    (the multi-host data-loader glue; reference shards via
+    DistributedSampler + per-rank NCCL instead). `spec` is a
+    PartitionSpec pytree (or one spec applied to every leaf)."""
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    def put(x, s):
+        sharding = NamedSharding(mesh, s)
+        global_shape = list(np.shape(x))
+        # the leading (batch) axis is host-sharded: global = local * #procs
+        if s and s[0] is not None:
+            global_shape[0] = global_shape[0] * jax.process_count()
+        return jax.make_array_from_process_local_data(
+            sharding, np.asarray(x), tuple(global_shape)
+        )
+
+    if isinstance(spec, PartitionSpec):
+        return jax.tree.map(lambda x: put(x, spec), local_batch)
+    return jax.tree.map(put, local_batch, spec)
