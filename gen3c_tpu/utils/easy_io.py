@@ -3,8 +3,9 @@ on file extension (handler registry) and URI scheme (backend registry).
 
 Parity: cosmos_predict1/utils/easy_io/ (~2,500 LoC) — backends
 (easy_io/backends/{local,http}_backend.py) and format handlers
-(easy_io/handlers/: json/jsonl/numpy/pickle/yaml/csv/txt/torch), exposed
-as `easy_io.easy_io.load/dump`. The TPU rebuild keeps the two registries
+(easy_io/handlers/: json/jsonl/numpy/pickle/yaml/csv/txt/torch, plus
+imageio_video/pil/tarfile/gzip — here with an ffmpeg-free PNG-zip video
+fallback), exposed as `easy_io.easy_io.load/dump`. The TPU rebuild keeps the two registries
 (they are the extension point training configs rely on) over stdlib
 implementations; the torchjit handler is dropped (the tokenizer is
 plain-array checkpoints here, models/convert.py) and torch pickles load
@@ -209,6 +210,206 @@ class TextHandler:
         return str(obj).encode("utf-8")
 
 
+@register_handler("png", "jpg", "jpeg", "bmp", "webp")
+class PILImageHandler:
+    """Image <-> uint8 array (easy_io/handlers/pil_handler.py parity)."""
+
+    def loads(self, data: bytes, fmt: str = "np") -> Any:
+        from PIL import Image
+
+        img = Image.open(_stdio.BytesIO(data))
+        if fmt == "pil":
+            img.load()
+            return img
+        import numpy as np
+
+        return np.asarray(img.convert("RGB"))
+
+    def dumps(self, obj: Any, format: str = "png", **kw) -> bytes:
+        import numpy as np
+        from PIL import Image
+
+        if not isinstance(obj, Image.Image):
+            obj = Image.fromarray(np.asarray(obj))
+        buf = _stdio.BytesIO()
+        obj.save(buf, format=format, **kw)
+        return buf.getvalue()
+
+
+class _FramesZip:
+    """PNG-frames-in-zip video container: frame_%06d.png + meta.json.
+    The ffmpeg-free interchange format (this environment has no ffmpeg;
+    utils/io.save_video writes PNG dirs for the same reason)."""
+
+    @staticmethod
+    def loads(data: bytes):
+        import zipfile
+
+        import numpy as np
+
+        frames, meta = [], {}
+        with zipfile.ZipFile(_stdio.BytesIO(data)) as zf:
+            names = sorted(n for n in zf.namelist() if n.endswith(".png"))
+            if "meta.json" in zf.namelist():
+                meta = json.loads(zf.read("meta.json").decode("utf-8"))
+            ih = PILImageHandler()
+            for n in names:
+                frames.append(ih.loads(zf.read(n)))
+        return np.stack(frames), meta
+
+    @staticmethod
+    def dumps(frames, fps: float = 17.0) -> bytes:
+        import zipfile
+
+        import numpy as np
+
+        frames = np.asarray(frames)
+        buf = _stdio.BytesIO()
+        ih = PILImageHandler()
+        with zipfile.ZipFile(buf, "w", zipfile.ZIP_STORED) as zf:
+            for i, fr in enumerate(frames):
+                zf.writestr(f"frame_{i:06d}.png", ih.dumps(fr))
+            zf.writestr(
+                "meta.json",
+                json.dumps({"fps": fps, "nframes": int(frames.shape[0])}),
+            )
+        return buf.getvalue()
+
+
+@register_handler("vid")
+class FramesZipHandler:
+    """Explicit PNG-zip video (the no-ffmpeg native format)."""
+
+    def loads(self, data: bytes, **kw) -> Any:
+        return _FramesZip.loads(data)
+
+    def dumps(self, obj: Any, fps: float = 17.0, **kw) -> bytes:
+        return _FramesZip.dumps(obj, fps)
+
+
+@register_handler("mp4", "webm", "mov", "avi", "gif")
+class VideoHandler:
+    """(T, H, W, 3) uint8 frames <-> video bytes
+    (easy_io/handlers/imageio_video_handler.py parity: loads returns
+    (frames, meta), dumps takes frames + fps/quality).
+
+    Real codecs run through imageio when its ffmpeg plugin is present;
+    without ffmpeg, GIF still round-trips via PIL and mp4/webm fall back
+    to the PNG-zip container (detected on load by the zip magic), so
+    video IO keeps working end-to-end in ffmpeg-less environments.
+    """
+
+    def loads(self, data: bytes, format: Optional[str] = None,
+              **kw) -> Any:
+        import numpy as np
+
+        if data[:4] == b"PK\x03\x04":  # PNG-zip fallback container
+            return _FramesZip.loads(data)
+        import imageio
+
+        reader = imageio.get_reader(
+            _stdio.BytesIO(data), format=format, **kw
+        )
+        frames = np.stack([np.asarray(f) for f in reader])
+        if frames.ndim == 4 and frames.shape[-1] == 4:
+            frames = frames[..., :3]
+        try:
+            meta = reader.get_meta_data()
+        except Exception:  # noqa: BLE001
+            meta = {}
+        return frames, meta
+
+    def dumps(self, obj: Any, format: str = "mp4", fps: float = 17.0,
+              quality: int = 5, **kw) -> bytes:
+        import numpy as np
+
+        frames = np.asarray(obj)
+        if format in ("gif",):
+            from PIL import Image
+
+            imgs = [Image.fromarray(f) for f in frames]
+            buf = _stdio.BytesIO()
+            imgs[0].save(
+                buf, format="gif", save_all=True, append_images=imgs[1:],
+                duration=int(1000 / fps), loop=0,
+            )
+            return buf.getvalue()
+        writer = None
+        try:
+            import imageio
+
+            buf = _stdio.BytesIO()
+            writer = imageio.get_writer(
+                buf, format=format, fps=fps, quality=quality, **kw
+            )
+            for f in frames:
+                writer.append_data(f)
+            writer.close()
+            return buf.getvalue()
+        except Exception:  # noqa: BLE001 — no ffmpeg: PNG-zip fallback
+            if writer is not None:
+                try:
+                    writer.close()
+                except Exception:  # noqa: BLE001
+                    pass
+            from gen3c_tpu.utils import log
+
+            log.warning(
+                f"no {format} encoder available (ffmpeg missing); writing "
+                "PNG-zip container instead — loads() auto-detects it"
+            )
+            return _FramesZip.dumps(frames, fps)
+
+
+@register_handler("tar", "tgz")
+class TarHandler:
+    """Tar archives (easy_io/handlers/tarfile_handler.py parity). loads
+    returns an open tarfile.TarFile (caller iterates/extracts); dumps
+    accepts a {name: bytes|str} mapping or a filesystem path to add."""
+
+    def loads(self, data: bytes, mode: str = "r:*", **kw) -> Any:
+        import tarfile
+
+        return tarfile.open(fileobj=_stdio.BytesIO(data), mode=mode, **kw)
+
+    def dumps(self, obj: Any, mode: str = "w", **kw) -> bytes:
+        import tarfile
+        import time as _time
+
+        buf = _stdio.BytesIO()
+        with tarfile.open(fileobj=buf, mode=mode) as tar:
+            if isinstance(obj, dict):
+                for name, payload in obj.items():
+                    if isinstance(payload, str):
+                        payload = payload.encode("utf-8")
+                    info = tarfile.TarInfo(name)
+                    info.size = len(payload)
+                    info.mtime = int(_time.time())
+                    tar.addfile(info, _stdio.BytesIO(payload))
+            else:
+                tar.add(str(obj), **kw)
+        return buf.getvalue()
+
+
+@register_handler("gz")
+class GzipHandler:
+    """Gzipped pickles (easy_io/handlers/gzip_handler.py parity)."""
+
+    def loads(self, data: bytes, **kw) -> Any:
+        import gzip
+
+        with gzip.GzipFile(fileobj=_stdio.BytesIO(data), mode="rb") as f:
+            return pickle.load(f)
+
+    def dumps(self, obj: Any, **kw) -> bytes:
+        import gzip
+
+        buf = _stdio.BytesIO()
+        with gzip.GzipFile(fileobj=buf, mode="wb") as f:
+            pickle.dump(obj, f)
+        return buf.getvalue()
+
+
 def _handler_for(path: str, file_format: Optional[str] = None):
     ext = (file_format or path.rsplit(".", 1)[-1]).lower()
     try:
@@ -220,18 +421,20 @@ def _handler_for(path: str, file_format: Optional[str] = None):
 # ------------------------------ API ------------------------------
 
 
-def easy_load(path: str, file_format: Optional[str] = None) -> Any:
+def easy_load(path: str, file_format: Optional[str] = None, **kwargs) -> Any:
     """Load `path` with the handler picked by extension (or explicit
-    `file_format`) over the backend picked by URI scheme."""
+    `file_format`) over the backend picked by URI scheme. Extra kwargs
+    go to the handler (e.g. fps/quality for video, mode for tar)."""
     return _handler_for(path, file_format).loads(
-        _backend_for(path).get_bytes(path)
+        _backend_for(path).get_bytes(path), **kwargs
     )
 
 
-def easy_dump(obj: Any, path: str, file_format: Optional[str] = None) -> None:
+def easy_dump(obj: Any, path: str, file_format: Optional[str] = None,
+              **kwargs) -> None:
     """Serialize `obj` and write it to `path` (parent dirs created)."""
     _backend_for(path).put_bytes(
-        _handler_for(path, file_format).dumps(obj), path
+        _handler_for(path, file_format).dumps(obj, **kwargs), path
     )
 
 

@@ -76,3 +76,97 @@ def test_unknown_scheme_and_ext_raise(tmp_path):
         easy_io.easy_load("s3://bucket/x.json")
     with pytest.raises(ValueError):
         easy_io.easy_load(str(tmp_path / "x.unknownext"))
+
+
+def test_video_handler_mp4_roundtrip_no_ffmpeg(tmp_path):
+    """mp4 dump in an ffmpeg-less env falls back to the PNG-zip
+    container; loads auto-detects it and returns (frames, meta)
+    (imageio_video_handler parity surface)."""
+    import numpy as np
+
+    from gen3c_tpu.utils import easy_io
+
+    frames = (np.random.RandomState(0).rand(4, 16, 24, 3) * 255).astype(
+        np.uint8
+    )
+    p = str(tmp_path / "clip.mp4")
+    easy_io.easy_dump(frames, p, fps=8.0)
+    back, meta = easy_io.easy_load(p)
+    np.testing.assert_array_equal(back, frames)
+    assert meta.get("fps") == 8.0
+
+
+def test_video_handler_gif_roundtrip(tmp_path):
+    """GIF round-trips through PIL even without ffmpeg (palette-exact
+    for few-color content)."""
+    import numpy as np
+
+    from gen3c_tpu.utils import easy_io
+
+    frames = np.zeros((3, 8, 8, 3), np.uint8)
+    frames[1] = 255
+    frames[2, :, :4] = 128
+    p = str(tmp_path / "anim.gif")
+    easy_io.easy_dump(frames, p, format="gif", fps=5)
+    back, _meta = easy_io.easy_load(p)
+    assert back.shape == frames.shape
+    np.testing.assert_array_equal(back, frames)
+
+
+def test_frames_zip_handler_roundtrip(tmp_path):
+    import numpy as np
+
+    from gen3c_tpu.utils import easy_io
+
+    frames = (np.random.RandomState(1).rand(2, 12, 10, 3) * 255).astype(
+        np.uint8
+    )
+    p = str(tmp_path / "clip.vid")
+    easy_io.easy_dump(frames, p, fps=24.0)
+    back, meta = easy_io.easy_load(p)
+    np.testing.assert_array_equal(back, frames)
+    assert meta == {"fps": 24.0, "nframes": 2}
+
+
+def test_tar_handler_roundtrip(tmp_path):
+    from gen3c_tpu.utils import easy_io
+
+    p = str(tmp_path / "bundle.tar")
+    easy_io.easy_dump({"a.txt": "hello", "dir/b.bin": b"\x00\x01"}, p)
+    tf = easy_io.easy_load(p)
+    names = sorted(tf.getnames())
+    assert names == ["a.txt", "dir/b.bin"]
+    assert tf.extractfile("a.txt").read() == b"hello"
+    assert tf.extractfile("dir/b.bin").read() == b"\x00\x01"
+    tf.close()
+
+
+def test_tar_handler_path_add(tmp_path):
+    from gen3c_tpu.utils import easy_io
+
+    src = tmp_path / "payload.txt"
+    src.write_text("data")
+    p = str(tmp_path / "one.tar")
+    easy_io.easy_dump(str(src), p, arcname="payload.txt")
+    tf = easy_io.easy_load(p)
+    assert tf.extractfile("payload.txt").read() == b"data"
+    tf.close()
+
+
+def test_image_handler_roundtrip(tmp_path):
+    import numpy as np
+
+    from gen3c_tpu.utils import easy_io
+
+    img = (np.random.RandomState(2).rand(9, 7, 3) * 255).astype(np.uint8)
+    p = str(tmp_path / "img.png")
+    easy_io.easy_dump(img, p)
+    np.testing.assert_array_equal(easy_io.easy_load(p), img)
+
+
+def test_gzip_handler_roundtrip(tmp_path):
+    from gen3c_tpu.utils import easy_io
+
+    p = str(tmp_path / "obj.gz")
+    easy_io.easy_dump({"x": [1, 2, 3]}, p)
+    assert easy_io.easy_load(p) == {"x": [1, 2, 3]}
