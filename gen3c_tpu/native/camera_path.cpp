@@ -37,6 +37,8 @@ struct Keyframe {
 struct CameraPath {
   std::vector<Keyframe> keyframes;
   float play_time = 0.f;
+  bool loop = false;
+  int spline_order = 3;
 };
 
 Quat normalize(const Quat& q) {
@@ -150,8 +152,17 @@ Keyframe eval_path(const CameraPath& path, float t) {
 
 // ---- minimal JSON writer/parser for the camera-path schema ----
 
+// Reference GUI interchange schema (gui/src/camera_path.cu:124-133 save,
+// nlohmann alphabetical key order; quaternions serialized [x, y, z, w]
+// per tiny-cuda-nn vec_json.h:69-82). Files written here load in the
+// reference viewer and vice versa.
 std::string dump_json(const CameraPath& path) {
-  std::string s = "{\"time\": " + std::to_string(path.play_time) +
+  float duration = 0.f;
+  for (const Keyframe& k : path.keyframes) {
+    if (k.timestamp > duration) duration = k.timestamp;
+  }
+  std::string s = "{\"duration_seconds\": " + std::to_string(duration) +
+                  ", \"loop\": " + (path.loop ? "true" : "false") +
                   ", \"path\": [";
   char buf[512];
   for (size_t i = 0; i < path.keyframes.size(); i++) {
@@ -160,11 +171,12 @@ std::string dump_json(const CameraPath& path) {
         buf, sizeof(buf),
         "%s{\"R\": [%.9g, %.9g, %.9g, %.9g], \"T\": [%.9g, %.9g, %.9g], "
         "\"fov\": %.9g, \"timestamp\": %.9g}",
-        i ? ", " : "", k.R.w, k.R.x, k.R.y, k.R.z, k.T[0], k.T[1], k.T[2],
+        i ? ", " : "", k.R.x, k.R.y, k.R.z, k.R.w, k.T[0], k.T[1], k.T[2],
         k.fov, k.timestamp);
     s += buf;
   }
-  s += "]}";
+  s += "], \"spline_order\": " + std::to_string(path.spline_order) +
+       ", \"time\": " + std::to_string(path.play_time) + "}";
   return s;
 }
 
@@ -204,6 +216,15 @@ bool load_json(CameraPath& path, const std::string& s) {
   float t = 0.f;
   size_t tp = 0;
   if (parse_number_after(s, tp, "\"time\"", &t)) path.play_time = t;
+  tp = 0;
+  if (parse_number_after(s, tp, "\"spline_order\"", &t)) {
+    path.spline_order = (int)t;
+  }
+  size_t lp = s.find("\"loop\"");
+  if (lp != std::string::npos) {
+    path.loop = s.compare(s.find(':', lp) + 1, 5, " true") == 0 ||
+                s.compare(s.find(':', lp) + 1, 4, "true") == 0;
+  }
   pos = s.find("\"path\"");
   if (pos == std::string::npos) return false;
   while (true) {
@@ -222,7 +243,8 @@ bool load_json(CameraPath& path, const std::string& s) {
     parse_number_after(s, fp, "\"fov\"", &fov);
     size_t sp = p;
     parse_number_after(s, sp, "\"timestamp\"", &ts);
-    k.R = {r4[0], r4[1], r4[2], r4[3]};
+    // file order is [x, y, z, w] (tiny-cuda-nn vec_json.h)
+    k.R = {r4[3], r4[0], r4[1], r4[2]};
     std::memcpy(k.T, t3, sizeof(t3));
     k.fov = fov;
     k.timestamp = ts;

@@ -96,3 +96,62 @@ def test_sample_shapes():
     c2ws, fovs = path.sample(13)
     assert c2ws.shape == (13, 3, 4) and fovs.shape == (13,)
     np.testing.assert_allclose(c2ws[-1][:, 3], [1, 1, 1], atol=1e-5)
+
+
+def test_reference_gui_format_load():
+    """A camera-path file in the reference GUI's schema
+    (gui/src/camera_path.cu:124-167; quats [x,y,z,w] per tiny-cuda-nn
+    vec_json.h) loads with correct rotation semantics: a 90-degree
+    rotation about +z stored as [0, 0, 0.7071, 0.7071]."""
+    import json
+    import tempfile
+
+    half = float(np.sqrt(0.5))
+    doc = {
+        "duration_seconds": 2.0,
+        "loop": False,
+        "path": [
+            {"R": [0.0, 0.0, 0.0, 1.0], "T": [0.0, 0.0, 0.0],
+             "fov": 50.0, "timestamp": 0.0},
+            {"R": [0.0, 0.0, half, half], "T": [1.0, 0.0, 0.0],
+             "fov": 50.0, "timestamp": 2.0},
+        ],
+        "spline_order": 3,
+        "time": 0.0,
+    }
+    with tempfile.NamedTemporaryFile("w", suffix=".json",
+                                     delete=False) as f:
+        json.dump(doc, f)
+        name = f.name
+    path = CameraPath()
+    path.load(name)
+    assert len(path) == 2
+    c2w, fov = path.eval(1.0)
+    np.testing.assert_allclose(c2w[:, 3], [1, 0, 0], atol=1e-6)
+    # 90 degrees about z: R @ [1,0,0] = [0,1,0]
+    np.testing.assert_allclose(
+        c2w[:3, :3] @ np.array([1.0, 0, 0]), [0, 1, 0], atol=1e-5
+    )
+    assert abs(fov - 50.0) < 1e-5
+
+
+def test_save_emits_reference_schema(tmp_path):
+    """Saved files carry the reference GUI's field set with [x,y,z,w]
+    quaternion order, so they load in the reference viewer."""
+    import json
+
+    half = float(np.sqrt(0.5))
+    path = CameraPath()
+    path.add_keyframe(np.array([half, 0, 0, half], np.float32),
+                      np.array([3.0, 2, 1]), fov=42, timestamp=1.5)
+    f = str(tmp_path / "ref.json")
+    path.save(f)
+    doc = json.load(open(f))
+    assert set(doc) == {"duration_seconds", "loop", "path",
+                        "spline_order", "time"}
+    kf = doc["path"][0]
+    # internal (w,x,y,z)=(h,0,0,h) -> file [x,y,z,w] = [0,0,h,h]
+    np.testing.assert_allclose(kf["R"], [0, 0, half, half], atol=1e-6)
+    np.testing.assert_allclose(kf["T"], [3, 2, 1], atol=1e-6)
+    assert kf["fov"] == 42 and kf["timestamp"] == 1.5
+    assert doc["duration_seconds"] == 1.5 and doc["spline_order"] == 3
