@@ -191,6 +191,215 @@ class LlamaGuard3(ContentSafetyGuardrail):
         return safe, "" if safe else f"LlamaGuard3 verdict: {text.strip()}"
 
 
+# Aegis 1.0/2.0 content-safety taxonomy (aegis/categories.py ids): the
+# adapter answers "unsafe\nO<k>"; k indexes this table.
+AEGIS_CATEGORIES = (
+    ("violence", "violent content"),
+    ("sexual", "sexually explicit content"),
+    ("criminal_planning", "criminal planning or confessions"),
+    ("weapons", "guns and illegal weapons"),
+    ("substance_abuse", "controlled or regulated substances"),
+    ("suicide_and_self_harm", "suicide or self-harm"),
+    ("sexual_minor", "sexual content involving minors"),
+    ("hate_identity_hate", "hate or identity-based hate"),
+    ("pii", "personal identifying information or privacy violations"),
+    ("harassment", "harassment"),
+    ("threat", "threats"),
+    ("profanity", "profanity"),
+    ("needs_caution", "content that needs caution"),
+)
+
+
+def merge_peft_lora_into_llama(params, adapter_state, cfg,
+                               alpha: float, r: int):
+    """Merge a PEFT LoRA adapter into converted JAX llama params IN
+    PLACE: W <- W + (alpha/r) * (B @ A)^T on each targeted projection.
+    Exact at inference (the reference instead keeps the PeftModel
+    wrapper live, aegis/aegis.py:48; merging avoids per-call adapter
+    matmuls on TPU). adapter_state keys follow peft naming:
+      base_model.model.model.layers.{i}.self_attn.q_proj.lora_A.weight
+    """
+    proj_map = {
+        "q_proj": "wq", "k_proj": "wk", "v_proj": "wv", "o_proj": "wo",
+        "gate_proj": "w1", "down_proj": "w2", "up_proj": "w3",
+    }
+    import jax.numpy as jnp
+
+    scale = float(alpha) / float(r)
+    pat = re.compile(
+        r"layers\.(\d+)\.(?:self_attn|mlp)\.(\w+)\.lora_A\.weight$"
+    )
+    merged = 0
+    for key_a, A in adapter_state.items():
+        m = pat.search(key_a)
+        if not m:
+            continue
+        li, proj = int(m.group(1)), m.group(2)
+        ours = proj_map.get(proj)
+        if ours is None or li >= len(params["layers"]):
+            continue
+        key_b = key_a.replace("lora_A", "lora_B")
+        B = adapter_state[key_b]
+
+        def to_np(t):
+            return (t.detach().float().cpu().numpy()
+                    if hasattr(t, "detach") else np.asarray(t))
+
+        delta = (to_np(B) @ to_np(A)).T * scale  # (in, out)
+        w = params["layers"][li][ours]
+        params["layers"][li][ours] = (
+            w + jnp.asarray(delta, w.dtype)
+        )
+        merged += 1
+    return merged
+
+
+class Aegis(ContentSafetyGuardrail):
+    """Aegis AI content-safety classifier: LlamaGuard-7b base + the
+    nvidia Aegis LoRA adapter, TPU-native (aegis/aegis.py parity). The
+    adapter is MERGED into the base weights at load and the merged model
+    runs on the JAX AR stack; the moderation prompt carries the
+    O1..O13 Aegis taxonomy and the verdict parser maps 'unsafe\\nO<k>'
+    to a category block message (aegis/aegis.py:53-101)."""
+
+    BASE = "meta-llama/LlamaGuard-7b"
+    ADAPTER = "nvidia/Aegis-AI-Content-Safety-LlamaGuard-Defensive-1.0"
+
+    def __init__(self, checkpoint_dir: str, max_seq_len: int = 4096):
+        base_dir = os.path.join(checkpoint_dir, self.BASE)
+        adapter_dir = os.path.join(checkpoint_dir, self.ADAPTER)
+        for d in (base_dir, adapter_dir):
+            if not os.path.isdir(d):
+                raise FileNotFoundError(
+                    f"Aegis checkpoint not found at {d}"
+                )
+        import json
+
+        import jax.numpy as jnp
+        from transformers import AutoConfig, AutoModelForCausalLM, AutoTokenizer
+
+        from gen3c_tpu.models.ar_transformer import ARConfig
+        from gen3c_tpu.models.convert import convert_hf_llama
+
+        self.tokenizer = AutoTokenizer.from_pretrained(base_dir)
+        hf = AutoConfig.from_pretrained(base_dir)
+        self.cfg = ARConfig(
+            dim=hf.hidden_size,
+            n_layers=hf.num_hidden_layers,
+            n_heads=hf.num_attention_heads,
+            n_kv_heads=hf.num_key_value_heads,
+            vocab_size=hf.vocab_size,
+            ffn_hidden_size=hf.intermediate_size,
+            norm_eps=hf.rms_norm_eps,
+            rope_theta=hf.rope_theta,
+            max_seq_len=max_seq_len,
+            use_qk_normalization=False,
+            dtype=jnp.bfloat16,
+        )
+        model = AutoModelForCausalLM.from_pretrained(base_dir)
+        self.params = convert_hf_llama(model.state_dict(), self.cfg)
+        del model
+        adapter_state = load_peft_adapter_state(adapter_dir)
+        with open(os.path.join(adapter_dir, "adapter_config.json")) as f:
+            acfg = json.load(f)
+        n = merge_peft_lora_into_llama(
+            self.params, adapter_state, self.cfg,
+            alpha=acfg.get("lora_alpha", 32), r=acfg.get("r", 16),
+        )
+        if n == 0:
+            raise ValueError(f"no LoRA matrices merged from {adapter_dir}")
+        log.info(f"Aegis: merged {n} LoRA matrices into the base model")
+
+    def get_moderation_prompt(self, user_prompt: str) -> str:
+        cats = "\n".join(
+            f"O{i + 1}: {name.replace('_', ' ').title()}."
+            for i, (name, _) in enumerate(AEGIS_CATEGORIES)
+        )
+        return (
+            "[INST] Task: Check if there is unsafe content in 'User' "
+            "messages in conversations according our safety policy with "
+            "the below categories.\n"
+            "<BEGIN UNSAFE CONTENT CATEGORIES>\n"
+            f"{cats}\n"
+            "<END UNSAFE CONTENT CATEGORIES>\n"
+            "<BEGIN CONVERSATION>\n"
+            f"User: {user_prompt}\n\n"
+            "<END CONVERSATION>\n\n"
+            "Provide your safety assessment for User in the above "
+            "conversation:\n"
+            "- First line must read 'safe' or 'unsafe'.\n"
+            "- If unsafe, a second line must include a comma-separated "
+            "list of violated categories. [/INST]"
+        )
+
+    @staticmethod
+    def block_message(moderation_output: str) -> str:
+        """'unsafe\\nO3' -> category-specific block reason
+        (aegis/aegis.py:72-86 parity)."""
+        msg = "Prompt blocked by Aegis."
+        lines = moderation_output.strip().split("\n")
+        if len(lines) >= 2:
+            m = re.search(r"O(\d+)", lines[1])
+            if m:
+                idx = int(m.group(1)) - 1
+                if 0 <= idx < len(AEGIS_CATEGORIES):
+                    name, reason = AEGIS_CATEGORIES[idx]
+                    msg = f"{name}: this prompt is blocked due to {reason}."
+        return msg
+
+    def is_safe(self, prompt: str) -> Tuple[bool, str]:
+        import jax
+        import jax.numpy as jnp
+
+        from gen3c_tpu.models.ar_transformer import generate_bucketed
+
+        ids = np.asarray(
+            self.tokenizer(
+                [self.get_moderation_prompt(prompt)],
+                add_special_tokens=False, return_tensors="np",
+            )["input_ids"]
+        )
+        limit = self.cfg.max_seq_len - 100
+        if ids.shape[1] > limit:
+            head = limit // 2
+            ids = np.concatenate(
+                [ids[:, :head], ids[:, -(limit - head):]], axis=1
+            )
+        out = generate_bucketed(
+            self.params, self.cfg, jnp.asarray(ids, jnp.int32),
+            jax.random.PRNGKey(0), max_new_tokens=100, temperature=0.0,
+            pad_id=int(self.tokenizer.eos_token_id or 0),
+        )
+        text = self.tokenizer.decode(
+            np.asarray(out)[0][out.shape[1] - 100:],
+            skip_special_tokens=True,
+        )
+        if "unsafe" in text.lower():
+            return False, self.block_message(text)
+        return True, ""
+
+
+def load_peft_adapter_state(adapter_dir: str) -> dict:
+    """Read a PEFT adapter's tensors (safetensors preferred, torch .bin
+    fallback) without instantiating peft."""
+    st_path = os.path.join(adapter_dir, "adapter_model.safetensors")
+    if os.path.exists(st_path):
+        from safetensors import safe_open
+
+        out = {}
+        with safe_open(st_path, framework="np") as f:
+            for k in f.keys():
+                out[k] = f.get_tensor(k)
+        return out
+    bin_path = os.path.join(adapter_dir, "adapter_model.bin")
+    if os.path.exists(bin_path):
+        import torch
+
+        return torch.load(bin_path, map_location="cpu",
+                          weights_only=True)
+    raise FileNotFoundError(f"no adapter weights under {adapter_dir}")
+
+
 _SAFETY_CLASS_NAMES = {
     0: "Safe", 1: "Sexual_Content", 2: "Violence", 3: "Drugs",
     4: "Child_Abuse", 5: "Hate_and_Harassment", 6: "Self-Harm",
@@ -310,13 +519,31 @@ class RetinaFaceFilter(PostprocessingGuardrail):
 def create_text_guardrail_runner(
     checkpoint_dir: Optional[str] = None,
 ) -> GuardrailRunner:
-    """presets.py:31-36 parity; degrades to blocklist-only when the
-    LlamaGuard checkpoint is absent."""
+    """presets.py:31-36 parity; degrades to blocklist-only when no LLM
+    classifier checkpoint is present. The Aegis LoRA-adapter variant
+    (aegis/aegis.py) is preferred when its checkpoints exist
+    (GEN3C_GUARDRAIL=aegis|llamaguard3 forces one)."""
     models: List[ContentSafetyGuardrail] = [Blocklist(checkpoint_dir)]
-    try:
-        models.append(LlamaGuard3(checkpoint_dir or "checkpoints"))
-    except (FileNotFoundError, OSError, ImportError) as e:
-        log.warning(f"LlamaGuard3 unavailable ({e}); blocklist-only")
+    prefer = os.environ.get("GEN3C_GUARDRAIL", "").lower()
+    ckpt = checkpoint_dir or "checkpoints"
+    tried = []
+    order = (
+        [Aegis, LlamaGuard3] if prefer != "llamaguard3"
+        else [LlamaGuard3, Aegis]
+    )
+    if prefer == "aegis":
+        order = [Aegis]
+    for cls in order:
+        try:
+            models.append(cls(ckpt))
+            break
+        except (FileNotFoundError, OSError, ImportError, ValueError) as e:
+            tried.append(f"{cls.__name__}: {e}")
+    else:
+        log.warning(
+            f"LLM guardrail unavailable ({'; '.join(tried)}); "
+            "blocklist-only"
+        )
     return GuardrailRunner(safety_models=models)
 
 

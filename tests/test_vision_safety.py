@@ -458,3 +458,143 @@ def test_jax_prompt_upsampler_with_tiny_checkpoint(tmp_path):
     ups = JaxPromptUpsampler(str(path), max_new_tokens=4, max_seq_len=128)
     out = ups.upsample("a sunny beach")
     assert isinstance(out, str) and out
+
+
+def _tiny_vocab_tokenizer(path):
+    from tokenizers import Tokenizer
+    from tokenizers.models import WordLevel
+    from tokenizers.pre_tokenizers import Whitespace
+    from transformers import PreTrainedTokenizerFast
+
+    vocab = {w: i for i, w in enumerate(
+        ["<unk>", "hello", "world", "safe", "unsafe", "a", "b", "[INST]",
+         "[/INST]", "User:"]
+    )}
+    tok = Tokenizer(WordLevel(vocab, unk_token="<unk>"))
+    tok.pre_tokenizer = Whitespace()
+    fast = PreTrainedTokenizerFast(tokenizer_object=tok, unk_token="<unk>")
+    fast.save_pretrained(path)
+    return len(vocab)
+
+
+def test_aegis_lora_merge_matches_peft(tmp_path):
+    """Our in-place LoRA merge must equal peft's merge_and_unload on the
+    converted weights (the exactness argument for running the merged
+    model instead of the PeftModel wrapper, aegis/aegis.py:48)."""
+    import torch
+    from peft import LoraConfig, get_peft_model
+    from transformers import LlamaConfig, LlamaForCausalLM
+
+    from gen3c_tpu.aux.guardrail import (
+        load_peft_adapter_state,
+        merge_peft_lora_into_llama,
+    )
+    from gen3c_tpu.models.ar_transformer import ARConfig
+    from gen3c_tpu.models.convert import convert_hf_llama
+
+    torch.manual_seed(0)
+    base = LlamaForCausalLM(
+        LlamaConfig(
+            vocab_size=32, hidden_size=16, intermediate_size=32,
+            num_hidden_layers=2, num_attention_heads=2,
+            num_key_value_heads=2, max_position_embeddings=32,
+            tie_word_embeddings=False,
+        )
+    )
+    cfg = ARConfig(
+        dim=16, n_layers=2, n_heads=2, n_kv_heads=2, vocab_size=32,
+        ffn_hidden_size=32, max_seq_len=32, use_qk_normalization=False,
+        dtype=jnp.float32,
+    )
+    # snapshot base weights BEFORE peft wraps/renames the modules
+    base_sd = {k: v.clone() for k, v in base.state_dict().items()}
+    peft_model = get_peft_model(
+        base,
+        LoraConfig(
+            r=4, lora_alpha=8,
+            target_modules=["q_proj", "v_proj", "gate_proj", "down_proj"],
+        ),
+    )
+    # randomize lora_B (init is zeros -> merge would be a no-op)
+    with torch.no_grad():
+        for n, p in peft_model.named_parameters():
+            if "lora_B" in n:
+                p.copy_(torch.randn_like(p) * 0.1)
+    adapter_dir = tmp_path / "adapter"
+    peft_model.save_pretrained(adapter_dir)
+
+    params = convert_hf_llama(base_sd, cfg, dtype=jnp.float32)
+    sub = [d for d in adapter_dir.iterdir() if d.is_dir()]
+    adir = sub[0] if sub else adapter_dir
+    state = load_peft_adapter_state(str(adir))
+    n_merged = merge_peft_lora_into_llama(params, state, cfg,
+                                          alpha=8, r=4)
+    assert n_merged == 8  # 4 targets x 2 layers
+
+    merged_torch = peft_model.merge_and_unload()
+    ref = convert_hf_llama(merged_torch.state_dict(), cfg,
+                           dtype=jnp.float32)
+    for li in range(2):
+        for k in ("wq", "wv", "w1", "w2", "wk", "wo", "w3"):
+            np.testing.assert_allclose(
+                np.asarray(params["layers"][li][k]),
+                np.asarray(ref["layers"][li][k]),
+                rtol=1e-5, atol=1e-6, err_msg=f"layer {li} {k}",
+            )
+
+
+def test_aegis_with_tiny_checkpoint(tmp_path):
+    """Aegis end-to-end: base + adapter in the reference checkpoint
+    layout, merged at load, JAX generation, verdict parsing."""
+    import torch
+    from peft import LoraConfig, get_peft_model
+    from transformers import LlamaConfig, LlamaForCausalLM
+
+    from gen3c_tpu.aux.guardrail import Aegis
+
+    base_dir = tmp_path / "meta-llama" / "LlamaGuard-7b"
+    adapter_dir = (
+        tmp_path / "nvidia"
+        / "Aegis-AI-Content-Safety-LlamaGuard-Defensive-1.0"
+    )
+    base_dir.mkdir(parents=True)
+    adapter_dir.mkdir(parents=True)
+    vocab_size = _tiny_vocab_tokenizer(base_dir)
+
+    torch.manual_seed(0)
+    base = LlamaForCausalLM(
+        LlamaConfig(
+            vocab_size=vocab_size, hidden_size=32, intermediate_size=64,
+            num_hidden_layers=2, num_attention_heads=2,
+            num_key_value_heads=1, max_position_embeddings=256,
+            tie_word_embeddings=False,
+        )
+    )
+    base.save_pretrained(base_dir)
+    peft_model = get_peft_model(
+        base, LoraConfig(r=2, lora_alpha=4,
+                         target_modules=["q_proj", "v_proj"])
+    )
+    with torch.no_grad():
+        for n, p in peft_model.named_parameters():
+            if "lora_B" in n:
+                p.copy_(torch.randn_like(p) * 0.1)
+    peft_model.save_pretrained(adapter_dir)
+    # peft may nest the adapter in a subdir ("default"); flatten
+    import shutil
+
+    if not (adapter_dir / "adapter_config.json").exists():
+        sub = next(d for d in adapter_dir.iterdir() if d.is_dir())
+        for f in sub.iterdir():
+            shutil.move(str(f), adapter_dir / f.name)
+
+    guard = Aegis(str(tmp_path), max_seq_len=256)
+    safe, msg = guard.is_safe("hello world")
+    assert isinstance(safe, bool)
+    # verdict parsing (aegis/aegis.py:72-86 parity)
+    assert guard.block_message("unsafe\nO2") == (
+        "sexual: this prompt is blocked due to sexually explicit "
+        "content."
+    )
+    assert guard.block_message("unsafe") == "Prompt blocked by Aegis."
+    assert guard.block_message("unsafe\nO99") == "Prompt blocked by Aegis."
