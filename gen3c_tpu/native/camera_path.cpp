@@ -294,6 +294,23 @@ void camera_path_add_keyframe_m(void* h, const float* c2w34, float fov,
   ((CameraPath*)h)->keyframes.push_back(k);
 }
 
+// read back keyframe i as a row-major c2w 3x4 + fov + timestamp
+int camera_path_get_keyframe(void* h, int i, float* c2w34_out,
+                             float* fov_out, float* timestamp_out) {
+  auto& kf = ((CameraPath*)h)->keyframes;
+  if (i < 0 || i >= (int)kf.size()) return -1;
+  const Keyframe& k = kf[i];
+  float m[9];
+  quat_to_mat3(k.R, m);
+  for (int r = 0; r < 3; r++) {
+    for (int c = 0; c < 3; c++) c2w34_out[r * 4 + c] = m[r * 3 + c];
+    c2w34_out[r * 4 + 3] = k.T[r];
+  }
+  *fov_out = k.fov;
+  *timestamp_out = k.timestamp;
+  return 0;
+}
+
 // evaluate at t in [0,1]; writes row-major c2w 3x4 + fov
 void camera_path_eval(void* h, float t, float* c2w34_out, float* fov_out) {
   Keyframe k = eval_path(*(CameraPath*)h, t);

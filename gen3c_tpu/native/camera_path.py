@@ -66,6 +66,13 @@ def _lib() -> ctypes.CDLL:
                     ctypes.POINTER(ctypes.c_float),
                     ctypes.POINTER(ctypes.c_float),
                 ],
+                "camera_path_get_keyframe": [
+                    ctypes.c_void_p,
+                    ctypes.c_int,
+                    ctypes.POINTER(ctypes.c_float),
+                    ctypes.POINTER(ctypes.c_float),
+                    ctypes.POINTER(ctypes.c_float),
+                ],
                 "camera_path_save": [ctypes.c_void_p, ctypes.c_char_p],
                 "camera_path_load": [ctypes.c_void_p, ctypes.c_char_p],
                 "camera_path_play_time": [ctypes.c_void_p],
@@ -73,6 +80,7 @@ def _lib() -> ctypes.CDLL:
             }.items():
                 getattr(lib, name).argtypes = argtypes
             lib.camera_path_n_keyframes.restype = ctypes.c_int
+            lib.camera_path_get_keyframe.restype = ctypes.c_int
             lib.camera_path_save.restype = ctypes.c_int
             lib.camera_path_load.restype = ctypes.c_int
             lib.camera_path_play_time.restype = ctypes.c_float
@@ -135,6 +143,22 @@ class CameraPath:
         fov = np.zeros(n, np.float32)
         self._lib.camera_path_sample(self._h, n, _fptr(c2w), _fptr(fov))
         return c2w.reshape(n, 3, 4), fov
+
+    def get_keyframe(self, i: int) -> Tuple[np.ndarray, float, float]:
+        """Keyframe i as (c2w (3,4), fov, timestamp)."""
+        out = np.zeros(12, np.float32)
+        fov = ctypes.c_float()
+        ts = ctypes.c_float()
+        rc = self._lib.camera_path_get_keyframe(
+            self._h, i, _fptr(out), ctypes.byref(fov), ctypes.byref(ts)
+        )
+        if rc != 0:
+            raise IndexError(f"keyframe {i} out of range")
+        return out.reshape(3, 4), float(fov.value), float(ts.value)
+
+    def keyframes(self):
+        """All keyframes as a list of (c2w (3,4), fov, timestamp)."""
+        return [self.get_keyframe(i) for i in range(len(self))]
 
     def save(self, filename: str) -> None:
         rc = self._lib.camera_path_save(self._h, filename.encode())

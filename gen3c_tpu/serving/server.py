@@ -459,6 +459,60 @@ def make_handler(service: InferenceService):
                     self._send(400, str(e).encode())
                     return
                 self._send(200, out, "application/json")
+            elif url.path == "/camera-path/save":
+                # keyframes -> reference-GUI camera-path JSON
+                # (gui/src/camera_path.cu:124-133 schema, shareable with
+                # the reference viewer). body {keyframes: [{c2w, fov?,
+                # t?}]}
+                try:
+                    import tempfile
+
+                    payload = json.loads(body.decode("utf-8"))
+                    from gen3c_tpu.native.camera_path import CameraPath
+
+                    path = CameraPath()
+                    for i, kf in enumerate(payload["keyframes"]):
+                        path.add_keyframe_from_c2w(
+                            np.asarray(kf["c2w"], np.float32).reshape(3, 4),
+                            fov=float(kf.get("fov", 50.0)),
+                            timestamp=float(kf.get("t", i)),
+                        )
+                    with tempfile.NamedTemporaryFile(
+                        "r", suffix=".json", delete=False
+                    ) as f:
+                        tmp = f.name
+                    path.save(tmp)
+                    with open(tmp) as f:
+                        out = f.read().encode()
+                    os.unlink(tmp)
+                except Exception as e:  # noqa: BLE001
+                    self._send(400, str(e).encode())
+                    return
+                self._send(200, out, "application/json")
+            elif url.path == "/camera-path/load":
+                # reference-GUI camera-path JSON -> keyframes (c2w/fov/t)
+                try:
+                    import tempfile
+
+                    from gen3c_tpu.native.camera_path import CameraPath
+
+                    with tempfile.NamedTemporaryFile(
+                        "wb", suffix=".json", delete=False
+                    ) as f:
+                        f.write(body)
+                        tmp = f.name
+                    path = CameraPath()
+                    path.load(tmp)
+                    os.unlink(tmp)
+                    kfs = [
+                        {"c2w": c2w.tolist(), "fov": fov, "t": ts}
+                        for c2w, fov, ts in path.keyframes()
+                    ]
+                    out = json.dumps({"keyframes": kfs}).encode()
+                except Exception as e:  # noqa: BLE001
+                    self._send(400, str(e).encode())
+                    return
+                self._send(200, out, "application/json")
             elif url.path == "/cancel-inference":
                 request_id = qs.get("request_id", [""])[0]
                 if service.cancel(request_id):
@@ -489,7 +543,15 @@ def serve(host: Optional[str] = None, port: Optional[int] = None, model=None):
 
 
 def main():
-    server, service = serve()
+    import argparse
+
+    p = argparse.ArgumentParser(description="GEN3C inference server")
+    p.add_argument("--host", default=None,
+                   help="bind host (default: GEN3C_API_HOST or 127.0.0.1)")
+    p.add_argument("--port", type=int, default=None,
+                   help="bind port (default: GEN3C_API_PORT or 8000)")
+    args = p.parse_args()
+    server, service = serve(host=args.host, port=args.port)
     try:
         server.serve_forever()
     except KeyboardInterrupt:

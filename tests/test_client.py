@@ -118,3 +118,40 @@ def test_reference_format_path_file_drives_inference(server_url, tmp_path):
         ]
     )
     assert len(os.listdir(tmp_path / "out")) == 6
+
+
+def test_camera_path_endpoints_roundtrip(server_url):
+    """/camera-path/save + /camera-path/load speak the reference GUI's
+    JSON schema through the native engine."""
+    import json
+    import urllib.request
+
+    c2w = [[1, 0, 0, 0.5], [0, 1, 0, -0.2], [0, 0, 1, 2.0]]
+    body = json.dumps(
+        {"keyframes": [{"c2w": c2w, "fov": 45.0, "t": 0.0},
+                       {"c2w": c2w, "fov": 55.0, "t": 1.0}]}
+    ).encode()
+    r = urllib.request.urlopen(
+        urllib.request.Request(server_url + "/camera-path/save", data=body,
+                               method="POST")
+    )
+    doc = json.loads(r.read().decode())
+    assert set(doc) == {"duration_seconds", "loop", "path",
+                        "spline_order", "time"}
+    assert len(doc["path"]) == 2
+    # identity rotation -> quaternion [x,y,z,w] = [0,0,0,1]
+    np.testing.assert_allclose(doc["path"][0]["R"], [0, 0, 0, 1],
+                               atol=1e-6)
+    np.testing.assert_allclose(doc["path"][0]["T"], [0.5, -0.2, 2.0],
+                               atol=1e-6)
+
+    r2 = urllib.request.urlopen(
+        urllib.request.Request(
+            server_url + "/camera-path/load",
+            data=json.dumps(doc).encode(), method="POST",
+        )
+    )
+    kfs = json.loads(r2.read().decode())["keyframes"]
+    assert len(kfs) == 2
+    np.testing.assert_allclose(kfs[0]["c2w"], c2w, atol=1e-5)
+    assert abs(kfs[1]["fov"] - 55.0) < 1e-5
