@@ -294,9 +294,11 @@ class VideoHandler:
     (frames, meta), dumps takes frames + fps/quality).
 
     Real codecs run through imageio when its ffmpeg plugin is present;
-    without ffmpeg, GIF still round-trips via PIL and mp4/webm fall back
-    to the PNG-zip container (detected on load by the zip magic), so
-    video IO keeps working end-to-end in ffmpeg-less environments.
+    without ffmpeg, GIF still round-trips via PIL and mp4/webm/mov fall
+    back to pure-Python MJPEG-AVI (utils/mjpeg_avi.py — a real,
+    playable video container that players content-sniff regardless of
+    extension), so video IO keeps working end-to-end in ffmpeg-less
+    environments. Loads auto-detect RIFF/AVI and legacy PNG-zip bytes.
     """
 
     def loads(self, data: bytes, format: Optional[str] = None,
@@ -305,6 +307,11 @@ class VideoHandler:
 
         if data[:4] == b"PK\x03\x04":  # PNG-zip fallback container
             return _FramesZip.loads(data)
+        if data[:4] == b"RIFF" and data[8:12] == b"AVI ":
+            from gen3c_tpu.utils.mjpeg_avi import read_mjpeg_avi
+
+            frames, fps = read_mjpeg_avi(data)
+            return frames, {"fps": fps, "nframes": int(frames.shape[0])}
         import imageio
 
         reader = imageio.get_reader(
@@ -346,19 +353,24 @@ class VideoHandler:
                 writer.append_data(f)
             writer.close()
             return buf.getvalue()
-        except Exception:  # noqa: BLE001 — no ffmpeg: PNG-zip fallback
+        except Exception:  # noqa: BLE001 — no ffmpeg: MJPEG-AVI fallback
             if writer is not None:
                 try:
                     writer.close()
                 except Exception:  # noqa: BLE001
                     pass
             from gen3c_tpu.utils import log
+            from gen3c_tpu.utils.mjpeg_avi import write_mjpeg_avi
 
             log.warning(
                 f"no {format} encoder available (ffmpeg missing); writing "
-                "PNG-zip container instead — loads() auto-detects it"
+                "pure-Python MJPEG-AVI instead (real playable video; "
+                "loads() auto-detects it)"
             )
-            return _FramesZip.dumps(frames, fps)
+            buf = _stdio.BytesIO()
+            write_mjpeg_avi(buf, frames, fps=fps,
+                            quality=min(95, 50 + 5 * quality))
+            return buf.getvalue()
 
 
 @register_handler("tar", "tgz")

@@ -36,7 +36,19 @@ def save_video(
         imageio.mimsave(filepath, video, "FFMPEG", **kwargs)
         return filepath
     except Exception:
-        # ffmpeg unavailable: fall back to per-frame PNGs next to the target
+        pass
+    # ffmpeg unavailable: write a REAL video anyway — pure-Python
+    # MJPEG-in-AVI (utils/mjpeg_avi.py), playable everywhere
+    try:
+        from gen3c_tpu.utils.mjpeg_avi import write_mjpeg_avi
+
+        avi_path = os.path.splitext(filepath)[0] + ".avi"
+        # imageio-ffmpeg quality 0-10 -> JPEG quality
+        write_mjpeg_avi(avi_path, video, fps=fps,
+                        quality=min(95, 50 + 5 * quality))
+        return avi_path
+    except Exception:
+        # last resort: per-frame PNGs next to the target
         base = os.path.splitext(filepath)[0]
         os.makedirs(base, exist_ok=True)
         from PIL import Image
@@ -110,6 +122,24 @@ def read_video_bcthw(
         if os.path.exists(fps_file):  # sidecar written by save_video
             with open(fps_file) as f:
                 fps = float(f.read().strip())
+        return video.transpose(3, 0, 1, 2)[None], fps
+
+    with open(path, "rb") as f:
+        magic = f.read(12)
+    if magic[:4] == b"RIFF" and magic[8:12] == b"AVI ":
+        # MJPEG-AVI (our ffmpeg-free writer, or any MJPEG avi)
+        from gen3c_tpu.utils.mjpeg_avi import read_mjpeg_avi
+
+        frames_u8, fps = read_mjpeg_avi(path)
+        from PIL import Image as _I
+
+        out = []
+        for fr in frames_u8:
+            img = _I.fromarray(fr)
+            if h is not None and w is not None and img.size != (w, h):
+                img = img.resize((w, h), _I.BICUBIC)
+            out.append(np.asarray(img))
+        video = np.stack(out).astype(np.float32) / 127.5 - 1.0
         return video.transpose(3, 0, 1, 2)[None], fps
 
     reader = imageio.get_reader(path)
