@@ -403,6 +403,42 @@ class TarHandler:
         return buf.getvalue()
 
 
+@register_handler("parquet", "pqt")
+class PandasParquetHandler:
+    """DataFrame <-> parquet (reference routes DataFrames through its
+    pandas_handler; parquet round-trips dtypes, unlike csv)."""
+
+    def loads(self, data: bytes, **kw) -> Any:
+        import pandas as pd
+
+        return pd.read_parquet(_stdio.BytesIO(data), **kw)
+
+    def dumps(self, obj: Any, **kw) -> bytes:
+        buf = _stdio.BytesIO()
+        obj.to_parquet(buf, **kw)
+        return buf.getvalue()
+
+
+@register_handler("jit", "torchscript")
+class TorchJitHandler:
+    """TorchScript archives (easy_io/handlers/torchjit_handler.py
+    parity) — used for the reference tokenizer's encoder.jit/decoder.jit
+    (see utils/checkpoint.load_torchscript_tokenizer)."""
+
+    def loads(self, data: bytes, **kw) -> Any:
+        import torch
+
+        return torch.jit.load(_stdio.BytesIO(data), map_location="cpu",
+                              **kw)
+
+    def dumps(self, obj: Any, **kw) -> bytes:
+        import torch
+
+        buf = _stdio.BytesIO()
+        torch.jit.save(obj, buf, **kw)
+        return buf.getvalue()
+
+
 @register_handler("gz")
 class GzipHandler:
     """Gzipped pickles (easy_io/handlers/gzip_handler.py parity)."""

@@ -203,3 +203,33 @@ def test_mjpeg_avi_roundtrip_and_save_video_fallback(tmp_path):
     video, fps2 = io_utils.read_video_bcthw(out)
     assert video.shape == (1, 3, 5, 32, 48)
     assert abs(fps2 - 24.0) < 1e-6
+
+
+def test_parquet_handler_roundtrip(tmp_path):
+    import pandas as pd
+
+    from gen3c_tpu.utils import easy_io
+
+    df = pd.DataFrame({"a": [1, 2, 3], "b": [0.5, 1.5, 2.5],
+                       "c": ["x", "y", "z"]})
+    p = str(tmp_path / "t.parquet")
+    easy_io.easy_dump(df, p)
+    back = easy_io.easy_load(p)
+    pd.testing.assert_frame_equal(back, df)
+
+
+def test_torchjit_handler_roundtrip(tmp_path):
+    import torch
+
+    from gen3c_tpu.utils import easy_io
+
+    class M(torch.nn.Module):
+        def forward(self, x):
+            return x * 2 + 1
+
+    mod = torch.jit.script(M())
+    p = str(tmp_path / "m.jit")
+    easy_io.easy_dump(mod, p)
+    back = easy_io.easy_load(p)
+    x = torch.randn(3)
+    torch.testing.assert_close(back(x), x * 2 + 1)
