@@ -24,7 +24,34 @@ from gen3c_tpu.diffusion.scheduler import EDMEulerSchedule
 Array = jax.Array
 X0Fn = Callable[[Array, Array], Array]
 
-SOLVERS = ("euler", "heun", "dpm2m", "rk4", "ddim")
+SOLVERS = ("euler", "heun", "dpm2m", "rk4", "ddim", "res2ab")
+
+
+def _phi1(t: Array) -> Array:
+    """(exp(t) - 1) / t  (runge_kutta.py:22-35)."""
+    return jnp.expm1(t) / t
+
+
+def _phi2(t: Array) -> Array:
+    """(phi1(t) - 1) / t  (runge_kutta.py:38-50)."""
+    return (_phi1(t) - 1.0) / t
+
+
+def res_x0_rk2_step(x_s: Array, t: Array, s: Array, x0_s: Array,
+                    s1: Array, x0_s1: Array) -> Array:
+    """Residual (exponential-integrator) 2nd-order step in -log-sigma
+    time (runge_kutta.py:53-95 parity): the update rule behind the
+    reference Sampler's "2ab" Adams-Bashforth multistep
+    (functional/multi_step.py:28-40, arXiv:2308.02157)."""
+    s_ = -jnp.log(s)
+    t_ = -jnp.log(t)
+    m_ = -jnp.log(s1)
+    dt = t_ - s_
+    c2 = (m_ - s_) / dt
+    p1, p2 = _phi1(-dt), _phi2(-dt)
+    b1 = jnp.nan_to_num(p1 - p2 / c2, nan=0.0)
+    b2 = jnp.nan_to_num(p2 / c2, nan=0.0)
+    return jnp.exp(-dt) * x_s + dt * (b1 * x0_s + b2 * x0_s1)
 
 
 def _to_x0_steps(schedule: EDMEulerSchedule, num_steps: int) -> Array:
@@ -91,6 +118,30 @@ def sample_ode(
             return jax.lax.cond(s1 > 0, full, lambda _: x + h * k1, None)
 
         return jax.lax.fori_loop(0, num_steps, body, x)
+
+    if solver == "res2ab":
+        # reference Sampler's "2ab" multistep (multi_step.py:28-40):
+        # Euler on the first step, exponential-integrator AB2 after
+
+        def body(i, carry):
+            x, prev_x0 = carry
+            s, s1n = sigmas[i], sigmas[i + 1]
+            x0 = x0_fn(x, s)
+
+            def first_or_last(_):
+                # reg_x0_euler_step (runge_kutta.py:98-118)
+                return x * (s1n / s) + (1 - s1n / s) * x0
+
+            def multistep(_):
+                prev_s = sigmas[jnp.maximum(i - 1, 0)]
+                return res_x0_rk2_step(x, s1n, s, x0, prev_s, prev_x0)
+
+            use_multi = jnp.logical_and(i > 0, s1n > 0)
+            x_next = jax.lax.cond(use_multi, multistep, first_or_last, None)
+            return (x_next, x0)
+
+        (x, _), = (jax.lax.fori_loop(0, num_steps, body, (x, x)),)
+        return x
 
     # dpm2m: DPM-Solver++(2M) in log-sigma time with x0 predictions
     lam = jnp.log(jnp.maximum(sigmas, 1e-10))

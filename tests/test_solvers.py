@@ -64,3 +64,76 @@ def test_solver_shapes_and_finiteness():
         out = sample_ode(x0_fn, noise, num_steps=6, solver=solver)
         assert out.shape == noise.shape
         assert np.isfinite(np.asarray(out)).all(), solver
+
+
+def test_res_x0_rk2_step_matches_reference():
+    """res_x0_rk2_step == the reference torch implementation
+    (functional/runge_kutta.py:53-95), elementwise."""
+    import sys
+
+    import torch
+
+    sys.path.insert(0, "/root/reference")
+    from cosmos_predict1.diffusion.functional.runge_kutta import (
+        res_x0_rk2_step as ref_step,
+    )
+
+    from gen3c_tpu.diffusion.solvers import res_x0_rk2_step
+
+    rng = np.random.RandomState(0)
+    x_s = rng.randn(2, 3, 4).astype(np.float32)
+    x0_s = rng.randn(2, 3, 4).astype(np.float32)
+    x0_s1 = rng.randn(2, 3, 4).astype(np.float32)
+    s, t, s1 = 1.2, 0.7, 2.1  # current, target, previous sigmas
+
+    ref = ref_step(
+        torch.from_numpy(x_s),
+        torch.full((2,), t), torch.full((2,), s),
+        torch.from_numpy(x0_s),
+        torch.full((2,), s1), torch.from_numpy(x0_s1),
+    ).numpy()
+    got = np.asarray(
+        res_x0_rk2_step(
+            jnp.asarray(x_s), jnp.asarray(t), jnp.asarray(s),
+            jnp.asarray(x0_s), jnp.asarray(s1), jnp.asarray(x0_s1),
+        )
+    )
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-6)
+
+
+def test_res2ab_loop_matches_reference_sampler_loop():
+    """The whole res2ab trajectory == the reference Sampler's "2ab"
+    multistep loop (multi_step.py order2_fn driven step by step)."""
+    import sys
+
+    import torch
+
+    sys.path.insert(0, "/root/reference")
+    from cosmos_predict1.diffusion.functional.multi_step import (
+        get_multi_step_fn,
+    )
+
+    from gen3c_tpu.diffusion.scheduler import EDMEulerSchedule
+
+    sch = EDMEulerSchedule()
+    sigmas = np.asarray(sch.sigmas(10))
+    noise = np.random.RandomState(7).randn(1, 4, 2, 4, 4).astype(np.float32)
+
+    x = torch.from_numpy(noise) * sch.init_noise_sigma
+    fn = get_multi_step_fn("2ab")
+    x0_preds = []
+    for i in range(10):
+        s, t = float(sigmas[i]), float(sigmas[i + 1])
+        x0 = x / (1 + s**2)
+        if t <= 0:
+            x = x0  # final Euler step to sigma=0
+            break
+        x, x0_preds = fn(x, torch.tensor([s]), torch.tensor([t]), x0,
+                         x0_preds)
+    ref = x.numpy()
+
+    got = np.asarray(
+        sample_ode(lambda x, s: x / (1 + s**2), jnp.asarray(noise),
+                   num_steps=10, solver="res2ab")
+    )
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-5)
