@@ -149,7 +149,7 @@ def demo(args) -> str:
     frames = np.asarray(out[0]).transpose(1, 2, 3, 0)
     frames = ((frames + 1) / 2 * 255).clip(0, 255).astype(np.uint8)
     path = os.path.join(args.video_save_folder, f"{args.video_save_name}.mp4")
-    io_utils.save_video(frames, args.fps, path)
+    path = io_utils.save_video(frames, args.fps, path)
     log.info(f"Saved video to {path}")
     return path
 

@@ -136,7 +136,7 @@ def demo(args) -> str:
     save_path = os.path.join(
         args.video_save_folder, f"{args.video_save_name}.mp4"
     )
-    io_utils.save_video(final, args.fps, save_path)
+    save_path = io_utils.save_video(final, args.fps, save_path)
     log.info(f"Saved video to {save_path}")
     return save_path
 

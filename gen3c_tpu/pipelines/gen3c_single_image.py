@@ -322,7 +322,7 @@ def _generate_one(args, preset, pipeline, image_path, prompt, save_name) -> str:
         final_video = np.concatenate([buf, final_video], axis=2)
 
     save_path = os.path.join(args.video_save_folder, f"{save_name}.mp4")
-    io_utils.save_video(final_video, args.fps, save_path)
+    save_path = io_utils.save_video(final_video, args.fps, save_path)
     log.info(f"Saved video to {save_path}")
     return save_path
 

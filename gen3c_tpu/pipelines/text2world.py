@@ -262,7 +262,7 @@ def demo(args) -> str:
         step_cache_threshold=args.step_cache_threshold,
     )
     path = os.path.join(args.video_save_folder, f"{args.video_save_name}.mp4")
-    io_utils.save_video(video, args.fps, path)
+    path = io_utils.save_video(video, args.fps, path)
     log.info(f"Saved video to {path}")
     return path
 

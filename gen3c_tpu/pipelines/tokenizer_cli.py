@@ -99,8 +99,8 @@ def main(argv=None) -> None:
     recon = tok.decode(latent)
     frames = np.asarray(recon[0]).transpose(1, 2, 3, 0)
     frames = ((frames + 1) / 2 * 255).clip(0, 255).astype(np.uint8)
-    io_utils.save_video(frames, int(fps), args.output)
-    log.info(f"saved reconstruction to {args.output}")
+    out_path = io_utils.save_video(frames, int(fps), args.output)
+    log.info(f"saved reconstruction to {out_path}")
 
     if args.mode == "roundtrip":
         orig = ((np.asarray(video[0]).transpose(1, 2, 3, 0) + 1) / 2 * 255

@@ -125,7 +125,7 @@ def demo(args) -> str:
     video = np.asarray(video[0]).transpose(1, 2, 3, 0)
     video = ((video + 1) / 2 * 255).clip(0, 255).astype(np.uint8)
     path = os.path.join(args.video_save_folder, f"{args.video_save_name}.mp4")
-    io_utils.save_video(video, args.fps, path)
+    path = io_utils.save_video(video, args.fps, path)
     log.info(f"Saved interpolated video to {path}")
     return path
 

@@ -84,7 +84,10 @@ def test_tokenizer_cli_roundtrip(tmp_path, capsys):
             "--chunk_duration", "9",
         ]
     )
-    assert recon.exists() or os.path.isdir(str(tmp_path / "recon"))
+    # save_video may write recon.avi (real-video MJPEG fallback) or a
+    # PNG frame dir depending on available encoders
+    assert (recon.exists() or (tmp_path / "recon.avi").exists()
+            or os.path.isdir(str(tmp_path / "recon")))
 
 
 def test_multiview_t2w_cli(tmp_path):
