@@ -73,6 +73,17 @@ def stub_cuda_stack():
 
     te_pt.RMSNorm = _RMSNorm
     te_pt.attention = te_attn
+
+    # peft probes te.pytorch.{LayerNormLinear, LayerNormMLP, Linear} via
+    # isinstance() when the TE import "succeeds" (it does, via this
+    # stub); give it real-but-never-matching classes so LoRA wrapping of
+    # plain torch models keeps working after stub_cuda_stack ran
+    class _NeverUsed(torch.nn.Module):
+        pass
+
+    te_pt.LayerNormLinear = _NeverUsed
+    te_pt.LayerNormMLP = type("_NeverUsedMLP", (_NeverUsed,), {})
+    te_pt.Linear = type("_NeverUsedLinear", (_NeverUsed,), {})
     te.pytorch = te_pt
     te_attn.DotProductAttention = _DotProductAttention
     te_attn.apply_rotary_pos_emb = _apply_rotary_pos_emb
