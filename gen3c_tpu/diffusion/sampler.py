@@ -61,6 +61,7 @@ def _net_inputs(x_scaled: Array, condition: VideoExtendCondition) -> Array:
         "net_in_dtype",
         "drift_axis",
         "cfg_sequential",
+        "solver",
     ),
 )
 def generate_samples(
@@ -85,8 +86,17 @@ def generate_samples(
     net_in_dtype=None,
     drift_axis: Optional[str] = None,
     cfg_sequential: bool = False,
+    solver: str = "euler",
 ) -> Array:
     """Run the full denoising loop; returns the final latent (B,C,T,H,W).
+
+    solver: integration rule for the denoise trajectory at EQUAL network
+    cost (one CFG forward per step): "euler" (default, reference v2w
+    loop), "dpm2m" (DPM-Solver++(2M) x0-multistep), or "res2ab" (the
+    reference Sampler's exponential-integrator AB2,
+    functional/multi_step.py "2ab"). The conditioned-region replacement
+    runs per step in x0 space exactly as in the euler loop. Multistep
+    solvers are not supported together with step caching.
 
     net_fn(net_params, x_in, c_noise_t, crossattn_emb) -> (B, C, T, H, W)
     raw DiT output; x_in already carries the concatenated condition
@@ -213,6 +223,59 @@ def generate_samples(
         sigma, indicator, new_xt, x_in, t_in = _step_inputs(i, xt)
         net_out = _net_call(x_in, t_in).astype(jnp.float32)
         return _step_outputs(i, sigma, indicator, new_xt, net_out)
+
+    if solver != "euler":
+        # higher-order integration at EQUAL network cost: carry the
+        # previous x0 (denoised) prediction and extrapolate
+        if solver not in ("dpm2m", "res2ab"):
+            raise ValueError(
+                f"unknown solver {solver!r}; expected euler/dpm2m/res2ab"
+            )
+        if (step_cache_interval > 1 or step_cache_threshold > 0
+                or net_fn_skip is not None):
+            raise ValueError(
+                "multistep solvers are not supported with step caching"
+            )
+        from gen3c_tpu.diffusion.solvers import res_x0_rk2_step
+
+        lam = jnp.log(jnp.maximum(sigmas, 1e-10))
+
+        def body_ms(i, carry):
+            xt, prev_x0 = carry
+            sigma, indicator, new_xt, x_in, t_in = _step_inputs(i, xt)
+            net_out = _net_call(x_in, t_in).astype(jnp.float32)
+            out_cond, out_uncond = net_out[:B], net_out[B:]
+            net_output = out_cond + guidance * (out_cond - out_uncond)
+            latent_unscaled = schedule.reverse_precondition_output(
+                gt, new_xt, sigma
+            )
+            raw = indicator * latent_unscaled + (1 - indicator) * net_output
+            x0 = schedule.precondition_outputs(new_xt, raw, sigma)
+            s1n = sigmas[i + 1]
+
+            def euler_step(_):
+                return schedule.step(raw, new_xt, sigma, s1n)
+
+            def multi(_):
+                prev_s = sigmas[jnp.maximum(i - 1, 0)]
+                if solver == "res2ab":
+                    # reference "2ab" (multi_step.py:28-40)
+                    return res_x0_rk2_step(
+                        new_xt, s1n, sigma, x0, prev_s, prev_x0
+                    )
+                # dpm2m: DPM-Solver++(2M) x0 extrapolation
+                h = lam[i + 1] - lam[i]
+                h_last = lam[i] - lam[jnp.maximum(i - 1, 0)]
+                r = h_last / h
+                x0_bar = (1 + 1 / (2 * r)) * x0 - (1 / (2 * r)) * prev_x0
+                return new_xt * (s1n / sigma) + (1 - s1n / sigma) * x0_bar
+
+            use_multi = jnp.logical_and(i > 0, s1n > 0)
+            x_next = jax.lax.cond(use_multi, multi, euler_step, None)
+            return (x_next, x0)
+
+        out, _ = jax.lax.fori_loop(0, num_steps, body_ms, (xt0, xt0))
+        return out
 
     if (step_cache_interval <= 1 and step_cache_threshold <= 0
             and net_fn_skip is None):
@@ -559,6 +622,13 @@ def generate_samples_auto(
                 "span caching is not available with the block-streamed "
                 "DiT"
             )
+        if kwargs.pop("solver", "euler") != "euler":
+            from gen3c_tpu.utils import log
+
+            log.warning(
+                "multistep solvers are not implemented in the streaming "
+                "sampler; running euler"
+            )
 
         def net_py(x_in, t_in, crossattn_both):
             return streaming_net(x_in, t_in, crossattn_both, fps=24.0)
@@ -593,6 +663,13 @@ def generate_samples_auto(
         raise ValueError(
             "span caching (net_fn_skip) is not available in the "
             "memory-constrained host-loop sampler"
+        )
+    if kwargs.pop("solver", "euler") != "euler":
+        from gen3c_tpu.utils import log
+
+        log.warning(
+            "multistep solvers are not implemented in the host-loop "
+            "sampler; running euler"
         )
     with staged(params, True, tag="dit") as dp:
         out = generate_samples_host_loop(

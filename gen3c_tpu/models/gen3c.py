@@ -174,6 +174,7 @@ class Gen3CModel:
         step_cache_interval: int = 1,
         step_cache_threshold: float = 0.0,
         cfg_sequential: Optional[bool] = None,
+        solver: str = "euler",
     ) -> Array:
         """Run the full GEN3C denoise; returns latent (B, 16, T, H', W').
 
@@ -252,6 +253,7 @@ class Gen3CModel:
                 step_cache_interval=step_cache_interval,
                 step_cache_threshold=step_cache_threshold,
                 net_in_dtype=self.dit_cfg.dtype,
+                solver=solver,
             )
 
         if (self.dit_cfg.cache_block_span is not None
@@ -308,4 +310,5 @@ class Gen3CModel:
             step_cache_threshold=step_cache_threshold,
             net_in_dtype=self.dit_cfg.dtype,
             cfg_sequential=bool(cfg_sequential),
+            solver=solver,
         )

@@ -112,6 +112,7 @@ def cp_generate_samples(
     step_cache_threshold: float = 0.0,
     net_in_dtype=None,
     sequence_parallel: bool = False,
+    solver: str = "euler",
 ) -> Array:
     """Context-parallel version of sampler.generate_samples.
 
@@ -190,6 +191,7 @@ def cp_generate_samples(
             step_cache_threshold=step_cache_threshold,
             net_in_dtype=net_in_dtype,
             drift_axis="cp",
+            solver=solver,
         )
 
     mapped = jax.shard_map(

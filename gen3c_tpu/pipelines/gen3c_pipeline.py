@@ -37,6 +37,7 @@ class Gen3cPipeline:
     num_steps: int = 35
     step_cache_interval: int = 1
     step_cache_threshold: float = 0.0
+    solver: str = "euler"
     height: int = 704
     width: int = 1280
     fps: int = 24
@@ -117,6 +118,7 @@ class Gen3cPipeline:
             num_steps=self.num_steps,
             step_cache_interval=self.step_cache_interval,
             step_cache_threshold=self.step_cache_threshold,
+            solver=self.solver,
             seed=self.seed if seed is None else seed,
             neg_t5_embeddings=neg_emb,
         )

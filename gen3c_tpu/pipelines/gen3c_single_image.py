@@ -46,6 +46,11 @@ def create_parser() -> argparse.ArgumentParser:
     p.add_argument("--video_save_folder", type=str, default="outputs/")
     p.add_argument("--guidance", type=float, default=1.0)
     p.add_argument("--num_steps", type=int, default=35)
+    p.add_argument("--solver", default="euler",
+                   choices=("euler", "dpm2m", "res2ab"),
+                   help="denoise integration rule at equal network cost "
+                        "(multistep solvers improve accuracy per step; "
+                        "reference res_sampler '2ab' family)")
     p.add_argument("--step_cache_interval", type=int, default=1,
                    help=">1: training-free DiT output caching across "
                         "denoise steps (Delta-DiT/SmoothCache family) — "
@@ -189,6 +194,7 @@ def demo(args) -> str:
         num_steps=args.num_steps,
         step_cache_interval=args.step_cache_interval,
         step_cache_threshold=args.step_cache_threshold,
+        solver=args.solver,
         height=preset.height,
         width=preset.width,
         fps=args.fps,

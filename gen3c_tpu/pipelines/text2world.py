@@ -89,6 +89,7 @@ def generate_world(
     num_condition_t: int = 0,
     step_cache_interval: int = 1,
     step_cache_threshold: float = 0.0,
+    solver: str = "euler",
 ) -> np.ndarray:
     """Run the t2w/v2w denoise + decode; returns (T, H, W, 3) uint8."""
     state_shape = preset.state_shape
@@ -139,6 +140,7 @@ def generate_world(
         num_steps=num_steps,
         guidance=guidance,
         step_cache_interval=step_cache_interval,
+        solver=solver,
     )
     from gen3c_tpu.diffusion.sampler import generate_samples_auto
 
@@ -166,6 +168,9 @@ def create_parser() -> argparse.ArgumentParser:
     p.add_argument("--negative_prompt", type=str, default="")
     p.add_argument("--input_image_path", type=str, default=None)
     p.add_argument("--num_input_frames", type=int, default=1)
+    p.add_argument("--solver", default="euler",
+                   choices=("euler", "dpm2m", "res2ab"),
+                   help="denoise integration rule at equal network cost")
     p.add_argument("--step_cache_interval", type=int, default=1,
                    help=">1: training-free DiT output caching "
                         "(Delta-DiT/SmoothCache family)")
@@ -260,6 +265,7 @@ def demo(args) -> str:
         num_condition_t=num_condition_t,
         step_cache_interval=args.step_cache_interval,
         step_cache_threshold=args.step_cache_threshold,
+        solver=args.solver,
     )
     path = os.path.join(args.video_save_folder, f"{args.video_save_name}.mp4")
     path = io_utils.save_video(video, args.fps, path)
