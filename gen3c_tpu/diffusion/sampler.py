@@ -423,6 +423,7 @@ def generate_samples(
         "net_in_dtype",
         "refresh",
         "cfg_sequential",
+        "solver",
     ),
 )
 def _host_loop_step(
@@ -430,6 +431,8 @@ def _host_loop_step(
     net_params,
     xt: Array,
     cached_out: Array,
+    prev_x0: Array,  # previous denoised prediction (multistep carry)
+    prev_sigma: Array,  # () f32; 0.0 on the first step (disables multi)
     sigma: Array,  # () f32, traced: one compile covers all steps
     sigma_next: Array,
     c_noise: Array,
@@ -447,9 +450,14 @@ def _host_loop_step(
     net_in_dtype,
     refresh: bool,
     cfg_sequential: bool,
+    solver: str = "euler",
 ):
     """One denoise step for the host-driven loop (same math as the
-    fori_loop body in generate_samples). Returns (xt_next, net_out)."""
+    fori_loop body in generate_samples). Returns
+    (xt_next, net_out, x0). Multistep solvers stay ONE compiled
+    program: the first/last-step fallbacks are a runtime lax.cond on
+    (prev_sigma > 0, sigma_next > 0), not static branches — the 7B step
+    compile is minutes, so variants matter."""
     B = xt.shape[0]
     indicator = jnp.where(aug >= sigma, jnp.zeros_like(indicator_base),
                           indicator_base)
@@ -492,7 +500,31 @@ def _host_loop_step(
     net_output = out_cond + guidance * (out_cond - out_uncond)
     latent_unscaled = schedule.reverse_precondition_output(gt, new_xt, sigma)
     new_output = indicator * latent_unscaled + (1 - indicator) * net_output
-    return schedule.step(new_output, new_xt, sigma, sigma_next), net_out
+    x0 = schedule.precondition_outputs(new_xt, new_output, sigma)
+    if solver == "euler":
+        return (schedule.step(new_output, new_xt, sigma, sigma_next),
+                net_out, x0)
+
+    from gen3c_tpu.diffusion.solvers import res_x0_rk2_step
+
+    def euler_step(_):
+        return schedule.step(new_output, new_xt, sigma, sigma_next)
+
+    def multi(_):
+        if solver == "res2ab":
+            return res_x0_rk2_step(
+                new_xt, sigma_next, sigma, x0, prev_sigma, prev_x0
+            )
+        # dpm2m
+        h = jnp.log(sigma_next) - jnp.log(sigma)
+        h_last = jnp.log(sigma) - jnp.log(prev_sigma)
+        r = h_last / h
+        x0_bar = (1 + 1 / (2 * r)) * x0 - (1 / (2 * r)) * prev_x0
+        return (new_xt * (sigma_next / sigma)
+                + (1 - sigma_next / sigma) * x0_bar)
+
+    use_multi = jnp.logical_and(prev_sigma > 0, sigma_next > 0)
+    return jax.lax.cond(use_multi, multi, euler_step, None), net_out, x0
 
 
 def generate_samples_host_loop(
@@ -514,6 +546,7 @@ def generate_samples_host_loop(
     step_cache_interval: int = 1,
     cfg_sequential: bool = False,
     net_in_dtype=None,
+    solver: str = "euler",
 ) -> Array:
     """Memory-lean sampler: a HOST python loop over a jitted single-step
     program, instead of one jit holding the whole `num_steps` fori_loop.
@@ -539,9 +572,15 @@ def generate_samples_host_loop(
         gt + augment_noise.astype(jnp.float32) * aug
     ) * schedule.c_in(aug)
 
+    if solver != "euler" and step_cache_interval > 1:
+        raise ValueError(
+            "multistep solvers are not supported with step caching"
+        )
     B = init_noise.shape[0]
     C_out = gt.shape[1]
     net_out = jnp.zeros((2 * B, C_out) + gt.shape[2:], jnp.float32)
+    prev_x0 = jnp.zeros_like(xt)
+    prev_sigma = 0.0  # sentinel: first step always takes the euler path
     warmup, tail = 2, 2
     for i in range(num_steps):
         refresh = (
@@ -550,11 +589,13 @@ def generate_samples_host_loop(
             or i >= num_steps - tail
             or (i - warmup) % step_cache_interval == 0
         )
-        xt, net_out = _host_loop_step(
+        xt, net_out, prev_x0 = _host_loop_step(
             net_fn,
             net_params,
             xt,
             net_out,
+            prev_x0,
+            jnp.float32(prev_sigma),
             jnp.float32(sig[i]),
             jnp.float32(sig[i + 1]),
             jnp.float32(c_noises[i]),
@@ -574,7 +615,9 @@ def generate_samples_host_loop(
             ),
             refresh=bool(refresh),
             cfg_sequential=cfg_sequential,
+            solver=solver,
         )
+        prev_sigma = float(sig[i])
     return xt
 
 
@@ -663,13 +706,6 @@ def generate_samples_auto(
         raise ValueError(
             "span caching (net_fn_skip) is not available in the "
             "memory-constrained host-loop sampler"
-        )
-    if kwargs.pop("solver", "euler") != "euler":
-        from gen3c_tpu.utils import log
-
-        log.warning(
-            "multistep solvers are not implemented in the host-loop "
-            "sampler; running euler"
         )
     with staged(params, True, tag="dit") as dp:
         out = generate_samples_host_loop(

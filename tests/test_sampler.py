@@ -546,3 +546,25 @@ def test_multistep_solver_rejects_step_caching():
     with pytest.raises(ValueError, match="not supported with step"):
         generate_samples(net_fn=net_fn, solver="res2ab",
                          step_cache_interval=3, **kwargs)
+
+
+def test_host_loop_multistep_matches_fori_loop():
+    """The host-loop sampler's multistep solvers match the one-jit
+    generate_samples(solver=...) trajectories exactly."""
+    from gen3c_tpu.diffusion.sampler import generate_samples_host_loop
+
+    kwargs, _ = _solver_kwargs()
+
+    def net_fn(params, x_in, t, crossattn):
+        return jnp.tanh(x_in[:, :4])
+
+    for solver in ("res2ab", "dpm2m"):
+        ref = np.asarray(
+            generate_samples(net_fn=net_fn, solver=solver, **kwargs)
+        )
+        got = np.asarray(
+            generate_samples_host_loop(net_fn=net_fn, solver=solver,
+                                       **kwargs)
+        )
+        np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-6,
+                                   err_msg=solver)
