@@ -155,8 +155,24 @@ class LlamaGuard3(ContentSafetyGuardrail):
         from transformers import AutoModelForCausalLM
 
         model = AutoModelForCausalLM.from_pretrained(path)
-        self.params = convert_hf_llama(model.state_dict(), self.cfg)
+        if os.environ.get("GEN3C_QUANTIZE_LLM", "0") == "1":
+            # int8 weight-only: 8B fits a 16 GB chip at ~8.5 GB and
+            # decode reads half the weight bytes. Convert on the CPU
+            # device first — the unquantized bf16 8B alone would OOM
+            # HBM — then transfer quantized leaves.
+            import jax
+
+            from gen3c_tpu.models.quantize import (
+                quantize_ar_params_transfer,
+            )
+
+            with jax.default_device(jax.local_devices(backend="cpu")[0]):
+                cpu_params = convert_hf_llama(model.state_dict(), self.cfg)
+            self.params = quantize_ar_params_transfer(cpu_params)
+        else:
+            self.params = convert_hf_llama(model.state_dict(), self.cfg)
         del model
+
 
     def is_safe(self, prompt: str) -> Tuple[bool, str]:
         import jax
@@ -297,18 +313,35 @@ class Aegis(ContentSafetyGuardrail):
             dtype=jnp.bfloat16,
         )
         model = AutoModelForCausalLM.from_pretrained(base_dir)
-        self.params = convert_hf_llama(model.state_dict(), self.cfg)
-        del model
-        adapter_state = load_peft_adapter_state(adapter_dir)
-        with open(os.path.join(adapter_dir, "adapter_config.json")) as f:
-            acfg = json.load(f)
-        n = merge_peft_lora_into_llama(
-            self.params, adapter_state, self.cfg,
-            alpha=acfg.get("lora_alpha", 32), r=acfg.get("r", 16),
+        quantize = os.environ.get("GEN3C_QUANTIZE_LLM", "0") == "1"
+        import contextlib
+
+        import jax
+
+        cpu_ctx = (
+            jax.default_device(jax.local_devices(backend="cpu")[0])
+            if quantize else contextlib.nullcontext()
         )
+        with cpu_ctx:
+            self.params = convert_hf_llama(model.state_dict(), self.cfg)
+            del model
+            adapter_state = load_peft_adapter_state(adapter_dir)
+            with open(os.path.join(adapter_dir,
+                                   "adapter_config.json")) as f:
+                acfg = json.load(f)
+            n = merge_peft_lora_into_llama(
+                self.params, adapter_state, self.cfg,
+                alpha=acfg.get("lora_alpha", 32), r=acfg.get("r", 16),
+            )
         if n == 0:
             raise ValueError(f"no LoRA matrices merged from {adapter_dir}")
         log.info(f"Aegis: merged {n} LoRA matrices into the base model")
+        if quantize:
+            from gen3c_tpu.models.quantize import (
+                quantize_ar_params_transfer,
+            )
+
+            self.params = quantize_ar_params_transfer(self.params)
 
     def get_moderation_prompt(self, user_prompt: str) -> str:
         cats = "\n".join(

@@ -125,7 +125,22 @@ class JaxPromptUpsampler(PromptUpsampler):
             dtype=jnp.bfloat16,
         )
         model = AutoModelForCausalLM.from_pretrained(model_path)
-        self.params = convert_hf_llama(model.state_dict(), self.cfg)
+        import os as _os
+
+        if _os.environ.get("GEN3C_QUANTIZE_LLM", "0") == "1":
+            import jax
+
+            from gen3c_tpu.models.quantize import (
+                quantize_ar_params_transfer,
+            )
+
+            with jax.default_device(
+                jax.local_devices(backend="cpu")[0]
+            ):
+                cpu_params = convert_hf_llama(model.state_dict(), self.cfg)
+            self.params = quantize_ar_params_transfer(cpu_params)
+        else:
+            self.params = convert_hf_llama(model.state_dict(), self.cfg)
         del model
         self.max_new_tokens = max_new_tokens
 
@@ -269,9 +284,12 @@ class VLMPromptUpsampler(PromptUpsampler):
             img_emb = vision_encode(
                 self.vision_params, self.vision_cfg, jnp.asarray(frame)
             )  # (Lv, D_text)
-            tok_emb = jnp.asarray(self.text_params["tok_embeddings"])[
-                jnp.asarray(ids, jnp.int32)
-            ]  # (L, D_text)
+            from gen3c_tpu.models.ar_transformer import _embed
+
+            tok_emb = _embed(
+                self.text_params["tok_embeddings"],
+                jnp.asarray(ids, jnp.int32), jnp.float32,
+            )  # (L, D_text) — handles int8-quantized tables too
             where = np.nonzero(ids == self.image_token_id)[0]
             pos = int(where[0]) if where.size else 0
             spliced = jnp.concatenate(
@@ -345,7 +363,22 @@ class VLMPromptUpsampler(PromptUpsampler):
             use_qk_normalization=False,
             dtype=jnp.bfloat16,
         )
-        text_params = convert_hf_llama(text_sd, text_cfg)
+        import os as _os
+
+        if _os.environ.get("GEN3C_QUANTIZE_LLM", "0") == "1":
+            import jax
+
+            from gen3c_tpu.models.quantize import (
+                quantize_ar_params_transfer,
+            )
+
+            with jax.default_device(
+                jax.local_devices(backend="cpu")[0]
+            ):
+                cpu_params = convert_hf_llama(text_sd, text_cfg)
+            text_params = quantize_ar_params_transfer(cpu_params)
+        else:
+            text_params = convert_hf_llama(text_sd, text_cfg)
         vision_cfg = VisionConfig(
             hidden_size=vis_hf.hidden_size,
             num_layers=vis_hf.num_hidden_layers,

@@ -90,6 +90,28 @@ def _kv_quantize(x: Array) -> Tuple[Array, Array]:
     return jnp.clip(q, -127, 127).astype(jnp.int8), scale
 
 
+def _mm(x: Array, w, dtype) -> Array:
+    """x @ W where W is a raw array or a models.quantize entry
+    ({"q"|"q8", "scale"}): int8 weight-only dequantizes into the matmul
+    reads (halved weight bandwidth — the decode bottleneck at small
+    batch); "q8" runs the W8A8 int8 MXU path."""
+    if isinstance(w, dict):
+        from gen3c_tpu.models import quantize as qz
+
+        if "q8" in w:
+            return qz.w8a8_matmul(x, w, x.dtype)
+        return x @ qz.weight(w, dtype)
+    return x @ w.astype(dtype)
+
+
+def _embed(table, tokens: Array, dtype) -> Array:
+    """Token-embedding lookup for raw or int8-quantized tables."""
+    if isinstance(table, dict):
+        q = table.get("q", table.get("q8"))
+        return q[tokens].astype(dtype) * table["scale"].astype(dtype)
+    return table.astype(dtype)[tokens]
+
+
 def init_ar_params(key: Array, cfg: ARConfig, dtype=jnp.float32) -> Params:
     keys = iter(jax.random.split(key, 8 + cfg.n_layers * 12))
 
@@ -308,7 +330,7 @@ def ar_forward(
         B, L = h.shape[:2]
     else:
         B, L = tokens.shape
-        h = params["tok_embeddings"].astype(dtype)[tokens]
+        h = _embed(params["tok_embeddings"], tokens, dtype)
     cos_full, sin_full = rope
     pos0 = cache.pos if cache is not None else jnp.asarray(0, jnp.int32)
     if pad_lens is None:
@@ -327,9 +349,9 @@ def ar_forward(
     hd = cfg.head_dim
     for li, lp in enumerate(params["layers"]):
         x = _rms(h, lp["attention_norm"]["scale"], cfg.norm_eps)
-        q = (x @ lp["wq"].astype(dtype)).reshape(B, L, cfg.n_heads, hd)
-        k = (x @ lp["wk"].astype(dtype)).reshape(B, L, cfg.n_kv_heads, hd)
-        v = (x @ lp["wv"].astype(dtype)).reshape(B, L, cfg.n_kv_heads, hd)
+        q = _mm(x, lp["wq"], dtype).reshape(B, L, cfg.n_heads, hd)
+        k = _mm(x, lp["wk"], dtype).reshape(B, L, cfg.n_kv_heads, hd)
+        v = _mm(x, lp["wv"], dtype).reshape(B, L, cfg.n_kv_heads, hd)
         if cfg.use_qk_normalization:
             q = _rms(q, lp["q_norm"]["scale"], cfg.norm_eps)
             k = _rms(k, lp["k_norm"]["scale"], cfg.norm_eps)
@@ -381,27 +403,27 @@ def ar_forward(
         else:
             attn = _gqa_attention(q, k, v, causal_offset=jnp.asarray(0),
                                   kv_valid_start=pad_lens)
-        h = h + attn.reshape(B, L, -1) @ lp["wo"].astype(dtype)
+        h = h + _mm(attn.reshape(B, L, -1), lp["wo"], dtype)
 
         if cfg.context_dim and context is not None:
             x = _rms(h, lp["cross_norm"]["scale"], cfg.norm_eps)
-            cq = (x @ lp["cwq"].astype(dtype)).reshape(B, L, cfg.n_heads, hd)
-            ckx = (context.astype(dtype) @ lp["cwk"].astype(dtype)).reshape(
+            cq = _mm(x, lp["cwq"], dtype).reshape(B, L, cfg.n_heads, hd)
+            ckx = _mm(context.astype(dtype), lp["cwk"], dtype).reshape(
                 B, -1, cfg.n_kv_heads, hd
             )
-            cvx = (context.astype(dtype) @ lp["cwv"].astype(dtype)).reshape(
+            cvx = _mm(context.astype(dtype), lp["cwv"], dtype).reshape(
                 B, -1, cfg.n_kv_heads, hd
             )
             cattn = _gqa_attention(cq, ckx, cvx, causal_offset=None)
-            h = h + cattn.reshape(B, L, -1) @ lp["cwo"].astype(dtype)
+            h = h + _mm(cattn.reshape(B, L, -1), lp["cwo"], dtype)
 
         x = _rms(h, lp["ffn_norm"]["scale"], cfg.norm_eps)
-        gate = jax.nn.silu(x @ lp["w1"].astype(dtype))
-        up = x @ lp["w3"].astype(dtype)
-        h = h + (gate * up) @ lp["w2"].astype(dtype)
+        gate = jax.nn.silu(_mm(x, lp["w1"], dtype))
+        up = _mm(x, lp["w3"], dtype)
+        h = h + _mm(gate * up, lp["w2"], dtype)
 
     h = _rms(h, params["norm"]["scale"], cfg.norm_eps)
-    logits = (h @ params["output"].astype(dtype)).astype(jnp.float32)
+    logits = _mm(h, params["output"], dtype).astype(jnp.float32)
     out_cache = None
     if cache is not None:
         out_cache = KVCache(

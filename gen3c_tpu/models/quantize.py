@@ -69,6 +69,86 @@ def w8a8_matmul(x: Array, entry: Dict[str, Array], out_dtype) -> Array:
     )
 
 
+_AR_QUANT_KEYS = ("wq", "wk", "wv", "wo", "w1", "w2", "w3",
+                  "cwq", "cwk", "cwv", "cwo", "output", "tok_embeddings")
+
+
+def quantize_ar_params(params: Any, act_quant: bool = False) -> Any:
+    """Int8 weight-only (or W8A8) quantization of an ar_transformer
+    param tree: the llama projections, the LM head and the token
+    embedding table (per-channel scales; embeddings dequantize on
+    lookup). Halves the weight footprint AND the per-token weight reads
+    — decode at small batch is weight-read-bound, so this is both a
+    capacity and a speed feature (the 8B guardrail/upsampler LLMs fit a
+    16 GB chip at 8.5 GB). Norm scales stay fp32.
+    """
+
+    def visit(node):
+        if isinstance(node, dict):
+            out = {}
+            for k, v in node.items():
+                if (
+                    k in _AR_QUANT_KEYS
+                    and hasattr(v, "ndim")
+                    and v.ndim == 2
+                    and v.size >= _MIN_SIZE
+                ):
+                    # embeddings dequantize row-wise on lookup: scale
+                    # per hidden channel works for both orientations
+                    out[k] = quantize_linear(
+                        v, act_quant=act_quant and k != "tok_embeddings"
+                    )
+                else:
+                    out[k] = visit(v)
+            return out
+        if isinstance(node, list):
+            return [visit(v) for v in node]
+        return node
+
+    return visit(params)
+
+
+def quantize_ar_params_transfer(params: Any, act_quant: bool = False,
+                                device=None) -> Any:
+    """Quantize a HOST/CPU-resident AR tree and place the results on
+    `device` (default: the first accelerator). For checkpoints too large
+    to materialize unquantized in HBM (an 8B bf16 is 16 GB — the whole
+    chip): convert under jax.default_device(cpu) first, then this
+    transfers int8 codes + scales leaf by leaf (peak HBM = quantized
+    size + one leaf)."""
+    dev = device or jax.devices()[0]
+
+    def put(x):
+        return jax.device_put(x, dev)
+
+    def visit(node):
+        if isinstance(node, dict):
+            out = {}
+            for k, v in node.items():
+                if (
+                    k in _AR_QUANT_KEYS
+                    and hasattr(v, "ndim")
+                    and v.ndim == 2
+                    and v.size >= _MIN_SIZE
+                ):
+                    e = quantize_linear(
+                        v, act_quant=act_quant and k != "tok_embeddings"
+                    )
+                    out[k] = {kk: put(vv) for kk, vv in e.items()}
+                    if hasattr(v, "delete"):
+                        v.delete()
+                else:
+                    out[k] = visit(v)
+            return out
+        if isinstance(node, list):
+            return [visit(v) for v in node]
+        if hasattr(node, "ndim"):
+            return put(node)
+        return node
+
+    return visit(params)
+
+
 def quantize_dit_params(params: Any) -> Any:
     """Quantize every large {"w": (in, out)} entry in a DiT param tree."""
 

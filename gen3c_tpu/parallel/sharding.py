@@ -109,6 +109,24 @@ def ar_param_pspecs(
         keys = [str(getattr(k, "key", getattr(k, "idx", k))) for k in path]
         name = "/".join(keys)
         last = keys[-1] if keys else ""
+        parent = keys[-2] if len(keys) >= 2 else ""
+        if last in ("q", "q8", "scale") and parent:
+            # int8-quantized entries ({"q"|"q8", "scale"},
+            # models/quantize.quantize_ar_params): codes shard like the
+            # weight they replace; per-output-channel scales follow the
+            # output dim
+            col = parent in ("wq", "wk", "wv", "w1", "w3",
+                             "cwq", "cwk", "cwv", "output")
+            row = parent in ("wo", "w2", "cwo")
+            if last == "scale":
+                return P(None, tp_axis) if col else P()
+            if col:
+                return P(fsdp_axis, tp_axis)
+            if row:
+                return P(tp_axis, fsdp_axis)
+            if parent == "tok_embeddings":
+                return P(tp_axis, None)
+            return P()
         if last in ("wq", "wk", "wv", "w1", "w3", "cwq", "cwk", "cwv"):
             return P(fsdp_axis, tp_axis)
         if last in ("wo", "w2", "cwo"):

@@ -109,3 +109,204 @@ def test_w8a8_dit_output_close():
     out = np.asarray(dit_forward(qparams, cfg, x, t, ctx))
     rel = np.abs(out - ref).mean() / (np.abs(ref).mean() + 1e-8)
     assert rel < 0.08, rel
+
+
+def test_quantize_ar_params_generate_close_and_runs():
+    """Int8 weight-only AR quantization: quantized params generate
+    deterministically, logits stay close to fp32, and the KV-cache
+    decode path accepts the quantized tree."""
+    import jax
+
+    from gen3c_tpu.models.ar_transformer import (
+        AR_TINY,
+        ar_forward,
+        generate,
+        init_ar_params,
+        rope_tables,
+    )
+    from gen3c_tpu.models.quantize import quantize_ar_params
+
+    params = init_ar_params(jax.random.PRNGKey(0), AR_TINY, jnp.float32)
+    # AR_TINY weights are below the _MIN_SIZE gate; force-quantize by
+    # patching the gate through a large-vocab-ish check: quantize
+    # manually at small scale instead
+    import gen3c_tpu.models.quantize as qz
+
+    orig = qz._MIN_SIZE
+    qz._MIN_SIZE = 1
+    try:
+        qparams = quantize_ar_params(params)
+    finally:
+        qz._MIN_SIZE = orig
+
+    # every projection + head + embedding got quantized
+    assert "q" in qparams["layers"][0]["wq"]
+    assert "q" in qparams["output"] and "q" in qparams["tok_embeddings"]
+    assert "scale" in qparams["norm"] and hasattr(
+        qparams["norm"]["scale"], "ndim"
+    )  # norms untouched
+
+    ids = jnp.asarray(
+        np.random.RandomState(0).randint(0, 512, (1, 12)), jnp.int32
+    )
+    rope = rope_tables(AR_TINY)
+    ref_logits, _ = ar_forward(params, AR_TINY, ids, rope)
+    q_logits, _ = ar_forward(qparams, AR_TINY, ids, rope)
+    # int8 weight-only: ~1% relative error per matmul
+    rel = np.abs(np.asarray(q_logits) - np.asarray(ref_logits)).mean() / (
+        np.abs(np.asarray(ref_logits)).mean() + 1e-8
+    )
+    assert rel < 0.15, rel
+
+    out1 = np.asarray(generate(qparams, AR_TINY, ids, jax.random.PRNGKey(1),
+                               max_new_tokens=6, temperature=0.0))
+    out2 = np.asarray(generate(qparams, AR_TINY, ids, jax.random.PRNGKey(1),
+                               max_new_tokens=6, temperature=0.0))
+    np.testing.assert_array_equal(out1, out2)
+
+
+def test_quantize_ar_w8a8_runs():
+    import jax
+
+    from gen3c_tpu.models.ar_transformer import (
+        AR_TINY,
+        generate,
+        init_ar_params,
+    )
+    import gen3c_tpu.models.quantize as qz
+
+    params = init_ar_params(jax.random.PRNGKey(0), AR_TINY, jnp.float32)
+    orig = qz._MIN_SIZE
+    qz._MIN_SIZE = 1
+    try:
+        qparams = qz.quantize_ar_params(params, act_quant=True)
+    finally:
+        qz._MIN_SIZE = orig
+    assert "q8" in qparams["layers"][0]["w1"]
+    assert "q" in qparams["tok_embeddings"]  # embeddings never W8A8
+    ids = jnp.asarray(
+        np.random.RandomState(1).randint(0, 512, (1, 8)), jnp.int32
+    )
+    out = np.asarray(generate(qparams, AR_TINY, ids, jax.random.PRNGKey(2),
+                              max_new_tokens=4, temperature=0.0))
+    assert out.shape == (1, 12)
+
+
+def test_quantized_ar_tp_specs_and_forward_parity():
+    """Quantized AR trees keep Megatron TP shardings (codes shard like
+    the weights they replace; scales follow the output dim), and the
+    TP-sharded quantized forward matches single-device."""
+    import jax
+    from jax.sharding import PartitionSpec as P
+
+    from gen3c_tpu.models.ar_transformer import (
+        AR_TINY,
+        ar_forward,
+        init_ar_params,
+        rope_tables,
+    )
+    from gen3c_tpu.parallel.sharding import ar_param_pspecs, shard_ar_params
+    from gen3c_tpu.parallel.mesh import make_mesh
+    import gen3c_tpu.models.quantize as qz
+
+    params = init_ar_params(jax.random.PRNGKey(0), AR_TINY, jnp.float32)
+    orig = qz._MIN_SIZE
+    qz._MIN_SIZE = 1
+    try:
+        qparams = qz.quantize_ar_params(params)
+    finally:
+        qz._MIN_SIZE = orig
+    specs = ar_param_pspecs(qparams)
+    l0 = specs["layers"][0]
+    assert l0["wq"]["q"] == P(None, "tp")
+    assert l0["wq"]["scale"] == P(None, "tp")
+    assert l0["wo"]["q"] == P("tp", None)
+    assert l0["wo"]["scale"] == P()
+    assert specs["tok_embeddings"]["q"] == P("tp", None)
+    assert specs["output"]["q"] == P(None, "tp")
+
+    mesh = make_mesh(dp=1, cp=1, tp=2, devices=jax.devices()[:2])
+    sharded = shard_ar_params(mesh, qparams)
+    ids = jnp.asarray(
+        np.random.RandomState(2).randint(0, 512, (1, 10)), jnp.int32
+    )
+    rope = rope_tables(AR_TINY)
+    ref, _ = ar_forward(qparams, AR_TINY, ids, rope)
+    got, _ = ar_forward(sharded, AR_TINY, ids, rope)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_quantize_ar_params_transfer_matches_direct(monkeypatch):
+    """CPU-convert + transfer-quantize == direct quantize numerically,
+    with all leaves landed on the target device."""
+    import jax
+
+    from gen3c_tpu.models.ar_transformer import AR_TINY, init_ar_params
+    import gen3c_tpu.models.quantize as qz
+
+    monkeypatch.setattr(qz, "_MIN_SIZE", 1)
+    cpu = jax.local_devices(backend="cpu")[0]
+    with jax.default_device(cpu):
+        params = init_ar_params(jax.random.PRNGKey(0), AR_TINY, jnp.float32)
+    moved = qz.quantize_ar_params_transfer(params, device=jax.devices()[0])
+    direct = qz.quantize_ar_params(
+        init_ar_params(jax.random.PRNGKey(0), AR_TINY, jnp.float32)
+    )
+    for (pa, a), (pb, b) in zip(
+        jax.tree_util.tree_leaves_with_path(moved),
+        jax.tree_util.tree_leaves_with_path(direct),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
+                                      err_msg=str(pa))
+    dev = jax.devices()[0]
+    assert all(
+        next(iter(leaf.devices())) == dev
+        for leaf in jax.tree.leaves(moved)
+    )
+
+
+def test_guardrail_env_quantize_wiring(tmp_path, monkeypatch):
+    """GEN3C_QUANTIZE_LLM=1 loads LlamaGuard3 with an int8 tree and the
+    verdict path still runs."""
+    import torch
+    from tokenizers import Tokenizer
+    from tokenizers.models import WordLevel
+    from tokenizers.pre_tokenizers import Whitespace
+    from transformers import (
+        LlamaConfig,
+        LlamaForCausalLM,
+        PreTrainedTokenizerFast,
+    )
+
+    from gen3c_tpu.aux.guardrail import LlamaGuard3
+    import gen3c_tpu.models.quantize as qz
+
+    path = tmp_path / "meta-llama" / "Llama-Guard-3-8B"
+    path.mkdir(parents=True)
+    vocab = {w: i for i, w in enumerate(
+        ["<unk>", "hello", "world", "safe", "unsafe"]
+    )}
+    tok = Tokenizer(WordLevel(vocab, unk_token="<unk>"))
+    tok.pre_tokenizer = Whitespace()
+    fast = PreTrainedTokenizerFast(tokenizer_object=tok, unk_token="<unk>")
+    fast.chat_template = (
+        "{% for m in messages %}{{ m['content'] }}{% endfor %}"
+    )
+    fast.save_pretrained(path)
+    torch.manual_seed(0)
+    LlamaForCausalLM(
+        LlamaConfig(
+            vocab_size=len(vocab), hidden_size=32, intermediate_size=64,
+            num_hidden_layers=2, num_attention_heads=2,
+            num_key_value_heads=1, max_position_embeddings=64,
+            tie_word_embeddings=False,
+        )
+    ).save_pretrained(path)
+
+    monkeypatch.setenv("GEN3C_QUANTIZE_LLM", "1")
+    monkeypatch.setattr(qz, "_MIN_SIZE", 1)
+    guard = LlamaGuard3(str(tmp_path), max_seq_len=64)
+    assert "q" in guard.params["layers"][0]["wq"]
+    safe, _ = guard.is_safe("hello world")
+    assert isinstance(safe, bool)
