@@ -665,14 +665,6 @@ def generate_samples_auto(
                 "span caching is not available with the block-streamed "
                 "DiT"
             )
-        if kwargs.pop("solver", "euler") != "euler":
-            from gen3c_tpu.utils import log
-
-            log.warning(
-                "multistep solvers are not implemented in the streaming "
-                "sampler; running euler"
-            )
-
         def net_py(x_in, t_in, crossattn_both):
             return streaming_net(x_in, t_in, crossattn_both, fps=24.0)
 
@@ -756,7 +748,7 @@ def _stream_step_pre(
     return new_xt, indicator, x_in
 
 
-@partial(jax.jit, static_argnames=("guidance", "schedule"))
+@partial(jax.jit, static_argnames=("guidance", "schedule", "solver"))
 def _stream_step_post(
     net_out,
     new_xt,
@@ -764,17 +756,44 @@ def _stream_step_post(
     gt,
     sigma,
     sigma_next,
+    prev_x0,
+    prev_sigma,
     guidance: float,
     schedule: EDMEulerSchedule,
+    solver: str = "euler",
 ):
-    """CFG combine + conditioned-region replacement + Euler step."""
+    """CFG combine + conditioned-region replacement + solver step.
+    Returns (xt_next, x0). Multistep solvers use the same runtime
+    lax.cond trick as _host_loop_step (one compiled program)."""
     B = new_xt.shape[0]
     net_out = net_out.astype(jnp.float32)
     out_cond, out_uncond = net_out[:B], net_out[B:]
     net_output = out_cond + guidance * (out_cond - out_uncond)
     latent_unscaled = schedule.reverse_precondition_output(gt, new_xt, sigma)
     new_output = indicator * latent_unscaled + (1 - indicator) * net_output
-    return schedule.step(new_output, new_xt, sigma, sigma_next)
+    x0 = schedule.precondition_outputs(new_xt, new_output, sigma)
+    if solver == "euler":
+        return schedule.step(new_output, new_xt, sigma, sigma_next), x0
+
+    from gen3c_tpu.diffusion.solvers import res_x0_rk2_step
+
+    def euler_step(_):
+        return schedule.step(new_output, new_xt, sigma, sigma_next)
+
+    def multi(_):
+        if solver == "res2ab":
+            return res_x0_rk2_step(
+                new_xt, sigma_next, sigma, x0, prev_sigma, prev_x0
+            )
+        h = jnp.log(sigma_next) - jnp.log(sigma)
+        h_last = jnp.log(sigma) - jnp.log(prev_sigma)
+        r = h_last / h
+        x0_bar = (1 + 1 / (2 * r)) * x0 - (1 / (2 * r)) * prev_x0
+        return (new_xt * (sigma_next / sigma)
+                + (1 - sigma_next / sigma) * x0_bar)
+
+    use_multi = jnp.logical_and(prev_sigma > 0, sigma_next > 0)
+    return jax.lax.cond(use_multi, multi, euler_step, None), x0
 
 
 def generate_samples_streaming(
@@ -794,6 +813,7 @@ def generate_samples_streaming(
     schedule: EDMEulerSchedule = EDMEulerSchedule(),
     step_cache_interval: int = 1,
     net_in_dtype=None,
+    solver: str = "euler",
 ) -> Array:
     """Sampler for PYTHON-level networks (models/dit_streaming.py): the
     per-step Euler math runs in two small jits around a python net call
@@ -817,8 +837,14 @@ def generate_samples_streaming(
     in_dtype = jnp.float32 if net_in_dtype is None else net_in_dtype
     B = init_noise.shape[0]
 
+    if solver != "euler" and step_cache_interval > 1:
+        raise ValueError(
+            "multistep solvers are not supported with step caching"
+        )
     warmup, tail = 2, 2
     cached = None
+    prev_x0 = jnp.zeros_like(xt)
+    prev_sigma = 0.0
     for i in range(num_steps):
         sigma = jnp.float32(sig[i])
         new_xt, indicator, x_in = _stream_step_pre(
@@ -838,10 +864,12 @@ def generate_samples_streaming(
                 jnp.float32(c_noises[i])[None], (2 * B,)
             )
             cached = net_py(x_in, t_in, crossattn_both)
-        xt = _stream_step_post(
+        xt, prev_x0 = _stream_step_post(
             cached, new_xt, indicator, gt, sigma,
-            jnp.float32(sig[i + 1]), guidance=guidance, schedule=schedule,
+            jnp.float32(sig[i + 1]), prev_x0, jnp.float32(prev_sigma),
+            guidance=guidance, schedule=schedule, solver=solver,
         )
+        prev_sigma = float(sig[i])
         # throttle: force this step's chain to finish before dispatching
         # the next. Without it, all num_steps x num_blocks transfers and
         # block programs enqueue at once (the whole denoise "completes"

@@ -568,3 +568,28 @@ def test_host_loop_multistep_matches_fori_loop():
         )
         np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-6,
                                    err_msg=solver)
+
+
+def test_streaming_multistep_matches_fori_loop():
+    """generate_samples_streaming's multistep solvers match the one-jit
+    sampler (the python net stands in for the block-streamed DiT)."""
+    from gen3c_tpu.diffusion.sampler import generate_samples_streaming
+
+    kwargs, _ = _solver_kwargs()
+
+    def net_fn(params, x_in, t, crossattn):
+        return jnp.tanh(x_in[:, :4])
+
+    def net_py(x_in, t_in, crossattn_both):
+        return jnp.tanh(x_in[:, :4])
+
+    for solver in ("res2ab", "dpm2m"):
+        ref = np.asarray(
+            generate_samples(net_fn=net_fn, solver=solver, **kwargs)
+        )
+        skw = {k: v for k, v in kwargs.items() if k != "net_params"}
+        got = np.asarray(
+            generate_samples_streaming(net_py, solver=solver, **skw)
+        )
+        np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-6,
+                                   err_msg=solver)
