@@ -41,6 +41,12 @@ def create_parser() -> argparse.ArgumentParser:
     p.add_argument("--prompt", type=str, default="")
     p.add_argument("--guidance", type=float, default=7.0)
     p.add_argument("--num_steps", type=int, default=35)
+    p.add_argument("--solver", default="res2ab",
+                   choices=("euler", "dpm2m", "res2ab"),
+                   help="the reference interpolator samples with the "
+                        "res_sampler's '2ab' exponential-integrator "
+                        "multistep by default (res_sampler.py:127) — "
+                        "res2ab is its parity; euler/dpm2m for ablation")
     p.add_argument("--fps", type=int, default=24)
     p.add_argument("--seed", type=int, default=1)
     p.add_argument("--video_save_name", type=str, default="output")
@@ -120,6 +126,7 @@ def demo(args) -> str:
         condition_video_input_mask=cond.condition_video_input_mask,
         num_steps=args.num_steps,
         guidance=args.guidance,
+        solver=args.solver,
     )
     video = model.decode(samples)
     video = np.asarray(video[0]).transpose(1, 2, 3, 0)
