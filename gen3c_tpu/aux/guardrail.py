@@ -155,22 +155,13 @@ class LlamaGuard3(ContentSafetyGuardrail):
         from transformers import AutoModelForCausalLM
 
         model = AutoModelForCausalLM.from_pretrained(path)
-        if os.environ.get("GEN3C_QUANTIZE_LLM", "0") == "1":
-            # int8 weight-only: 8B fits a 16 GB chip at ~8.5 GB and
-            # decode reads half the weight bytes. Convert on the CPU
-            # device first — the unquantized bf16 8B alone would OOM
-            # HBM — then transfer quantized leaves.
-            import jax
+        from gen3c_tpu.models.quantize import maybe_quantized_convert
 
-            from gen3c_tpu.models.quantize import (
-                quantize_ar_params_transfer,
-            )
-
-            with jax.default_device(jax.local_devices(backend="cpu")[0]):
-                cpu_params = convert_hf_llama(model.state_dict(), self.cfg)
-            self.params = quantize_ar_params_transfer(cpu_params)
-        else:
-            self.params = convert_hf_llama(model.state_dict(), self.cfg)
+        # GEN3C_QUANTIZE_LLM=1: int8 weight-only — the 8B fits a 16 GB
+        # chip at ~8.5 GB and decode reads half the weight bytes
+        self.params = maybe_quantized_convert(
+            lambda: convert_hf_llama(model.state_dict(), self.cfg)
+        )
         del model
 
 
@@ -313,35 +304,29 @@ class Aegis(ContentSafetyGuardrail):
             dtype=jnp.bfloat16,
         )
         model = AutoModelForCausalLM.from_pretrained(base_dir)
-        quantize = os.environ.get("GEN3C_QUANTIZE_LLM", "0") == "1"
-        import contextlib
+        from gen3c_tpu.models.quantize import maybe_quantized_convert
 
-        import jax
+        merged = {"n": 0}
 
-        cpu_ctx = (
-            jax.default_device(jax.local_devices(backend="cpu")[0])
-            if quantize else contextlib.nullcontext()
-        )
-        with cpu_ctx:
-            self.params = convert_hf_llama(model.state_dict(), self.cfg)
-            del model
+        def _convert_and_merge():
+            params = convert_hf_llama(model.state_dict(), self.cfg)
             adapter_state = load_peft_adapter_state(adapter_dir)
             with open(os.path.join(adapter_dir,
                                    "adapter_config.json")) as f:
                 acfg = json.load(f)
-            n = merge_peft_lora_into_llama(
-                self.params, adapter_state, self.cfg,
+            merged["n"] = merge_peft_lora_into_llama(
+                params, adapter_state, self.cfg,
                 alpha=acfg.get("lora_alpha", 32), r=acfg.get("r", 16),
             )
-        if n == 0:
-            raise ValueError(f"no LoRA matrices merged from {adapter_dir}")
-        log.info(f"Aegis: merged {n} LoRA matrices into the base model")
-        if quantize:
-            from gen3c_tpu.models.quantize import (
-                quantize_ar_params_transfer,
-            )
+            return params
 
-            self.params = quantize_ar_params_transfer(self.params)
+        self.params = maybe_quantized_convert(_convert_and_merge)
+        del model
+        if merged["n"] == 0:
+            raise ValueError(f"no LoRA matrices merged from {adapter_dir}")
+        log.info(
+            f"Aegis: merged {merged['n']} LoRA matrices into the base model"
+        )
 
     def get_moderation_prompt(self, user_prompt: str) -> str:
         cats = "\n".join(

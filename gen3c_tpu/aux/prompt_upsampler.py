@@ -125,22 +125,11 @@ class JaxPromptUpsampler(PromptUpsampler):
             dtype=jnp.bfloat16,
         )
         model = AutoModelForCausalLM.from_pretrained(model_path)
-        import os as _os
+        from gen3c_tpu.models.quantize import maybe_quantized_convert
 
-        if _os.environ.get("GEN3C_QUANTIZE_LLM", "0") == "1":
-            import jax
-
-            from gen3c_tpu.models.quantize import (
-                quantize_ar_params_transfer,
-            )
-
-            with jax.default_device(
-                jax.local_devices(backend="cpu")[0]
-            ):
-                cpu_params = convert_hf_llama(model.state_dict(), self.cfg)
-            self.params = quantize_ar_params_transfer(cpu_params)
-        else:
-            self.params = convert_hf_llama(model.state_dict(), self.cfg)
+        self.params = maybe_quantized_convert(
+            lambda: convert_hf_llama(model.state_dict(), self.cfg)
+        )
         del model
         self.max_new_tokens = max_new_tokens
 
@@ -265,7 +254,7 @@ class VLMPromptUpsampler(PromptUpsampler):
         from gen3c_tpu.aux.vision_encoder import vision_encode
         from gen3c_tpu.models.ar_transformer import (
             generate_bucketed,
-            generate_with_embeddings,
+            generate_with_embeddings_bucketed,
         )
 
         ids = self._chat_ids(prompt)
@@ -291,11 +280,17 @@ class VLMPromptUpsampler(PromptUpsampler):
                 jnp.asarray(ids, jnp.int32), jnp.float32,
             )  # (L, D_text) — handles int8-quantized tables too
             where = np.nonzero(ids == self.image_token_id)[0]
-            pos = int(where[0]) if where.size else 0
-            spliced = jnp.concatenate(
-                [tok_emb[:pos], img_emb.astype(tok_emb.dtype),
-                 tok_emb[pos + 1:]], axis=0,
-            )[None]
+            if where.size:
+                # replace the [IMG] placeholder token with the image
+                pos = int(where[0])
+                parts = [tok_emb[:pos], img_emb.astype(tok_emb.dtype),
+                         tok_emb[pos + 1:]]
+            else:
+                # no placeholder id (e.g. a tokenizer that encodes
+                # "[IMG]" as plain text): PREPEND the image tokens —
+                # never drop a real token
+                parts = [img_emb.astype(tok_emb.dtype), tok_emb]
+            spliced = jnp.concatenate(parts, axis=0)[None]
             budget = self.text_cfg.max_seq_len - self.max_new_tokens
             if spliced.shape[1] > budget:
                 raise ValueError(
@@ -303,7 +298,7 @@ class VLMPromptUpsampler(PromptUpsampler):
                     f"max_seq_len budget {budget}; resize the image down"
                 )
             new = np.asarray(
-                generate_with_embeddings(
+                generate_with_embeddings_bucketed(
                     self.text_params, self.text_cfg, spliced,
                     jax.random.PRNGKey(0),
                     max_new_tokens=self.max_new_tokens, temperature=0.0,
@@ -363,22 +358,11 @@ class VLMPromptUpsampler(PromptUpsampler):
             use_qk_normalization=False,
             dtype=jnp.bfloat16,
         )
-        import os as _os
+        from gen3c_tpu.models.quantize import maybe_quantized_convert
 
-        if _os.environ.get("GEN3C_QUANTIZE_LLM", "0") == "1":
-            import jax
-
-            from gen3c_tpu.models.quantize import (
-                quantize_ar_params_transfer,
-            )
-
-            with jax.default_device(
-                jax.local_devices(backend="cpu")[0]
-            ):
-                cpu_params = convert_hf_llama(text_sd, text_cfg)
-            text_params = quantize_ar_params_transfer(cpu_params)
-        else:
-            text_params = convert_hf_llama(text_sd, text_cfg)
+        text_params = maybe_quantized_convert(
+            lambda: convert_hf_llama(text_sd, text_cfg)
+        )
         vision_cfg = VisionConfig(
             hidden_size=vis_hf.hidden_size,
             num_layers=vis_hf.num_hidden_layers,

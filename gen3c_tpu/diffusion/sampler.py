@@ -236,9 +236,10 @@ def generate_samples(
             raise ValueError(
                 "multistep solvers are not supported with step caching"
             )
-        from gen3c_tpu.diffusion.solvers import res_x0_rk2_step
-
-        lam = jnp.log(jnp.maximum(sigmas, 1e-10))
+        from gen3c_tpu.diffusion.solvers import (
+            dpm2m_x0_step,
+            res_x0_rk2_step,
+        )
 
         def body_ms(i, carry):
             xt, prev_x0 = carry
@@ -258,17 +259,9 @@ def generate_samples(
 
             def multi(_):
                 prev_s = sigmas[jnp.maximum(i - 1, 0)]
-                if solver == "res2ab":
-                    # reference "2ab" (multi_step.py:28-40)
-                    return res_x0_rk2_step(
-                        new_xt, s1n, sigma, x0, prev_s, prev_x0
-                    )
-                # dpm2m: DPM-Solver++(2M) x0 extrapolation
-                h = lam[i + 1] - lam[i]
-                h_last = lam[i] - lam[jnp.maximum(i - 1, 0)]
-                r = h_last / h
-                x0_bar = (1 + 1 / (2 * r)) * x0 - (1 / (2 * r)) * prev_x0
-                return new_xt * (s1n / sigma) + (1 - s1n / sigma) * x0_bar
+                step_fn = (res_x0_rk2_step if solver == "res2ab"
+                           else dpm2m_x0_step)
+                return step_fn(new_xt, s1n, sigma, x0, prev_s, prev_x0)
 
             use_multi = jnp.logical_and(i > 0, s1n > 0)
             x_next = jax.lax.cond(use_multi, multi, euler_step, None)
@@ -505,23 +498,14 @@ def _host_loop_step(
         return (schedule.step(new_output, new_xt, sigma, sigma_next),
                 net_out, x0)
 
-    from gen3c_tpu.diffusion.solvers import res_x0_rk2_step
+    from gen3c_tpu.diffusion.solvers import dpm2m_x0_step, res_x0_rk2_step
 
     def euler_step(_):
         return schedule.step(new_output, new_xt, sigma, sigma_next)
 
     def multi(_):
-        if solver == "res2ab":
-            return res_x0_rk2_step(
-                new_xt, sigma_next, sigma, x0, prev_sigma, prev_x0
-            )
-        # dpm2m
-        h = jnp.log(sigma_next) - jnp.log(sigma)
-        h_last = jnp.log(sigma) - jnp.log(prev_sigma)
-        r = h_last / h
-        x0_bar = (1 + 1 / (2 * r)) * x0 - (1 / (2 * r)) * prev_x0
-        return (new_xt * (sigma_next / sigma)
-                + (1 - sigma_next / sigma) * x0_bar)
+        step_fn = res_x0_rk2_step if solver == "res2ab" else dpm2m_x0_step
+        return step_fn(new_xt, sigma_next, sigma, x0, prev_sigma, prev_x0)
 
     use_multi = jnp.logical_and(prev_sigma > 0, sigma_next > 0)
     return jax.lax.cond(use_multi, multi, euler_step, None), net_out, x0
@@ -775,22 +759,14 @@ def _stream_step_post(
     if solver == "euler":
         return schedule.step(new_output, new_xt, sigma, sigma_next), x0
 
-    from gen3c_tpu.diffusion.solvers import res_x0_rk2_step
+    from gen3c_tpu.diffusion.solvers import dpm2m_x0_step, res_x0_rk2_step
 
     def euler_step(_):
         return schedule.step(new_output, new_xt, sigma, sigma_next)
 
     def multi(_):
-        if solver == "res2ab":
-            return res_x0_rk2_step(
-                new_xt, sigma_next, sigma, x0, prev_sigma, prev_x0
-            )
-        h = jnp.log(sigma_next) - jnp.log(sigma)
-        h_last = jnp.log(sigma) - jnp.log(prev_sigma)
-        r = h_last / h
-        x0_bar = (1 + 1 / (2 * r)) * x0 - (1 / (2 * r)) * prev_x0
-        return (new_xt * (sigma_next / sigma)
-                + (1 - sigma_next / sigma) * x0_bar)
+        step_fn = res_x0_rk2_step if solver == "res2ab" else dpm2m_x0_step
+        return step_fn(new_xt, sigma_next, sigma, x0, prev_sigma, prev_x0)
 
     use_multi = jnp.logical_and(prev_sigma > 0, sigma_next > 0)
     return jax.lax.cond(use_multi, multi, euler_step, None), x0

@@ -37,6 +37,21 @@ def _phi2(t: Array) -> Array:
     return (_phi1(t) - 1.0) / t
 
 
+def dpm2m_x0_step(x_s: Array, t: Array, s: Array, x0_s: Array,
+                  s1: Array, x0_s1: Array) -> Array:
+    """DPM-Solver++(2M) data-prediction multistep step in sigma space:
+    extrapolate x0 from the current (s) and previous (s1) predictions,
+    then take the exponential-integrator first-order step to t. Shared
+    by sample_ode and all three production samplers (argument order
+    matches res_x0_rk2_step). Callers gate the first/last steps — s, t
+    and s1 must be positive here."""
+    h = jnp.log(t) - jnp.log(s)
+    h_last = jnp.log(s) - jnp.log(s1)
+    r = h_last / h
+    x0_bar = (1 + 1 / (2 * r)) * x0_s - (1 / (2 * r)) * x0_s1
+    return x_s * (t / s) + (1 - t / s) * x0_bar
+
+
 def res_x0_rk2_step(x_s: Array, t: Array, s: Array, x0_s: Array,
                     s1: Array, x0_s1: Array) -> Array:
     """Residual (exponential-integrator) 2nd-order step in -log-sigma
@@ -144,7 +159,6 @@ def sample_ode(
         return x
 
     # dpm2m: DPM-Solver++(2M) in log-sigma time with x0 predictions
-    lam = jnp.log(jnp.maximum(sigmas, 1e-10))
 
     def body(i, carry):
         x, prev_x0 = carry
@@ -155,11 +169,8 @@ def sample_ode(
             return x * (s1 / s) + (1 - s1 / s) * x0
 
         def multistep(_):
-            h = lam[i + 1] - lam[i]
-            h_last = lam[i] - lam[i - 1]
-            r = h_last / h
-            x0_bar = (1 + 1 / (2 * r)) * x0 - (1 / (2 * r)) * prev_x0
-            return x * (s1 / s) + (1 - s1 / s) * x0_bar
+            prev_s = sigmas[jnp.maximum(i - 1, 0)]
+            return dpm2m_x0_step(x, s1, s, x0, prev_s, prev_x0)
 
         use_multi = jnp.logical_and(i > 0, s1 > 0)
         x_next = jax.lax.cond(use_multi, multistep, first_or_last, None)

@@ -604,6 +604,77 @@ def generate_with_embeddings(
     )
 
 
+@partial(
+    jax.jit,
+    static_argnames=("cfg", "max_new_tokens", "temperature", "top_k",
+                     "top_p", "quantize_kv"),
+)
+def _generate_with_embeddings_padded(
+    params, cfg, prompt_embeddings, pad_lens, key, max_new_tokens,
+    temperature=1.0, top_k=0, top_p=0.0, context=None,
+    quantize_kv=False,
+):
+    B = prompt_embeddings.shape[0]
+    rope = rope_tables(cfg)
+    cache = init_kv_cache(cfg, B, dtype=cfg.dtype, quantized=quantize_kv)
+    logits, cache = ar_forward(
+        params, cfg, None, rope, cache, context, pad_lens,
+        input_embeddings=prompt_embeddings,
+    )
+    first = sample_logits(key, logits[:, -1], temperature, top_k, top_p)
+
+    def step(carry, k_i):
+        cache, tok = carry
+        logits, cache = ar_forward(
+            params, cfg, tok[:, None], rope, cache, context, pad_lens
+        )
+        nxt = sample_logits(k_i, logits[:, -1], temperature, top_k, top_p)
+        return (cache, nxt), nxt
+
+    keys = jax.random.split(jax.random.fold_in(key, 1), max_new_tokens - 1)
+    (_, _), rest = jax.lax.scan(step, (cache, first), keys)
+    return jnp.concatenate(
+        [first[:, None], jnp.swapaxes(rest, 0, 1)], axis=1
+    )
+
+
+def generate_with_embeddings_bucketed(
+    params: Params,
+    cfg: ARConfig,
+    prompt_embeddings: Array,  # (B, L0, D)
+    key: Array,
+    max_new_tokens: int,
+    temperature: float = 1.0,
+    top_k: int = 0,
+    top_p: float = 0.0,
+    context: Optional[Array] = None,
+    bucket: int = 128,
+    quantize_kv: bool = False,
+) -> Array:
+    """generate_with_embeddings with bucketed LEFT zero-padding: one
+    compiled trace per 128-token bucket instead of one per distinct
+    spliced-prompt length (the VLM path varies L0 with every prompt
+    text and image aspect ratio). Padded slots are masked out of
+    attention and RoPE positions shift via pad_lens, so the output is
+    bit-identical per row to the unpadded call. Returns only the NEW
+    token ids."""
+    B, L0, D = prompt_embeddings.shape
+    lpad = max(bucket, ((L0 + bucket - 1) // bucket) * bucket)
+    lpad = min(lpad, cfg.max_seq_len - max_new_tokens)
+    if L0 > lpad:
+        raise ValueError(
+            f"prompt length {L0} exceeds budget {lpad} "
+            f"(max_seq_len {cfg.max_seq_len} - {max_new_tokens} new)"
+        )
+    pad = lpad - L0
+    padded = jnp.pad(prompt_embeddings, ((0, 0), (pad, 0), (0, 0)))
+    pad_lens = jnp.full((B,), pad, jnp.int32)
+    return _generate_with_embeddings_padded(
+        params, cfg, padded, pad_lens, key, max_new_tokens,
+        temperature, top_k, top_p, context, quantize_kv,
+    )
+
+
 def generate_bucketed(
     params: Params,
     cfg: ARConfig,

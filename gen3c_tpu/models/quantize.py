@@ -149,6 +149,24 @@ def quantize_ar_params_transfer(params: Any, act_quant: bool = False,
     return visit(params)
 
 
+def maybe_quantized_convert(convert_fn, env_var: str = "GEN3C_QUANTIZE_LLM",
+                            act_quant: bool = False):
+    """Run a torch->JAX converter thunk with opt-in int8 quantization.
+
+    When the env var is "1", the conversion runs under the CPU device
+    and quantized leaves transfer to the accelerator individually (an
+    unquantized 8B bf16 tree is 16 GB — the whole chip — so it must
+    never materialize in HBM). Otherwise the thunk runs as-is. Shared by
+    LlamaGuard3 / Aegis / the prompt upsamplers."""
+    import os
+
+    if os.environ.get(env_var, "0") != "1":
+        return convert_fn()
+    with jax.default_device(jax.local_devices(backend="cpu")[0]):
+        cpu_params = convert_fn()
+    return quantize_ar_params_transfer(cpu_params, act_quant=act_quant)
+
+
 def quantize_dit_params(params: Any) -> Any:
     """Quantize every large {"w": (in, out)} entry in a DiT param tree."""
 

@@ -150,6 +150,12 @@ def cp_generate_samples(
             net_fn = _cp_tp_span_refresh_fn if use_span else _cp_tp_net_fn
             net_fn_skip = _cp_tp_span_skip_fn if use_span else None
     else:
+        if sequence_parallel:
+            raise ValueError(
+                "sequence_parallel requires a 'tp' mesh axis of size > 1 "
+                "(Megatron-SP shards the token stream across the TP "
+                "group); this mesh has tp=1"
+            )
         param_spec = P()
         net_fn = _cp_span_refresh_fn if use_span else _cp_net_fn
         net_fn_skip = _cp_span_skip_fn if use_span else None

@@ -96,13 +96,12 @@ def local_batch_to_global(mesh: Mesh, spec, local_batch):
     from jax.sharding import NamedSharding, PartitionSpec
 
     def put(x, s):
-        sharding = NamedSharding(mesh, s)
-        global_shape = list(np.shape(x))
-        # the leading (batch) axis is host-sharded: global = local * #procs
-        if s and s[0] is not None:
-            global_shape[0] = global_shape[0] * jax.process_count()
+        # global_shape=None: jax infers it from the local shard shape
+        # and which mesh axes span processes — correct for ANY
+        # process-to-axis mapping (dp-, cp- or mixed-host sharding),
+        # unlike scaling a hardcoded leading axis
         return jax.make_array_from_process_local_data(
-            sharding, np.asarray(x), tuple(global_shape)
+            NamedSharding(mesh, s), np.asarray(x), None
         )
 
     if isinstance(spec, PartitionSpec):

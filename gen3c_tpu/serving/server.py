@@ -464,9 +464,11 @@ def make_handler(service: InferenceService):
                 # (gui/src/camera_path.cu:124-133 schema, shareable with
                 # the reference viewer). body {keyframes: [{c2w, fov?,
                 # t?}]}
-                try:
-                    import tempfile
+                import tempfile
 
+                fd, tmp = tempfile.mkstemp(suffix=".json")
+                os.close(fd)
+                try:
                     payload = json.loads(body.decode("utf-8"))
                     from gen3c_tpu.native.camera_path import CameraPath
 
@@ -477,33 +479,30 @@ def make_handler(service: InferenceService):
                             fov=float(kf.get("fov", 50.0)),
                             timestamp=float(kf.get("t", i)),
                         )
-                    with tempfile.NamedTemporaryFile(
-                        "r", suffix=".json", delete=False
-                    ) as f:
-                        tmp = f.name
                     path.save(tmp)
                     with open(tmp) as f:
                         out = f.read().encode()
-                    os.unlink(tmp)
                 except Exception as e:  # noqa: BLE001
                     self._send(400, str(e).encode())
                     return
+                finally:
+                    try:
+                        os.unlink(tmp)
+                    except OSError:
+                        pass
                 self._send(200, out, "application/json")
             elif url.path == "/camera-path/load":
                 # reference-GUI camera-path JSON -> keyframes (c2w/fov/t)
-                try:
-                    import tempfile
+                import tempfile
 
+                fd, tmp = tempfile.mkstemp(suffix=".json")
+                try:
+                    with os.fdopen(fd, "wb") as f:
+                        f.write(body)
                     from gen3c_tpu.native.camera_path import CameraPath
 
-                    with tempfile.NamedTemporaryFile(
-                        "wb", suffix=".json", delete=False
-                    ) as f:
-                        f.write(body)
-                        tmp = f.name
                     path = CameraPath()
                     path.load(tmp)
-                    os.unlink(tmp)
                     kfs = [
                         {"c2w": c2w.tolist(), "fov": fov, "t": ts}
                         for c2w, fov, ts in path.keyframes()
@@ -512,6 +511,11 @@ def make_handler(service: InferenceService):
                 except Exception as e:  # noqa: BLE001
                     self._send(400, str(e).encode())
                     return
+                finally:
+                    try:
+                        os.unlink(tmp)
+                    except OSError:
+                        pass
                 self._send(200, out, "application/json")
             elif url.path == "/cancel-inference":
                 request_id = qs.get("request_id", [""])[0]

@@ -151,9 +151,14 @@ def make_sharded_train_step(
     """
     from gen3c_tpu.parallel.sharding import dit_param_pspecs
 
+    # token stream (B, L, D): keep the batch on 'dp' and shard the
+    # merged token axis over BOTH 'cp' and 'tp' — constraining with a
+    # bare P(None, 'tp', None) would force GSPMD to re-replicate the
+    # dp/cp-sharded activations at every block boundary (28 all-gathers
+    # per forward), the opposite of SP's memory reduction
     sp_sharding = (
-        NamedSharding(mesh, P(None, "tp", None)) if sequence_parallel
-        else None
+        NamedSharding(mesh, P("dp", ("cp", "tp"), None))
+        if sequence_parallel else None
     )
     pspecs = dit_param_pspecs(params_template, fsdp_axis=fsdp_axis)
     param_sh = jax.tree.map(

@@ -171,7 +171,25 @@ class PickleHandler:
                     _stdio.BytesIO(data), map_location="cpu",
                     weights_only=False,
                 )
-        return pickle.loads(data)
+        out = pickle.loads(data)
+        if out == 0x1950A86A20F9469CFC6C:
+            # legacy torch serialization (pre-1.6, non-zipfile): a
+            # concatenation of pickle streams whose FIRST object is
+            # torch's magic number — pickle.loads "succeeds" but only
+            # reads that marker. Route to torch.load.
+            import torch
+
+            try:
+                return torch.load(
+                    _stdio.BytesIO(data), map_location="cpu",
+                    weights_only=True,
+                )
+            except Exception:  # noqa: BLE001
+                return torch.load(
+                    _stdio.BytesIO(data), map_location="cpu",
+                    weights_only=False,
+                )
+        return out
 
     def dumps(self, obj: Any) -> bytes:
         return pickle.dumps(obj)

@@ -97,6 +97,8 @@ def main():
             net_params=(qshapes, cfg),
             xt=sds((B, C, T, H, W), f32),
             cached_out=sds((2 * B, C, T, H, W), f32),
+            prev_x0=sds((B, C, T, H, W), f32),
+            prev_sigma=sds((), f32),
             sigma=sds((), f32),
             sigma_next=sds((), f32),
             c_noise=sds((), f32),

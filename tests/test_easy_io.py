@@ -233,3 +233,26 @@ def test_torchjit_handler_roundtrip(tmp_path):
     back = easy_io.easy_load(p)
     x = torch.randn(3)
     torch.testing.assert_close(back(x), x * 2 + 1)
+
+
+def test_pickle_handler_legacy_torch_serialization(tmp_path):
+    """Pre-1.6 torch checkpoints (non-zipfile, persistent-id storages)
+    still load; corrupt plain pickles raise the pickle error."""
+    import pickle as _pickle
+
+    import pytest
+    import torch
+
+    from gen3c_tpu.utils import easy_io
+
+    p = str(tmp_path / "legacy.pkl")
+    torch.save({"w": torch.arange(4.0)}, p,
+               _use_new_zipfile_serialization=False)
+    out = easy_io.easy_load(p)
+    torch.testing.assert_close(out["w"], torch.arange(4.0))
+
+    bad = str(tmp_path / "corrupt.pkl")
+    with open(bad, "wb") as f:
+        f.write(b"\x80\x05garbage-not-a-pickle")
+    with pytest.raises((_pickle.UnpicklingError, EOFError, ValueError)):
+        easy_io.easy_load(bad)

@@ -162,3 +162,30 @@ def test_vlm_upsampler_resizes_to_patch_multiple():
     )
     out = up.upsample("a boat", frames=frames)
     assert isinstance(out, str) and out
+
+
+def test_generate_with_embeddings_bucketed_matches_unpadded():
+    """Bucketed left-zero-padded embeddings prefill == unpadded (the
+    trace-sharing fix for the VLM's variable spliced lengths)."""
+    from gen3c_tpu.models.ar_transformer import (
+        generate_with_embeddings,
+        generate_with_embeddings_bucketed,
+        init_ar_params,
+    )
+
+    params = init_ar_params(jax.random.PRNGKey(0), TCFG, jnp.float32)
+    rng = np.random.RandomState(5)
+    for L0 in (9, 17):
+        emb = jnp.asarray(rng.randn(1, L0, 48).astype(np.float32)) * 0.1
+        ref = np.asarray(
+            generate_with_embeddings(params, TCFG, emb,
+                                     jax.random.PRNGKey(1),
+                                     max_new_tokens=6, temperature=0.0)
+        )
+        got = np.asarray(
+            generate_with_embeddings_bucketed(params, TCFG, emb,
+                                              jax.random.PRNGKey(1),
+                                              max_new_tokens=6,
+                                              temperature=0.0, bucket=32)
+        )
+        np.testing.assert_array_equal(got, ref)
