@@ -76,6 +76,8 @@ class Gen3CModel:
         default_factory=EDMEulerSchedule
     )
     mesh: Optional[object] = None  # jax.sharding.Mesh -> CP denoising
+    # Megatron-SP in the cp x tp shard_map denoise (needs mesh tp>1)
+    sequence_parallel: bool = False
     # offload_dit=True: dit_params rest off-device (pinned_host) and are
     # staged into HBM only for the denoise phase (reference
     # --offload_diffusion_transformer, gen3c_pipeline.py:186-225) — on a
@@ -254,6 +256,7 @@ class Gen3CModel:
                 step_cache_threshold=step_cache_threshold,
                 net_in_dtype=self.dit_cfg.dtype,
                 solver=solver,
+                sequence_parallel=self.sequence_parallel,
             )
 
         if (self.dit_cfg.cache_block_span is not None

@@ -245,7 +245,8 @@ def build_gen3c_model(
         tokenizer.offload = True
 
     mesh = None
-    cp_tp_match = re.fullmatch(r"cp(\d+)tp(\d+)", parallel)
+    use_sp = False
+    cp_tp_match = re.fullmatch(r"cp(\d+)tp(\d+)(sp)?", parallel)
     if parallel not in ("cp", "tp") and not cp_tp_match:
         # validate even when num_devices==1 so a typo'd strategy (or a
         # forgotten --num_devices) fails loudly instead of silently
@@ -280,6 +281,12 @@ def build_gen3c_model(
             # divide cp; num_heads must divide tp.
             cp_n = int(cp_tp_match.group(1))
             tp_n = int(cp_tp_match.group(2))
+            use_sp = cp_tp_match.group(3) == "sp"
+            if use_sp and tp_n < 2:
+                raise ValueError(
+                    "the 'sp' suffix (Megatron sequence parallelism) "
+                    "needs tp>=2"
+                )
             if cp_n * tp_n != num_devices:
                 raise ValueError(
                     f"parallel={parallel!r} needs {cp_n * tp_n} devices, "
@@ -295,6 +302,7 @@ def build_gen3c_model(
             log.info(
                 f"2D context x tensor parallel denoising: cp={cp_n} "
                 f"tp={tp_n}"
+                + (" + sequence parallelism" if use_sp else "")
             )
 
     model = Gen3CModel(
@@ -305,6 +313,7 @@ def build_gen3c_model(
         chunk_size=preset.chunk_size,
         state_shape=preset.state_shape,
         mesh=mesh,
+        sequence_parallel=use_sp,
         offload_dit=offload_dit and num_devices == 1,
         streaming_net=streaming_net,
     )

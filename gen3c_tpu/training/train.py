@@ -41,6 +41,9 @@ def main(argv=None) -> None:
     p.add_argument("--batch_size", type=int, default=1)
     p.add_argument("--fsdp", action="store_true",
                    help="shard params/opt/EMA over dp (ZeRO-3)")
+    p.add_argument("--sequence_parallel", action="store_true",
+                   help="Megatron-SP: token-sharded residual stream "
+                        "between TP matmuls (needs tp>1 to have effect)")
     p.add_argument("--remat", action="store_true",
                    help="activation-checkpoint DiT blocks")
     args = p.parse_args(flags)
@@ -65,6 +68,10 @@ def main(argv=None) -> None:
         t_cfg = registry.apply_overrides(t_cfg, ["fsdp=True"])
     if args.remat:
         t_cfg = registry.apply_overrides(t_cfg, ["remat=True"])
+    if args.sequence_parallel:
+        t_cfg = registry.apply_overrides(
+            t_cfg, ["sequence_parallel=True"]
+        )
 
     maybe_distributed_init()
     mesh = make_mesh(dp=args.dp, cp=args.cp, tp=args.tp)

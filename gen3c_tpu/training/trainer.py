@@ -44,6 +44,9 @@ class TrainerConfig:
     grad_accum_steps: int = 1
     remat: bool = False  # rematerialize DiT blocks (activation ckpt)
     fsdp: bool = False  # shard params/opt/EMA over 'dp' (ZeRO-3)
+    # Megatron sequence parallelism: residual-stream tokens sharded over
+    # ('cp','tp') between TP matmuls (train_step sp_sharding)
+    sequence_parallel: bool = False
     # kill a hung step after this many seconds via SIGALRM
     # (utils/trainer.py:108-109 timeout_period parity); 0 = off
     step_timeout_s: float = 0.0
@@ -77,6 +80,7 @@ class Trainer:
         self.step_fn, self.param_shardings = make_sharded_train_step(
             mesh, dit_cfg, self.optimizer, params,
             remat=config.remat, fsdp_axis=fsdp_axis,
+            sequence_parallel=config.sequence_parallel,
         )
         from gen3c_tpu.parallel.sharding import shard_params
 

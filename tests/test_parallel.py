@@ -464,3 +464,20 @@ def test_sp_span_cache_matches_uncached_empty_span():
     np.testing.assert_allclose(
         np.asarray(out), np.asarray(ref), rtol=5e-4, atol=5e-4
     )
+
+
+def test_factory_cp_tp_sp_strategy():
+    """parallel="cpNtpMsp" builds a model with sequence_parallel set and
+    validates tp>=2; bad combos raise."""
+    import pytest as _pytest
+
+    from gen3c_tpu.pipelines.factory import build_gen3c_model
+
+    model, _ = build_gen3c_model(
+        "gen3c_tiny", num_devices=4, parallel="cp2tp2sp"
+    )
+    assert model.sequence_parallel is True
+    assert model.mesh is not None
+
+    with _pytest.raises(ValueError, match="needs tp>=2"):
+        build_gen3c_model("gen3c_tiny", num_devices=4, parallel="cp4tp1sp")
