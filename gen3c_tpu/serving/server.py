@@ -533,6 +533,9 @@ def make_handler(service: InferenceService):
 
 
 def serve(host: Optional[str] = None, port: Optional[int] = None, model=None):
+    from gen3c_tpu.utils.jax_setup import setup_jax
+
+    setup_jax()  # persistent compile cache (remote compiles are slow)
     host = host or os.environ.get("GEN3C_API_HOST", "127.0.0.1")
     if port is None:  # note: port=0 means "any free port"
         port = int(os.environ.get("GEN3C_API_PORT", "8000"))

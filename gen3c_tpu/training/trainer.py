@@ -76,6 +76,9 @@ class Trainer:
             warmup_steps=config.warmup_steps,
             grad_accum_steps=config.grad_accum_steps,
         )
+        from gen3c_tpu.utils.jax_setup import setup_jax
+
+        setup_jax()  # persistent compile cache (remote compiles are slow)
         fsdp_axis = "dp" if config.fsdp else None
         self.step_fn, self.param_shardings = make_sharded_train_step(
             mesh, dit_cfg, self.optimizer, params,
