@@ -47,6 +47,9 @@ def create_parser() -> argparse.ArgumentParser:
     p.add_argument("--input_video_path", type=str, default=None,
                    help="distributed dir / packaged .pt or .npz")
     p.add_argument("--video_save_name", type=str, default="output")
+    p.add_argument("--solver", default="euler",
+                   choices=("euler", "dpm2m", "res2ab"),
+                   help="denoise integration rule at equal network cost")
     p.add_argument("--video_save_folder", type=str, default="outputs/")
     p.add_argument("--guidance", type=float, default=1.0)
     p.add_argument("--num_steps", type=int, default=35)
@@ -77,6 +80,7 @@ def demo(args) -> str:
         model=model,
         guidance=args.guidance,
         num_steps=args.num_steps,
+        solver=args.solver,
         height=preset.height,
         width=preset.width,
         fps=args.fps,

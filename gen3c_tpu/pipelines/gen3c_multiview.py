@@ -36,6 +36,9 @@ def create_parser() -> argparse.ArgumentParser:
     p.add_argument("--prompt", type=str, default="")
     p.add_argument("--negative_prompt", type=str, default="")
     p.add_argument("--video_save_name", type=str, default="output")
+    p.add_argument("--solver", default="euler",
+                   choices=("euler", "dpm2m", "res2ab"),
+                   help="denoise integration rule at equal network cost")
     p.add_argument("--video_save_folder", type=str, default="outputs/")
     p.add_argument("--guidance", type=float, default=1.0)
     p.add_argument("--num_steps", type=int, default=35)
@@ -60,6 +63,7 @@ def demo(args) -> str:
         model=model,
         guidance=args.guidance,
         num_steps=args.num_steps,
+        solver=args.solver,
         height=preset.height,
         width=preset.width,
         fps=args.fps,
