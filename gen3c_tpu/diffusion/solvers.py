@@ -28,13 +28,24 @@ SOLVERS = ("euler", "heun", "dpm2m", "rk4", "ddim", "res2ab")
 
 
 def _phi1(t: Array) -> Array:
-    """(exp(t) - 1) / t  (runge_kutta.py:22-35)."""
-    return jnp.expm1(t) / t
+    """(exp(t) - 1) / t  (runge_kutta.py:22-35); t -> 0 limit is 1."""
+    t_safe = jnp.where(t == 0.0, 1.0, t)
+    return jnp.where(t == 0.0, 1.0, jnp.expm1(t_safe) / t_safe)
 
 
 def _phi2(t: Array) -> Array:
-    """(phi1(t) - 1) / t  (runge_kutta.py:38-50)."""
-    return (_phi1(t) - 1.0) / t
+    """(phi1(t) - 1) / t  (runge_kutta.py:38-50); t -> 0 limit is 1/2."""
+    t_safe = jnp.where(t == 0.0, 1.0, t)
+    return jnp.where(t == 0.0, 0.5, (_phi1(t_safe) - 1.0) / t_safe)
+
+
+# Every lane of these step functions MUST stay finite even at the
+# degenerate argument values the callers' lax.cond gates away (t = 0 on
+# the final step, s1 == s on the first): on TPU, XLA lowers a cond whose
+# branches are cheap elementwise math to a select that EVALUATES BOTH
+# BRANCHES, and a NaN/inf produced in the untaken lane poisons the
+# select output (observed: all-NaN res2ab samples on a v5e while the
+# same program is clean on CPU, where cond stays a real branch).
 
 
 def dpm2m_x0_step(x_s: Array, t: Array, s: Array, x0_s: Array,
@@ -43,12 +54,16 @@ def dpm2m_x0_step(x_s: Array, t: Array, s: Array, x0_s: Array,
     extrapolate x0 from the current (s) and previous (s1) predictions,
     then take the exponential-integrator first-order step to t. Shared
     by sample_ode and all three production samplers (argument order
-    matches res_x0_rk2_step). Callers gate the first/last steps — s, t
-    and s1 must be positive here."""
+    matches res_x0_rk2_step). Degenerate lanes are finite: t = 0 steps
+    to x0 (the correct limit), s1 == s degrades to the first-order
+    step."""
+    t = jnp.maximum(t, 1e-10)
     h = jnp.log(t) - jnp.log(s)
     h_last = jnp.log(s) - jnp.log(s1)
     r = h_last / h
-    x0_bar = (1 + 1 / (2 * r)) * x0_s - (1 / (2 * r)) * x0_s1
+    r_safe = jnp.where(r == 0.0, 1.0, r)
+    coef = jnp.where(r == 0.0, 0.0, 1.0 / (2.0 * r_safe))
+    x0_bar = (1 + coef) * x0_s - coef * x0_s1
     return x_s * (t / s) + (1 - t / s) * x0_bar
 
 
@@ -57,15 +72,19 @@ def res_x0_rk2_step(x_s: Array, t: Array, s: Array, x0_s: Array,
     """Residual (exponential-integrator) 2nd-order step in -log-sigma
     time (runge_kutta.py:53-95 parity): the update rule behind the
     reference Sampler's "2ab" Adams-Bashforth multistep
-    (functional/multi_step.py:28-40, arXiv:2308.02157)."""
+    (functional/multi_step.py:28-40, arXiv:2308.02157). Degenerate
+    lanes are finite: t = 0 steps to (approximately) x0_s, s1 == s
+    zeroes the second-order term."""
+    t = jnp.maximum(t, 1e-10)
     s_ = -jnp.log(s)
     t_ = -jnp.log(t)
     m_ = -jnp.log(s1)
     dt = t_ - s_
     c2 = (m_ - s_) / dt
+    c2_safe = jnp.where(c2 == 0.0, 1.0, c2)
     p1, p2 = _phi1(-dt), _phi2(-dt)
-    b1 = jnp.nan_to_num(p1 - p2 / c2, nan=0.0)
-    b2 = jnp.nan_to_num(p2 / c2, nan=0.0)
+    b2 = jnp.where(c2 == 0.0, 0.0, p2 / c2_safe)
+    b1 = p1 - b2
     return jnp.exp(-dt) * x_s + dt * (b1 * x0_s + b2 * x0_s1)
 
 
@@ -88,6 +107,11 @@ def sample_ode(
     x = init_noise.astype(jnp.float32) * schedule.init_noise_sigma
 
     def d(x, sigma):
+        # sigma clamp: heun's corrector lane and rk4's k-stages evaluate
+        # d at sigma = 0 inside an un-taken cond branch; on TPU cond can
+        # lower to a both-branches select, so the lane must stay finite
+        # (c_noise(0) = log(0) would NaN the net input otherwise).
+        sigma = jnp.maximum(sigma, 1e-10)
         return (x - x0_fn(x, sigma)) / sigma
 
     if solver in ("euler", "ddim"):

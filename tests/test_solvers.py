@@ -137,3 +137,39 @@ def test_res2ab_loop_matches_reference_sampler_loop():
                    num_steps=10, solver="res2ab")
     )
     np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_multistep_degenerate_lanes_finite():
+    """On TPU, lax.cond over cheap elementwise branches lowers to a
+    both-branches select, so the step functions are evaluated at the
+    degenerate values the callers gate away (t=0 final step, s1==s
+    first step, prev_sigma=0 host-loop warmup) — and a NaN/inf there
+    poisons the select output (observed: all-NaN res2ab samples on
+    v5e). The lanes must be finite by construction."""
+    from gen3c_tpu.diffusion.solvers import dpm2m_x0_step, res_x0_rk2_step
+
+    x = jnp.asarray(np.random.RandomState(0).randn(4, 8).astype(np.float32))
+    x = x * 80.0  # sigma_max-scaled noise: large enough to overflow
+    # any nan_to_num(inf)-sized coefficient into inf
+    x0a, x0b = 0.9 * x, 0.8 * x
+    s0, s1, s2 = 80.0, 1.749, 2e-4
+    for fn in (res_x0_rk2_step, dpm2m_x0_step):
+        for (t, s, sp) in (
+            (0.0, s2, s1),   # final step: t == 0
+            (s1, s0, s0),    # first step: prev sigma == current
+            (s2, s1, 0.0),   # host-loop warmup: prev_sigma == 0
+        ):
+            out = np.asarray(
+                fn(x, jnp.float32(t), jnp.float32(s), x0a,
+                   jnp.float32(sp), x0b)
+            )
+            assert np.isfinite(out).all(), (fn.__name__, t, s, sp)
+    # t -> 0 limit with IDENTICAL x0 predictions is exactly that x0
+    # (no extrapolation left; checks the clamp lands on the ODE limit)
+    for fn in (res_x0_rk2_step, dpm2m_x0_step):
+        out = np.asarray(
+            fn(x, jnp.float32(0.0), jnp.float32(s2), x0a,
+               jnp.float32(s1), x0a)
+        )
+        np.testing.assert_allclose(out, np.asarray(x0a), rtol=1e-2,
+                                   atol=1e-2)
