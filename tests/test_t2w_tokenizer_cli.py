@@ -176,3 +176,33 @@ def test_interpolator_offload_streaming(tmp_path):
     )
     path = cli.demo(args)
     assert os.path.exists(path) or os.path.isdir(os.path.splitext(path)[0])
+
+
+def test_tokenizer_cli_short_unaligned_video(tmp_path, capsys):
+    """A video shorter than one chunk and with unaligned T/H/W must
+    round-trip via the reference CLI's pad/unpad semantics
+    (tokenizer/inference/utils.py:320-373) instead of the old
+    truncate-and-assert: 7 frames @ 50x70 with the default
+    chunk_duration=121."""
+    import imageio
+
+    from gen3c_tpu.pipelines import tokenizer_cli
+
+    frames = (np.random.RandomState(0).rand(7, 50, 70, 3) * 255).astype(
+        np.uint8
+    )
+    src = tmp_path / "in.gif"
+    imageio.mimsave(str(src), list(frames))
+
+    recon = tmp_path / "recon.mp4"
+    tokenizer_cli.main(
+        [
+            "--mode", "roundtrip",
+            "--input", str(src),
+            "--output", str(recon),
+            "--vae_preset", "tiny",
+        ]
+    )
+    assert "PSNR" in capsys.readouterr().out
+    assert (recon.exists() or (tmp_path / "recon.avi").exists()
+            or os.path.isdir(str(tmp_path / "recon")))
