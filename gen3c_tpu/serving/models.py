@@ -29,6 +29,35 @@ from gen3c_tpu.serving.api_types import (
 from gen3c_tpu.utils import log
 
 
+def _resize_images_bhwc(images: np.ndarray, h: int, w: int) -> np.ndarray:
+    """Bicubic antialiased resize of (B, H, W, C) float images — parity
+    with the reference's seeding resize (gen3c_persistent.py:250-258:
+    torchvision resize, BICUBIC, antialias=True; Pillow's convolution
+    resamplers antialias on downscale the same way)."""
+    from PIL import Image
+
+    b, _, _, c = images.shape
+    out = np.empty((b, h, w, c), np.float32)
+    for i in range(b):
+        for ch in range(c):
+            im = Image.fromarray(images[i, :, :, ch].astype(np.float32), mode="F")
+            out[i, :, :, ch] = np.asarray(im.resize((w, h), Image.BICUBIC))
+    return out
+
+
+def _resize_depths_bhw(depths: np.ndarray, h: int, w: int) -> np.ndarray:
+    """Bilinear resize of (B, H, W) float depth maps to the inference
+    resolution (depth is metric — interpolation, not antialiased decimation,
+    keeps edges closer to the reference MoGe-resized output)."""
+    from PIL import Image
+
+    out = np.empty((depths.shape[0], h, w), np.float32)
+    for i in range(depths.shape[0]):
+        im = Image.fromarray(depths[i].astype(np.float32), mode="F")
+        out[i] = np.asarray(im.resize((w, h), Image.BILINEAR))
+    return out
+
+
 class InferenceModel:
     """Abstract serving model."""
 
@@ -199,16 +228,30 @@ class Gen3cPersistentModel(InferenceModel):
             images = images / 255.0
         n = len(req)
         w2cs = req.world_to_cameras().astype(np.float32)
-        ks = req.intrinsics_matrix().astype(np.float32)
+        # The cache, depths, and intrinsics must all live at the model's
+        # inference resolution: resize the seeds like the reference
+        # (gen3c_persistent.py:250-262) and scale K to (w, h). Without
+        # this, a native-resolution seed builds a cache whose VAE latents
+        # disagree with the preset's state_shape at denoise time.
+        ks = req.intrinsics_matrix(
+            for_resolutions=np.tile([[w, h]], (n, 1))
+        ).astype(np.float32)
+        if images.shape[1] != h or images.shape[2] != w:
+            images = _resize_images_bhwc(images, h, w)
+        depths_in = None
+        if req.depths is not None:
+            depths_in = req.depths.astype(np.float32)
+            if depths_in.shape[1:] != (h, w):
+                depths_in = _resize_depths_bhw(depths_in, h, w)
 
-        if req.depths is None:
+        if depths_in is None:
             depths = []
             for i in range(n):
                 d, k_est, _ = self.depth_estimator(images[i])
                 depths.append(d)
             depths = np.stack(depths)
         else:
-            depths = req.depths.astype(np.float32)
+            depths = depths_in
 
         imgs_bchw = images.transpose(0, 3, 1, 2) * 2 - 1
         if n == 1:

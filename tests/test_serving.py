@@ -174,6 +174,51 @@ def test_persistent_model_end_to_end():
     assert meta["seeded"] and meta["chunk_size"] == 9
 
 
+def test_persistent_model_seeds_at_native_resolution():
+    """A client may seed at the image's NATIVE resolution (the GUI does):
+    the server must resize to the preset's inference resolution with
+    scaled intrinsics (gen3c_persistent.py:250-262). Regression: the
+    2026-08-17 TPU serving smoke crashed in the sampler with
+    (.., 90, 160) vs (.., 12, 20) latents because the seed was cached
+    unresized."""
+    model = Gen3cPersistentModel(
+        model_preset="gen3c_tiny",
+        checkpoint_dir=None,
+        num_steps=2,
+        depth_source="heuristic",
+    )
+    h, w = model.preset.height, model.preset.width
+    nh, nw = 2 * h + 8, 2 * w + 16  # deliberately mismatched native res
+    c2w, fl, pp, _ = _cameras(1, nh, nw)
+    rng = np.random.RandomState(0)
+    # provided depths exercise the depth-resize path too
+    seed_res = model.seed_model(
+        SeedingRequest(
+            request_id="s",
+            cameras_to_world=c2w,
+            focal_lengths=fl,
+            principal_points=pp,
+            images=(rng.rand(1, nh, nw, 3) * 255).astype(np.uint8),
+            depths=(1.5 + rng.rand(1, nh, nw)).astype(np.float32),
+        )
+    )
+    # working resolution reported back is the model's, like the reference
+    assert tuple(seed_res.resolutions[0]) == (w, h)
+    assert model.cache.input_image.shape[-2:] == (h, w)
+
+    c2w, fl, pp, res = _cameras(3, h, w)
+    result = model.run_inference(
+        InferenceRequest(
+            request_id="i",
+            cameras_to_world=c2w,
+            focal_lengths=fl,
+            principal_points=pp,
+            resolutions=res,
+        )
+    )
+    assert result.images.shape == (3, h, w, 3)
+
+
 class _SlowChunkedModel(DebugInferenceModel):
     """Debug model that emits frames chunk-by-chunk with a delay —
     exercises progress / partial-result / cancellation plumbing."""
