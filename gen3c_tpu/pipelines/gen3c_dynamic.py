@@ -56,8 +56,13 @@ def create_parser() -> argparse.ArgumentParser:
     p.add_argument("--num_video_frames", type=int, default=121)
     p.add_argument("--fps", type=int, default=24)
     p.add_argument("--seed", type=int, default=1)
+    p.add_argument("--t5_backend", type=str, default="jax",
+                   choices=["jax", "torch"],
+                   help="T5 encoder stack: TPU-native JAX or host torch")
     p.add_argument("--disable_prompt_encoder", action="store_true",
                    default=True)
+    p.add_argument("--enable_prompt_encoder", dest="disable_prompt_encoder",
+                   action="store_false")
     p.add_argument("--trajectory", type=str, default="none",
                    choices=sorted(TRAJECTORY_TYPES))
     p.add_argument("--camera_rotation", type=str, default="center_facing",
@@ -76,8 +81,15 @@ def demo(args) -> str:
     chunk = preset.chunk_size
     assert (args.num_video_frames - 1) % (chunk - 1) == 0
 
+    text_encoder = None
+    if not args.disable_prompt_encoder:
+        from gen3c_tpu.models.t5 import make_t5_encoder
+
+        text_encoder = make_t5_encoder(args.t5_backend)
+
     pipeline = Gen3cPipeline(
         model=model,
+        text_encoder=text_encoder,
         guidance=args.guidance,
         num_steps=args.num_steps,
         solver=args.solver,

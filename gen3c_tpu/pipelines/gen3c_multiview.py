@@ -35,6 +35,13 @@ def create_parser() -> argparse.ArgumentParser:
     p.add_argument("--npz_path", type=str, required=True)
     p.add_argument("--prompt", type=str, default="")
     p.add_argument("--negative_prompt", type=str, default="")
+    p.add_argument("--t5_backend", type=str, default="jax",
+                   choices=["jax", "torch"],
+                   help="T5 encoder stack: TPU-native JAX or host torch")
+    p.add_argument("--disable_prompt_encoder", action="store_true",
+                   default=True)
+    p.add_argument("--enable_prompt_encoder", dest="disable_prompt_encoder",
+                   action="store_false")
     p.add_argument("--video_save_name", type=str, default="output")
     p.add_argument("--solver", default="euler",
                    choices=("euler", "dpm2m", "res2ab"),
@@ -59,8 +66,15 @@ def demo(args) -> str:
     chunk = preset.chunk_size
     assert (args.num_video_frames - 1) % (chunk - 1) == 0
 
+    text_encoder = None
+    if not args.disable_prompt_encoder:
+        from gen3c_tpu.models.t5 import make_t5_encoder
+
+        text_encoder = make_t5_encoder(args.t5_backend)
+
     pipeline = Gen3cPipeline(
         model=model,
+        text_encoder=text_encoder,
         guidance=args.guidance,
         num_steps=args.num_steps,
         solver=args.solver,
