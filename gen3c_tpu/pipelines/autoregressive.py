@@ -104,6 +104,10 @@ def create_parser() -> argparse.ArgumentParser:
 
 
 def demo(args) -> str:
+    from gen3c_tpu.utils.jax_setup import setup_jax
+
+    setup_jax()  # persistent compile cache: the jitted scan-decode
+    # program costs a multi-minute remote compile cold
     ar_cfg, vae_cfg, h, w, chunk = AR_PRESETS[args.model_preset]
 
     log.warning("AR model weights not provided; RANDOM init"

@@ -112,6 +112,9 @@ def main(argv=None) -> None:
     p.add_argument("--chunk_duration", type=int, default=121)
     p.add_argument("--fps", type=int, default=24)
     args = p.parse_args(argv)
+    from gen3c_tpu.utils.jax_setup import setup_jax
+
+    setup_jax()  # persistent compile cache across CLI runs
 
     crop = None
     if args.mode in ("encode", "roundtrip"):

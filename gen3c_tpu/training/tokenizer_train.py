@@ -118,6 +118,9 @@ def main(argv=None) -> None:
     p.add_argument("--channels", type=int, default=16)
     p.add_argument("--seed", type=int, default=0)
     args = p.parse_args(argv)
+    from gen3c_tpu.utils.jax_setup import setup_jax
+
+    setup_jax()  # persistent compile cache across CLI runs
 
     cfg = jvae.VAEConfig(
         channels=args.channels, channels_mult=(2, 4, 4), num_res_blocks=1,
