@@ -113,9 +113,12 @@ class SeedingRequest(RequestBase):
 
     images: np.ndarray = None  # (B, H, W, 3) uint8 or float
     depths: Optional[np.ndarray] = None  # (B, H, W)
+    # validity masks for multi-frame (v2v) seeding, (B, H, W) bool/float
+    # (gui/api/api_types.py:160-169)
+    masks: Optional[np.ndarray] = None
 
     def _array_fields(self):
-        return super()._array_fields() + ["images", "depths"]
+        return super()._array_fields() + ["images", "depths", "masks"]
 
 
 @dataclasses.dataclass(kw_only=True)

@@ -71,6 +71,20 @@ class Gen3cClient:
         r.raise_for_status()
         return loads_api_message(r.content)
 
+    def seed_from_directory(
+        self, data_directory: str, max_frames: Optional[int] = None,
+        frames_stride: int = 1,
+    ) -> SeedingResult:
+        """Multi-frame (v2v) seeding from a reference-format data
+        directory (gui/api/v2v_utils.py:44-125 load_gen3c_seeding_data)."""
+        req = load_seeding_directory(
+            data_directory, max_frames=max_frames,
+            frames_stride=frames_stride,
+        )
+        r = self.http.post("/seed-model", content=dumps_api_message(req))
+        r.raise_for_status()
+        return loads_api_message(r.content)
+
     # -- inference --
 
     def request_inference(
@@ -194,6 +208,82 @@ class Gen3cClient:
         return np.asarray(Image.open(io.BytesIO(r.content)))
 
 
+def load_seeding_directory(
+    data_directory: str,
+    max_frames: Optional[int] = None,
+    frames_stride: int = 1,
+) -> SeedingRequest:
+    """Build a multi-frame SeedingRequest from a reference-format v2v
+    data directory (gui/api/v2v_utils.py:44-125):
+
+        camera.npz   'intrinsics' (N,3,3), 'w2c' (N,4,4)
+        depth.npz    'depth' (N,H,W)
+        mask.npz     'mask'  (N,H,W)            [optional here]
+        rgb.mp4 / rgb.avi / rgb/ (frame dir)    (any read_video format)
+        metadata.json                           [ignored, like reference]
+    """
+    import os
+
+    from gen3c_tpu.utils import io as io_utils
+
+    depths = np.load(os.path.join(data_directory, "depth.npz"))["depth"]
+    assert depths.ndim == 3, depths.shape
+    cam = np.load(os.path.join(data_directory, "camera.npz"))
+    intrinsics = np.asarray(cam["intrinsics"], np.float32)
+    w2c = np.asarray(cam["w2c"], np.float32)
+
+    rgb_path = None
+    for cand in ("rgb.mp4", "rgb.avi", "rgb"):
+        p = os.path.join(data_directory, cand)
+        if os.path.exists(p):
+            rgb_path = p
+            break
+    if rgb_path is None:
+        raise FileNotFoundError(f"no rgb video in {data_directory}")
+    video, _ = io_utils.read_video_bcthw(rgb_path)  # (1,3,T,H,W) [-1,1]
+    images = (
+        (video[0].transpose(1, 2, 3, 0) + 1.0) * 127.5
+    ).clip(0, 255).astype(np.uint8)  # (T,H,W,3)
+
+    masks = None
+    mask_file = os.path.join(data_directory, "mask.npz")
+    if os.path.exists(mask_file):
+        masks = np.load(mask_file)["mask"]
+
+    n = min(len(depths), len(images), len(intrinsics), len(w2c))
+    sel = np.arange(0, n, frames_stride)
+    if max_frames is not None:
+        sel = sel[:max_frames]
+    depths = depths.astype(np.float32)[sel]
+    images = images[sel]
+    intrinsics = intrinsics[sel]
+    w2c = w2c[sel]
+    if masks is not None:
+        masks = masks[sel].astype(np.float32)
+
+    resolutions = np.tile(
+        [[depths.shape[2], depths.shape[1]]], (len(sel), 1)
+    )
+    focal_lengths = np.stack(
+        [intrinsics[:, 0, 0], intrinsics[:, 1, 1]], axis=1
+    )
+    principal_points = (
+        intrinsics[:, :2, 2] / resolutions
+    ).astype(np.float32)
+    cameras_to_world = np.linalg.inv(w2c)[:, :3, :].astype(np.float32)
+
+    return SeedingRequest(
+        request_id=str(uuid.uuid4()),
+        cameras_to_world=cameras_to_world,
+        focal_lengths=focal_lengths.astype(np.float32),
+        principal_points=principal_points,
+        resolutions=resolutions,
+        images=images,
+        depths=depths,
+        masks=masks,
+    )
+
+
 def camera_path_from_trajectory(
     trajectory: str, n_frames: int, movement_distance: float = 0.3,
     camera_rotation: str = "center_facing", center_depth: float = 2.0,
@@ -223,7 +313,12 @@ def camera_path_from_trajectory(
 def main(argv=None) -> None:
     p = argparse.ArgumentParser(description="GEN3C client")
     p.add_argument("--server", default="http://127.0.0.1:8000")
-    p.add_argument("--image", required=True)
+    p.add_argument("--image", default=None)
+    p.add_argument("--seed_dir", default=None,
+                   help="multi-frame (v2v) seeding from a reference-format"
+                        " data directory (camera/depth/mask npz + rgb)")
+    p.add_argument("--seed_max_frames", type=int, default=None)
+    p.add_argument("--seed_stride", type=int, default=1)
     p.add_argument("--trajectory", default="left")
     p.add_argument("--camera_path_json", default=None,
                    help="load a saved keyframe path instead of a preset")
@@ -235,15 +330,25 @@ def main(argv=None) -> None:
 
     from PIL import Image
 
+    if (args.image is None) == (args.seed_dir is None):
+        p.error("exactly one of --image / --seed_dir is required")
+
     client = Gen3cClient(args.server)
     log.info(f"server metadata: {client.metadata()}")
 
-    image = np.asarray(Image.open(args.image).convert("RGB"))
-    seed_res = client.seed_from_image(image)
-    log.info(
-        "seeded; estimated depth range "
-        f"{None if seed_res.depths is None else (float(seed_res.depths.min()), float(seed_res.depths.max()))}"
-    )
+    if args.seed_dir:
+        seed_res = client.seed_from_directory(
+            args.seed_dir, max_frames=args.seed_max_frames,
+            frames_stride=args.seed_stride,
+        )
+        log.info(f"seeded from {len(seed_res)} posed frames")
+    else:
+        image = np.asarray(Image.open(args.image).convert("RGB"))
+        seed_res = client.seed_from_image(image)
+        log.info(
+            "seeded; estimated depth range "
+            f"{None if seed_res.depths is None else (float(seed_res.depths.min()), float(seed_res.depths.max()))}"
+        )
 
     if args.camera_path_json:
         from gen3c_tpu.native.camera_path import CameraPath

@@ -243,6 +243,13 @@ class Gen3cPersistentModel(InferenceModel):
             depths_in = req.depths.astype(np.float32)
             if depths_in.shape[1:] != (h, w):
                 depths_in = _resize_depths_bhw(depths_in, h, w)
+        masks_in = None
+        if getattr(req, "masks", None) is not None:
+            masks_in = req.masks.astype(np.float32)
+            if masks_in.shape[1:] != (h, w):
+                # binary validity: resize then re-threshold
+                masks_in = (_resize_depths_bhw(masks_in, h, w) > 0.5)
+            masks_in = masks_in.astype(np.float32)
 
         if depths_in is None:
             depths = []
@@ -254,11 +261,15 @@ class Gen3cPersistentModel(InferenceModel):
             depths = depths_in
 
         imgs_bchw = images.transpose(0, 3, 1, 2) * 2 - 1
+        mask_arg = (
+            None if masks_in is None else jnp.asarray(masks_in[:, None])
+        )
         if n == 1:
             self.cache = Cache3DBuffer(
                 frame_buffer_max=self.preset.frame_buffer_max,
                 input_image=jnp.asarray(imgs_bchw),
                 input_depth=jnp.asarray(depths[:, None]),
+                input_mask=mask_arg,
                 input_w2c=jnp.asarray(w2cs),
                 input_intrinsics=jnp.asarray(ks),
             )
@@ -266,6 +277,7 @@ class Gen3cPersistentModel(InferenceModel):
             self.cache = Cache4D(
                 input_image=jnp.asarray(imgs_bchw),
                 input_depth=jnp.asarray(depths[:, None]),
+                input_mask=mask_arg,
                 input_w2c=jnp.asarray(w2cs),
                 input_intrinsics=jnp.asarray(ks),
                 input_format=["F", "C", "H", "W"],

@@ -174,6 +174,65 @@ def test_persistent_model_end_to_end():
     assert meta["seeded"] and meta["chunk_size"] == 9
 
 
+def test_seed_from_v2v_directory(tmp_path):
+    """Multi-frame (v2v) seeding from a reference-format data directory
+    (gui/api/v2v_utils.py:44-125): camera/depth/mask npz + rgb frames ->
+    SeedingRequest with masks -> Cache4D with input_mask."""
+    from PIL import Image as PILImage
+
+    from gen3c_tpu.serving.client import load_seeding_directory
+
+    n, h, w = 3, 40, 64
+    rng = np.random.RandomState(0)
+    depths = (1.5 + rng.rand(n, h, w)).astype(np.float16)
+    masks = rng.rand(n, h, w) > 0.3
+    intr = np.tile(
+        np.array([[0.9 * w, 0, w / 2], [0, 0.9 * w, h / 2], [0, 0, 1]],
+                 np.float32), (n, 1, 1))
+    w2c = np.tile(np.eye(4, dtype=np.float32), (n, 1, 1))
+    w2c[:, 0, 3] = np.linspace(0, 0.2, n)
+    np.savez(tmp_path / "depth.npz", depth=depths)
+    np.savez(tmp_path / "mask.npz", mask=masks)
+    np.savez(tmp_path / "camera.npz", intrinsics=intr, w2c=w2c)
+    rgb_dir = tmp_path / "rgb"
+    rgb_dir.mkdir()
+    for i in range(n):
+        PILImage.fromarray(
+            (rng.rand(h, w, 3) * 255).astype(np.uint8)
+        ).save(rgb_dir / f"{i:03d}.png")
+
+    req = load_seeding_directory(str(tmp_path))
+    assert req.images.shape == (n, h, w, 3)
+    assert req.depths.shape == (n, h, w)
+    assert req.masks.shape == (n, h, w)
+    assert req.cameras_to_world.shape == (n, 3, 4)
+    # c2w is the inverse of w2c (translation negated here)
+    np.testing.assert_allclose(
+        req.cameras_to_world[:, 0, 3], -w2c[:, 0, 3], atol=1e-6
+    )
+    # round-trips through the wire format
+    req2 = loads_api_message(dumps_api_message(req))
+    np.testing.assert_array_equal(req2.masks, req.masks)
+
+    # stride/max_frames selection
+    req_s = load_seeding_directory(str(tmp_path), max_frames=1,
+                                   frames_stride=2)
+    assert len(req_s) == 1
+
+    model = Gen3cPersistentModel(
+        model_preset="gen3c_tiny",
+        checkpoint_dir=None,
+        num_steps=2,
+        depth_source="heuristic",
+    )
+    model.seed_model(req)
+    assert type(model.cache).__name__ == "Cache4D"
+    assert model.cache.input_mask is not None
+    ph, pw = model.preset.height, model.preset.width
+    assert model.cache.input_image.shape[-2:] == (ph, pw)
+    assert model.cache.input_mask.shape[-2:] == (ph, pw)
+
+
 def test_persistent_model_seeds_at_native_resolution():
     """A client may seed at the image's NATIVE resolution (the GUI does):
     the server must resize to the preset's inference resolution with
