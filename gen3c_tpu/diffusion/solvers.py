@@ -24,7 +24,7 @@ from gen3c_tpu.diffusion.scheduler import EDMEulerSchedule
 Array = jax.Array
 X0Fn = Callable[[Array, Array], Array]
 
-SOLVERS = ("euler", "heun", "dpm2m", "rk4", "ddim", "res2ab")
+SOLVERS = ("euler", "heun", "dpm2m", "rk4", "ddim", "res2ab", "res2mid")
 
 
 def _phi1(t: Array) -> Array:
@@ -155,6 +155,30 @@ def sample_ode(
                 return x + h / 6.0 * (k1 + 2 * k2 + 2 * k3 + k4)
 
             return jax.lax.cond(s1 > 0, full, lambda _: x + h * k1, None)
+
+        return jax.lax.fori_loop(0, num_steps, body, x)
+
+    if solver == "res2mid":
+        # reference Sampler's default RK ("2mid", runge_kutta.py:182-204):
+        # Euler to the geometric midpoint s1 = sqrt(s*t), then the
+        # exponential-integrator 2nd-order step from both x0 predictions
+        # (2 net evaluations per step). The final step to sigma = 0
+        # degenerates to the plain Euler step, as in rk1_euler.
+
+        def body(i, x):
+            s, t = sigmas[i], sigmas[i + 1]
+            x0_s = x0_fn(x, jnp.maximum(s, 1e-10))
+
+            def full(_):
+                s1 = jnp.sqrt(jnp.maximum(s * t, 1e-20))
+                x_s1 = x * (s1 / s) + (1 - s1 / s) * x0_s
+                x0_s1 = x0_fn(x_s1, s1)
+                return res_x0_rk2_step(x, t, s, x0_s, s1, x0_s1)
+
+            def last(_):
+                return x * (t / s) + (1 - t / s) * x0_s
+
+            return jax.lax.cond(t > 0, full, last, None)
 
         return jax.lax.fori_loop(0, num_steps, body, x)
 

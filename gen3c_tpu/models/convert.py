@@ -79,6 +79,31 @@ def _skippable(key: str) -> bool:
     return k.startswith(("logvar", "pos_embedder."))
 
 
+def convert_logvar_state_dict(
+    state_dict: Mapping[str, Any], dtype=jnp.float32,
+) -> Dict[str, Any] | None:
+    """Extract the EDM logvar head (model_t2w.py:111-113:
+    Sequential(FourierFeatures(128, normalize=True),
+    Linear(128, 1, bias=False))) into the pytree consumed by
+    training.losses.logvar_fn. Returns None when the checkpoint has no
+    logvar keys (inference-only exports strip it). Keys may carry a
+    leading "model." as stored by the reference trainer."""
+    sd = {}
+    for k, v in state_dict.items():
+        if k.startswith("model."):
+            k = k[len("model.") :]
+        if k.startswith("logvar."):
+            sd[k] = v
+    if not sd:
+        return None
+    return {
+        "freqs": jnp.asarray(_a(sd["logvar.0.freqs"]), dtype),
+        "phases": jnp.asarray(_a(sd["logvar.0.phases"]), dtype),
+        # torch Linear stores (out, in) = (1, 128); ours is (128, 1)
+        "w": jnp.asarray(_t(sd["logvar.1.weight"]), dtype),
+    }
+
+
 def convert_dit_state_dict(
     state_dict: Mapping[str, Any], cfg: DiTConfig, dtype=jnp.float32,
     strict: bool = False,

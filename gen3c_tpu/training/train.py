@@ -46,6 +46,10 @@ def main(argv=None) -> None:
                         "between TP matmuls (needs tp>1 to have effect)")
     p.add_argument("--remat", action="store_true",
                    help="activation-checkpoint DiT blocks")
+    p.add_argument("--loss_add_logvar", action="store_true",
+                   help="Kendall uncertainty loss with a learned "
+                        "per-sigma logvar head (reference "
+                        "config.loss_add_logvar)")
     args = p.parse_args(flags)
 
     exp_overrides = {}
@@ -72,6 +76,8 @@ def main(argv=None) -> None:
         t_cfg = registry.apply_overrides(
             t_cfg, ["sequence_parallel=True"]
         )
+    if args.loss_add_logvar:
+        t_cfg = registry.apply_overrides(t_cfg, ["loss_add_logvar=True"])
 
     maybe_distributed_init()
     mesh = make_mesh(dp=args.dp, cp=args.cp, tp=args.tp)

@@ -83,6 +83,7 @@ def train_step(
     schedule: EDMEulerSchedule = EDMEulerSchedule(),
     remat: bool = False,
     sp_sharding=None,
+    loss_add_logvar: bool = False,
 ) -> Tuple[TrainState, dict]:
     """One optimizer step. batch keys:
     x0 (B,16,T,H,W), crossattn_emb (B,M,1024), extra_channels
@@ -91,6 +92,12 @@ def train_step(
     sp_sharding: optional NamedSharding for the DiT token stream —
     Megatron sequence parallelism via GSPMD constraints (see
     dit_forward).
+
+    loss_add_logvar: train with the Kendall uncertainty loss
+    (reference config.loss_add_logvar, model_image.py:232-235). The
+    state's params must then be the wrapper tree
+    {"net": dit_params, "logvar": init_logvar_params(key)} so the
+    logvar head trains alongside the network.
     """
     k_sigma, k_noise = jax.random.split(rng)
     B = batch["x0"].shape[0]
@@ -98,15 +105,17 @@ def train_step(
     noise = jax.random.normal(k_noise, batch["x0"].shape, jnp.float32)
 
     def loss_fn(params):
+        net_params = params["net"] if loss_add_logvar else params
         loss, per_sample = edm_loss(
             _net,
-            (params, cfg, remat, sp_sharding),
+            (net_params, cfg, remat, sp_sharding),
             batch["x0"].astype(jnp.float32),
             sigma,
             noise,
             batch["crossattn_emb"],
             batch["extra_channels"],
             schedule,
+            logvar_params=params["logvar"] if loss_add_logvar else None,
         )
         return loss, per_sample
 
@@ -134,6 +143,7 @@ def make_sharded_train_step(
     remat: bool = False,
     fsdp_axis: Optional[str] = None,
     sequence_parallel: bool = False,
+    loss_add_logvar: bool = False,
 ):
     """jit the train step with (dp, tp) shardings over the mesh.
 
@@ -172,7 +182,8 @@ def make_sharded_train_step(
         "extra_channels": NamedSharding(mesh, P("dp", None, "cp")),
     }
     step_fn = partial(train_step, cfg=cfg, optimizer=optimizer, remat=remat,
-                      sp_sharding=sp_sharding)
+                      sp_sharding=sp_sharding,
+                      loss_add_logvar=loss_add_logvar)
     # state shardings are inferred from the input state (device_put the
     # params with dit_param_shardings first — see parallel.sharding)
     return jax.jit(

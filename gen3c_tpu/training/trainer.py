@@ -50,6 +50,9 @@ class TrainerConfig:
     # kill a hung step after this many seconds via SIGALRM
     # (utils/trainer.py:108-109 timeout_period parity); 0 = off
     step_timeout_s: float = 0.0
+    # Kendall uncertainty loss with a learned per-sigma logvar head
+    # (reference config.loss_add_logvar, model_image.py:232-235)
+    loss_add_logvar: bool = False
 
 
 class Trainer:
@@ -80,10 +83,22 @@ class Trainer:
 
         setup_jax()  # persistent compile cache (remote compiles are slow)
         fsdp_axis = "dp" if config.fsdp else None
+        if config.loss_add_logvar and (
+            not isinstance(params, dict) or "logvar" not in params
+        ):
+            from gen3c_tpu.training.losses import init_logvar_params
+
+            params = {
+                "net": params,
+                "logvar": init_logvar_params(
+                    jax.random.PRNGKey(config.seed + 1)
+                ),
+            }
         self.step_fn, self.param_shardings = make_sharded_train_step(
             mesh, dit_cfg, self.optimizer, params,
             remat=config.remat, fsdp_axis=fsdp_axis,
             sequence_parallel=config.sequence_parallel,
+            loss_add_logvar=config.loss_add_logvar,
         )
         from gen3c_tpu.parallel.sharding import shard_params
 

@@ -139,6 +139,44 @@ def test_res2ab_loop_matches_reference_sampler_loop():
     np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-5)
 
 
+def test_res2mid_loop_matches_reference_rk2_mid():
+    """The res2mid trajectory == the reference Sampler's default RK
+    ("2mid": runge_kutta.py rk2_mid, geometric-midpoint exponential
+    integrator) driven step by step, with the final step to sigma=0
+    taken as the plain Euler step."""
+    import sys
+
+    import torch
+
+    sys.path.insert(0, "/root/reference")
+    from cosmos_predict1.diffusion.functional.runge_kutta import rk2_mid
+
+    from gen3c_tpu.diffusion.scheduler import EDMEulerSchedule
+
+    sch = EDMEulerSchedule()
+    sigmas = np.asarray(sch.sigmas(8))
+    noise = np.random.RandomState(11).randn(1, 4, 2, 4, 4).astype(np.float32)
+
+    def torch_x0_fn(x, s):
+        return x / (1 + s**2)
+
+    x = torch.from_numpy(noise) * sch.init_noise_sigma
+    for i in range(8):
+        s, t = float(sigmas[i]), float(sigmas[i + 1])
+        if t <= 0:
+            x = torch_x0_fn(x, torch.tensor([s]))
+            break
+        x, _ = rk2_mid(x, torch.tensor([s]), torch.tensor([t]),
+                       lambda xx, ss: xx / (1 + ss**2))
+    ref = x.numpy()
+
+    got = np.asarray(
+        sample_ode(lambda x, s: x / (1 + s**2), jnp.asarray(noise),
+                   num_steps=8, solver="res2mid")
+    )
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-5)
+
+
 def test_multistep_degenerate_lanes_finite():
     """On TPU, lax.cond over cheap elementwise branches lowers to a
     both-branches select, so the step functions are evaluated at the

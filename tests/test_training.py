@@ -212,3 +212,110 @@ def test_sequence_parallel_train_step_matches_baseline():
         loss_b, w_b = results[name]
         np.testing.assert_allclose(loss_a, loss_b, rtol=1e-5)
         np.testing.assert_allclose(w_a, w_b, rtol=1e-4, atol=1e-6)
+
+
+def test_logvar_head_matches_reference_module():
+    """logvar_fn == the reference torch Sequential(FourierFeatures(128,
+    normalize=True), Linear(128, 1, bias=False)) head with identical
+    weights (model_t2w.py:111-113), evaluated at c_noise = log(sigma)/4
+    (model_image.py:330)."""
+    import sys
+
+    import torch
+
+    from tests.reference_oracle import stub_cuda_stack
+
+    stub_cuda_stack()
+    sys.path.insert(0, "/root/reference")
+    from cosmos_predict1.diffusion.module.blocks import FourierFeatures
+
+    from gen3c_tpu.training.losses import init_logvar_params, logvar_fn
+
+    head = torch.nn.Sequential(
+        FourierFeatures(num_channels=128, normalize=True),
+        torch.nn.Linear(128, 1, bias=False),
+    )
+    params = init_logvar_params(jax.random.PRNGKey(3))
+    with torch.no_grad():
+        head[0].freqs.copy_(torch.from_numpy(np.asarray(params["freqs"])))
+        head[0].phases.copy_(torch.from_numpy(np.asarray(params["phases"])))
+        head[1].weight.copy_(
+            torch.from_numpy(np.asarray(params["w"]).T)
+        )
+    sigma = np.asarray([0.1, 0.5, 2.0, 40.0], np.float32)
+    c_noise = torch.from_numpy(0.25 * np.log(sigma))
+    ref = head(c_noise).detach().numpy()[:, 0]
+    got = np.asarray(logvar_fn(params, jnp.asarray(sigma)))
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-6)
+
+
+def test_convert_logvar_state_dict_roundtrip():
+    """A torch-layout logvar state dict converts to a pytree whose
+    logvar_fn output matches the torch head."""
+    import sys
+
+    import torch
+
+    from tests.reference_oracle import stub_cuda_stack
+
+    stub_cuda_stack()
+    sys.path.insert(0, "/root/reference")
+    from cosmos_predict1.diffusion.module.blocks import FourierFeatures
+
+    from gen3c_tpu.models.convert import convert_logvar_state_dict
+    from gen3c_tpu.training.losses import logvar_fn
+
+    torch.manual_seed(0)
+    head = torch.nn.Sequential(
+        FourierFeatures(num_channels=128, normalize=True),
+        torch.nn.Linear(128, 1, bias=False),
+    )
+    sd = {f"model.logvar.{k}": v.detach().numpy()
+          for k, v in head.state_dict().items()}
+    params = convert_logvar_state_dict(sd)
+    assert params is not None
+    sigma = np.asarray([0.3, 7.0], np.float32)
+    ref = head(torch.from_numpy(0.25 * np.log(sigma))).detach().numpy()[:, 0]
+    got = np.asarray(logvar_fn(params, jnp.asarray(sigma)))
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-6)
+    # no-logvar checkpoint -> None
+    assert convert_logvar_state_dict({"net.x": np.zeros(1)}) is None
+
+
+def test_kendall_logvar_training_step():
+    """loss_add_logvar: the Kendall loss equals
+    edm*exp(-logvar)+logvar, and one sharded step updates BOTH the net
+    and the logvar head (reference config.loss_add_logvar,
+    model_image.py:232-235)."""
+    from gen3c_tpu.training.losses import init_logvar_params, logvar_fn
+    from gen3c_tpu.training.train_step import (
+        init_train_state,
+        make_optimizer,
+        make_sharded_train_step,
+    )
+
+    mesh = make_mesh(dp=1, cp=1, tp=1, devices=jax.devices()[:1])
+    net = init_dit_params(jax.random.PRNGKey(0), TINY, jnp.float32)
+    params = {"net": net, "logvar": init_logvar_params(jax.random.PRNGKey(1))}
+    opt = make_optimizer(lr=2e-3, warmup_steps=1)
+    step_fn, _ = make_sharded_train_step(
+        mesh, TINY, opt, params, loss_add_logvar=True
+    )
+    state = init_train_state(params, opt)
+    batch = next(synthetic_latent_dataset(1, 16, 2, 4, 8))
+    w0 = np.asarray(state.params["logvar"]["w"]).copy()
+    for _ in range(2):  # step 0 is inside the lr warmup (lr=0)
+        state, metrics = step_fn(state, batch, jax.random.PRNGKey(42))
+    assert np.isfinite(float(metrics["loss"]))
+    assert not np.allclose(np.asarray(state.params["logvar"]["w"]), w0)
+
+    # formula check against a direct edm_loss call
+    from gen3c_tpu.training.losses import edm_loss as _edm
+
+    lv_params = {"freqs": jnp.zeros((4,)), "phases": jnp.zeros((4,)),
+                 "w": jnp.full((4, 1), 0.25)}
+    sigma = jnp.asarray([1.0, 2.0])
+    lv = np.asarray(logvar_fn(lv_params, sigma))
+    np.testing.assert_allclose(
+        lv, np.sqrt(2.0) * 4 * 0.25 * np.ones(2), rtol=1e-6
+    )
