@@ -48,6 +48,35 @@ def logvar_fn(params: dict, sigma: Array) -> Array:
     return (feats @ params["w"])[:, 0]
 
 
+def condition_dropout(
+    key: Array,
+    crossattn_emb: Array,  # (B, M, D)
+    extra_channels: Array,  # (B, C_extra, T, H, W)
+    text_rate: float = 0.2,
+    video_cond_rate: float = 0.0,
+) -> Tuple[Array, Array]:
+    """Training-time CFG condition dropout (conditioner.py:74-81 +
+    config/base/conditioner.py:44-49).
+
+    Text embeddings are zeroed PER SAMPLE with probability text_rate
+    (BaseConditionEntry.random_dropout_input: bernoulli(1-rate) per
+    batch row). The video conditioning flag is a PER BATCH Bernoulli
+    (BooleanFlag.random_dropout_input draws torch.ones(1)): when
+    dropped, video_cond_bool=False zeroes the condition input mask and
+    the GEN3C pose latents (model_v2w.py:75-80, model_gen3c.py:126-128)
+    — here, the whole extra_channels block."""
+    k_text, k_vid = jax.random.split(key)
+    B = crossattn_emb.shape[0]
+    keep_text = jax.random.bernoulli(
+        k_text, 1.0 - text_rate, (B,)
+    ).astype(crossattn_emb.dtype)
+    crossattn_emb = crossattn_emb * keep_text[:, None, None]
+    keep_vid = jax.random.bernoulli(k_vid, 1.0 - video_cond_rate, ()).astype(
+        extra_channels.dtype
+    )
+    return crossattn_emb, extra_channels * keep_vid
+
+
 def sample_sigma(
     key: Array, batch: int, p_mean: float = 0.0, p_std: float = 1.0,
     sigma_data: float = 0.5,
@@ -66,13 +95,24 @@ def edm_loss(
     extra_channels: Array,  # (B, C_extra, T, H, W) condition channels
     schedule: EDMEulerSchedule = EDMEulerSchedule(),
     logvar_params: Optional[dict] = None,
+    weights_per_sample: Optional[Array] = None,  # (B,) e.g. aesthetic
+    loss_mask: Optional[Array] = None,  # broadcastable to x0
+    loss_reduce: str = "mean",
+    loss_scale: float = 1.0,
 ) -> Tuple[Array, Array]:
     """Returns (scalar loss, per-sample EDM loss).
 
     With logvar_params, the scalar is the Kendall uncertainty-weighted
     loss (model_image.py:232-235, config.loss_add_logvar):
     edm * exp(-logvar(sigma)) + logvar(sigma); the per-sample aux stays
-    the raw EDM term for logging (reference returns both)."""
+    the raw EDM term for logging (reference returns both).
+
+    weights_per_sample / loss_mask: extra per-sample weight (aesthetic,
+    camera) and per-element mask (human faces/hands),
+    model_image.py:228-231. loss_reduce/loss_scale: model_image.py:291-296
+    — "mean" averages over all elements; "sum" sums each sample's
+    elements before the batch mean (the logvar term then scales by the
+    element count, since the reference adds it per element)."""
     s = sigma[:, None, None, None, None]
     xt = x0 + s * noise
     c_noise = 0.25 * jnp.log(sigma)
@@ -82,11 +122,20 @@ def edm_loss(
     f = net_fn(net_params, x_in, c_noise, crossattn_emb).astype(jnp.float32)
     denoised = schedule.c_skip(s) * xt + schedule.c_out(s) * f
     weight = (s**2 + schedule.sigma_data**2) / (s * schedule.sigma_data) ** 2
-    per_sample = jnp.mean(
-        weight * (denoised - x0.astype(jnp.float32)) ** 2, axis=(1, 2, 3, 4)
-    )
+    mse = (denoised - x0.astype(jnp.float32)) ** 2
+    if loss_mask is not None:
+        mse = mse * loss_mask.astype(jnp.float32)
+    per_sample = jnp.mean(weight * mse, axis=(1, 2, 3, 4))
+    if weights_per_sample is not None:
+        per_sample = per_sample * weights_per_sample.astype(jnp.float32)
     if logvar_params is not None:
         lv = logvar_fn(logvar_params, sigma)
         kendall = per_sample * jnp.exp(-lv) + lv
-        return kendall.mean(), per_sample
-    return per_sample.mean(), per_sample
+    else:
+        kendall = per_sample
+    if loss_reduce == "sum":
+        numel = np.prod(x0.shape[1:])
+        return kendall.mean() * float(numel) * loss_scale, per_sample
+    if loss_reduce != "mean":
+        raise ValueError(f"Invalid loss_reduce: {loss_reduce}")
+    return kendall.mean() * loss_scale, per_sample

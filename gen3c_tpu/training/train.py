@@ -50,6 +50,11 @@ def main(argv=None) -> None:
                    help="Kendall uncertainty loss with a learned "
                         "per-sigma logvar head (reference "
                         "config.loss_add_logvar)")
+    p.add_argument("--text_dropout_rate", type=float, default=0.0,
+                   help="per-sample CFG text-condition dropout "
+                        "(reference trains at 0.2); video-cond dropout "
+                        "and loss_reduce/loss_scale are trainer.* "
+                        "overrides")
     args = p.parse_args(flags)
 
     exp_overrides = {}
@@ -78,6 +83,10 @@ def main(argv=None) -> None:
         )
     if args.loss_add_logvar:
         t_cfg = registry.apply_overrides(t_cfg, ["loss_add_logvar=True"])
+    if args.text_dropout_rate:
+        t_cfg = registry.apply_overrides(
+            t_cfg, [f"text_dropout_rate={args.text_dropout_rate}"]
+        )
 
     maybe_distributed_init()
     mesh = make_mesh(dp=args.dp, cp=args.cp, tp=args.tp)

@@ -22,7 +22,11 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from gen3c_tpu.diffusion.scheduler import EDMEulerSchedule
 from gen3c_tpu.models.dit import DiTConfig, dit_forward
 from gen3c_tpu.training.ema import ema_update, power_ema_beta
-from gen3c_tpu.training.losses import edm_loss, sample_sigma
+from gen3c_tpu.training.losses import (
+    condition_dropout,
+    edm_loss,
+    sample_sigma,
+)
 
 Array = jax.Array
 
@@ -84,10 +88,20 @@ def train_step(
     remat: bool = False,
     sp_sharding=None,
     loss_add_logvar: bool = False,
+    text_dropout_rate: float = 0.0,
+    video_cond_dropout_rate: float = 0.0,
+    loss_reduce: str = "mean",
+    loss_scale: float = 1.0,
 ) -> Tuple[TrainState, dict]:
     """One optimizer step. batch keys:
     x0 (B,16,T,H,W), crossattn_emb (B,M,1024), extra_channels
-    (B,C_extra,T,H,W) condition channels (input mask + pose latents).
+    (B,C_extra,T,H,W) condition channels (input mask + pose latents);
+    optional weights_per_sample (B,) and loss_mask (broadcastable to x0)
+    — model_image.py:228-231.
+
+    text_dropout_rate / video_cond_dropout_rate: training-time CFG
+    condition dropout (conditioner.py:74-81; the reference trains text
+    at 0.2). loss_reduce/loss_scale: model_image.py:291-296.
 
     sp_sharding: optional NamedSharding for the DiT token stream —
     Megatron sequence parallelism via GSPMD constraints (see
@@ -99,10 +113,18 @@ def train_step(
     {"net": dit_params, "logvar": init_logvar_params(key)} so the
     logvar head trains alongside the network.
     """
-    k_sigma, k_noise = jax.random.split(rng)
+    k_sigma, k_noise, k_drop = jax.random.split(rng, 3)
     B = batch["x0"].shape[0]
     sigma = sample_sigma(k_sigma, B)
     noise = jax.random.normal(k_noise, batch["x0"].shape, jnp.float32)
+    crossattn_emb, extra_channels = batch["crossattn_emb"], batch[
+        "extra_channels"]
+    if text_dropout_rate > 0.0 or video_cond_dropout_rate > 0.0:
+        crossattn_emb, extra_channels = condition_dropout(
+            k_drop, crossattn_emb, extra_channels,
+            text_rate=text_dropout_rate,
+            video_cond_rate=video_cond_dropout_rate,
+        )
 
     def loss_fn(params):
         net_params = params["net"] if loss_add_logvar else params
@@ -112,10 +134,14 @@ def train_step(
             batch["x0"].astype(jnp.float32),
             sigma,
             noise,
-            batch["crossattn_emb"],
-            batch["extra_channels"],
+            crossattn_emb,
+            extra_channels,
             schedule,
             logvar_params=params["logvar"] if loss_add_logvar else None,
+            weights_per_sample=batch.get("weights_per_sample"),
+            loss_mask=batch.get("loss_mask"),
+            loss_reduce=loss_reduce,
+            loss_scale=loss_scale,
         )
         return loss, per_sample
 
@@ -144,8 +170,17 @@ def make_sharded_train_step(
     fsdp_axis: Optional[str] = None,
     sequence_parallel: bool = False,
     loss_add_logvar: bool = False,
+    text_dropout_rate: float = 0.0,
+    video_cond_dropout_rate: float = 0.0,
+    loss_reduce: str = "mean",
+    loss_scale: float = 1.0,
+    extra_batch_specs: Optional[dict] = None,
 ):
     """jit the train step with (dp, tp) shardings over the mesh.
+
+    extra_batch_specs: PartitionSpecs for optional batch keys beyond the
+    standard three (e.g. {"weights_per_sample": P("dp"),
+    "loss_mask": P("dp", None, "cp")}) — must match the batches fed in.
 
     Params/opt-state/EMA shard Megatron-style on 'tp'; the batch shards on
     'dp' (+ latent-T on 'cp' for context-parallel activation sharding).
@@ -181,9 +216,14 @@ def make_sharded_train_step(
         "crossattn_emb": NamedSharding(mesh, P("dp")),
         "extra_channels": NamedSharding(mesh, P("dp", None, "cp")),
     }
+    for k, spec in (extra_batch_specs or {}).items():
+        batch_sh[k] = NamedSharding(mesh, spec)
     step_fn = partial(train_step, cfg=cfg, optimizer=optimizer, remat=remat,
                       sp_sharding=sp_sharding,
-                      loss_add_logvar=loss_add_logvar)
+                      loss_add_logvar=loss_add_logvar,
+                      text_dropout_rate=text_dropout_rate,
+                      video_cond_dropout_rate=video_cond_dropout_rate,
+                      loss_reduce=loss_reduce, loss_scale=loss_scale)
     # state shardings are inferred from the input state (device_put the
     # params with dit_param_shardings first — see parallel.sharding)
     return jax.jit(

@@ -53,6 +53,14 @@ class TrainerConfig:
     # Kendall uncertainty loss with a learned per-sigma logvar head
     # (reference config.loss_add_logvar, model_image.py:232-235)
     loss_add_logvar: bool = False
+    # training-time CFG condition dropout (conditioner.py:74-81;
+    # reference text_dropout=0.2). Text is dropped per sample, the
+    # video conditioning per batch (BooleanFlag semantics)
+    text_dropout_rate: float = 0.0
+    video_cond_dropout_rate: float = 0.0
+    # loss reduction/scale (model_image.py:291-296)
+    loss_reduce: str = "mean"
+    loss_scale: float = 1.0
 
 
 class Trainer:
@@ -99,6 +107,10 @@ class Trainer:
             remat=config.remat, fsdp_axis=fsdp_axis,
             sequence_parallel=config.sequence_parallel,
             loss_add_logvar=config.loss_add_logvar,
+            text_dropout_rate=config.text_dropout_rate,
+            video_cond_dropout_rate=config.video_cond_dropout_rate,
+            loss_reduce=config.loss_reduce,
+            loss_scale=config.loss_scale,
         )
         from gen3c_tpu.parallel.sharding import shard_params
 

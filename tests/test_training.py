@@ -319,3 +319,105 @@ def test_kendall_logvar_training_step():
     np.testing.assert_allclose(
         lv, np.sqrt(2.0) * 4 * 0.25 * np.ones(2), rtol=1e-6
     )
+
+
+def test_condition_dropout_semantics():
+    """conditioner.py:74-81: text dropped PER SAMPLE (bernoulli(1-rate)
+    per batch row); video conditioning dropped PER BATCH (BooleanFlag
+    draws a single bernoulli)."""
+    from gen3c_tpu.training.losses import condition_dropout
+
+    rng = np.random.RandomState(0)
+    emb = jnp.asarray(rng.randn(64, 3, 5).astype(np.float32)) + 10.0
+    extra = jnp.asarray(rng.randn(64, 2, 2, 4, 4).astype(np.float32)) + 10.0
+
+    # rate 0 -> identity
+    e1, x1 = condition_dropout(jax.random.PRNGKey(0), emb, extra, 0.0, 0.0)
+    np.testing.assert_array_equal(np.asarray(e1), np.asarray(emb))
+    np.testing.assert_array_equal(np.asarray(x1), np.asarray(extra))
+
+    # rate 1 -> all zero
+    e2, x2 = condition_dropout(jax.random.PRNGKey(0), emb, extra, 1.0, 1.0)
+    assert np.all(np.asarray(e2) == 0) and np.all(np.asarray(x2) == 0)
+
+    # text at 0.5: some rows zeroed, others untouched (per-sample)
+    e3, x3 = condition_dropout(jax.random.PRNGKey(1), emb, extra, 0.5, 0.5)
+    row_zero = np.all(np.asarray(e3) == 0, axis=(1, 2))
+    assert 0 < row_zero.sum() < 64
+    kept = ~row_zero
+    np.testing.assert_array_equal(np.asarray(e3)[kept], np.asarray(emb)[kept])
+    # video at 0.5: all-or-nothing for the whole batch
+    x3 = np.asarray(x3)
+    assert np.all(x3 == 0) or np.array_equal(x3, np.asarray(extra))
+
+
+def test_loss_reduce_scale_mask_weights():
+    """model_image.py:228-231,291-296: loss_mask multiplies the MSE,
+    weights_per_sample scales each row, sum-reduce = per-sample element
+    sum then batch mean, loss_scale multiplies the scalar."""
+    from gen3c_tpu.diffusion.scheduler import EDMEulerSchedule
+
+    sched = EDMEulerSchedule()
+    rng = np.random.RandomState(1)
+    shape = (2, 4, 2, 4, 4)
+    x0 = jnp.asarray(rng.randn(*shape).astype(np.float32))
+    sigma = jnp.asarray([0.7, 1.3])
+    noise = jnp.asarray(rng.randn(*shape).astype(np.float32))
+    ctx = jnp.zeros((2, 1, 8), jnp.float32)
+    extra = jnp.zeros((2, 0, 2, 4, 4), jnp.float32)
+
+    def net(params, x_in, c_noise, _ctx):
+        return x_in[:, :4] * 0.1
+
+    base, per = edm_loss(net, None, x0, sigma, noise, ctx, extra, sched)
+    numel = int(np.prod(shape[1:]))
+
+    # sum reduce == mean * numel; loss_scale multiplies
+    s_sum, _ = edm_loss(net, None, x0, sigma, noise, ctx, extra, sched,
+                        loss_reduce="sum", loss_scale=0.5)
+    np.testing.assert_allclose(
+        float(s_sum), float(base) * numel * 0.5, rtol=1e-6)
+
+    # per-sample weights scale rows of the per-sample loss
+    w = jnp.asarray([2.0, 0.0])
+    s_w, per_w = edm_loss(net, None, x0, sigma, noise, ctx, extra, sched,
+                          weights_per_sample=w)
+    np.testing.assert_allclose(
+        np.asarray(per_w), np.asarray(per) * np.asarray(w), rtol=1e-6)
+
+    # a zero mask removes all loss; a half mask removes that region
+    mask0 = jnp.zeros(shape, jnp.float32)
+    s0, _ = edm_loss(net, None, x0, sigma, noise, ctx, extra, sched,
+                     loss_mask=mask0)
+    assert float(s0) == 0.0
+    with pytest.raises(ValueError):
+        edm_loss(net, None, x0, sigma, noise, ctx, extra, sched,
+                 loss_reduce="bogus")
+
+
+def test_train_step_with_dropout_and_optional_batch_keys():
+    """The sharded step accepts weights_per_sample/loss_mask via
+    extra_batch_specs and runs with condition dropout enabled."""
+    from jax.sharding import PartitionSpec as P
+    from gen3c_tpu.training.train_step import (
+        init_train_state,
+        make_optimizer,
+        make_sharded_train_step,
+    )
+
+    mesh = make_mesh(dp=1, cp=1, tp=1, devices=jax.devices()[:1])
+    params = init_dit_params(jax.random.PRNGKey(0), TINY, jnp.float32)
+    opt = make_optimizer(lr=1e-3, warmup_steps=1)
+    step_fn, _ = make_sharded_train_step(
+        mesh, TINY, opt, params,
+        text_dropout_rate=0.5, video_cond_dropout_rate=0.2,
+        loss_reduce="sum", loss_scale=1e-4,
+        extra_batch_specs={"weights_per_sample": P("dp"),
+                           "loss_mask": P("dp", None, "cp")},
+    )
+    state = init_train_state(params, opt)
+    batch = dict(next(synthetic_latent_dataset(2, 16, 2, 4, 8)))
+    batch["weights_per_sample"] = jnp.ones((2,), jnp.float32)
+    batch["loss_mask"] = jnp.ones((2, 16, 2, 4, 8), jnp.float32)
+    state, metrics = step_fn(state, batch, jax.random.PRNGKey(7))
+    assert np.isfinite(float(metrics["loss"]))
