@@ -54,7 +54,7 @@ def condition_dropout(
     extra_channels: Array,  # (B, C_extra, T, H, W)
     text_rate: float = 0.2,
     video_cond_rate: float = 0.0,
-) -> Tuple[Array, Array]:
+) -> Tuple[Array, Array, Array]:
     """Training-time CFG condition dropout (conditioner.py:74-81 +
     config/base/conditioner.py:44-49).
 
@@ -64,7 +64,12 @@ def condition_dropout(
     (BooleanFlag.random_dropout_input draws torch.ones(1)): when
     dropped, video_cond_bool=False zeroes the condition input mask and
     the GEN3C pose latents (model_v2w.py:75-80, model_gen3c.py:126-128)
-    — here, the whole extra_channels block."""
+    — here, the whole extra_channels block.
+
+    Returns (crossattn_emb, extra_channels, video_keep) — video_keep is
+    the scalar 0/1 flag so video-extend training can also drop the
+    condition-region latent replacement (extend_model.py:185-205,
+    cfg_unconditional_type="zero_condition_region_condition_mask")."""
     k_text, k_vid = jax.random.split(key)
     B = crossattn_emb.shape[0]
     keep_text = jax.random.bernoulli(
@@ -74,7 +79,34 @@ def condition_dropout(
     keep_vid = jax.random.bernoulli(k_vid, 1.0 - video_cond_rate, ()).astype(
         extra_channels.dtype
     )
-    return crossattn_emb, extra_channels * keep_vid
+    return crossattn_emb, extra_channels * keep_vid, keep_vid
+
+
+def sample_condition_indicator(
+    key: Array,
+    batch: int,
+    latent_t: int,
+    location: str = "first_random_n",
+    n_min: int = 0,
+    n_max: int = 4,
+    random_rate: float = 0.5,
+) -> Array:
+    """(B,1,T,1,1) training condition-region indicator
+    (config/base/conditioner.py:146-150 + extend_model
+    add_condition_video_indicator_and_video_input_mask "first_random_n"
+    / "random" branches): "first_random_n" marks the first n latent
+    frames with n ~ U{n_min..n_max} per sample; "random" marks each
+    frame i.i.d. Bernoulli(random_rate)."""
+    if location == "first_random_n":
+        n = jax.random.randint(key, (batch,), n_min, n_max + 1)
+        ind = (jnp.arange(latent_t)[None, :] < n[:, None]).astype(jnp.float32)
+    elif location == "random":
+        ind = jax.random.bernoulli(
+            key, random_rate, (batch, latent_t)
+        ).astype(jnp.float32)
+    else:
+        raise ValueError(f"Unknown condition_location {location}")
+    return ind[:, None, :, None, None]
 
 
 def sample_sigma(
@@ -99,6 +131,11 @@ def edm_loss(
     loss_mask: Optional[Array] = None,  # broadcastable to x0
     loss_reduce: str = "mean",
     loss_scale: float = 1.0,
+    condition_video_indicator: Optional[Array] = None,  # (B,1,T,1,1)
+    augment_sigma: Optional[Array] = None,  # (B,) condition corruption
+    augment_noise: Optional[Array] = None,  # like x0
+    video_cond_keep: Optional[Array] = None,  # scalar 0/1 CFG flag
+    compute_loss_for_condition_region: bool = False,
 ) -> Tuple[Array, Array]:
     """Returns (scalar loss, per-sample EDM loss).
 
@@ -112,15 +149,46 @@ def edm_loss(
     model_image.py:228-231. loss_reduce/loss_scale: model_image.py:291-296
     — "mean" averages over all elements; "sum" sums each sample's
     elements before the batch mean (the logvar term then scales by the
-    element count, since the reference adds it per element)."""
+    element count, since the reference adds it per element).
+
+    Video-extend training (extend_model.py:206-287 denoise): with
+    condition_video_indicator, the condition region of xt is replaced by
+    the augment-corrupted gt latent (x0 + augment_noise*augment_sigma),
+    rescaled by c_in(augment_sigma)/c_in(sigma) so the later c_in(sigma)
+    multiply lands it at c_in(augment_sigma)*augment_latent
+    (extend_model.py:165-183); the x0 prediction's condition region is
+    replaced by the gt latent (zero loss there) unless
+    compute_loss_for_condition_region. video_cond_keep=0 zeroes the
+    replacement region (CFG uncond, extend_model.py:185-205)."""
     s = sigma[:, None, None, None, None]
     xt = x0 + s * noise
+    if condition_video_indicator is not None:
+        ind = condition_video_indicator.astype(jnp.float32)
+        if augment_sigma is None:
+            augment_sigma = jnp.zeros_like(sigma)
+        aug_s = augment_sigma[:, None, None, None, None]
+        augment_latent = x0.astype(jnp.float32)
+        if augment_noise is not None:
+            augment_latent = augment_latent + augment_noise * aug_s
+        # c_in(aug)/c_in(s) pre-scale (cancelled by the c_in(s) below)
+        augment_latent = augment_latent * (
+            schedule.c_in(aug_s) / schedule.c_in(s)
+        )
+        if video_cond_keep is not None:
+            augment_latent = augment_latent * video_cond_keep
+        xt = ind * augment_latent + (1.0 - ind) * xt
     c_noise = 0.25 * jnp.log(sigma)
     x_in = jnp.concatenate(
         [xt * schedule.c_in(s), extra_channels.astype(xt.dtype)], axis=1
     )
     f = net_fn(net_params, x_in, c_noise, crossattn_emb).astype(jnp.float32)
     denoised = schedule.c_skip(s) * xt + schedule.c_out(s) * f
+    if (condition_video_indicator is not None
+            and not compute_loss_for_condition_region):
+        # x0_pred_replaced (extend_model.py:272-277): gt in the
+        # condition region -> that region contributes zero loss
+        ind = condition_video_indicator.astype(jnp.float32)
+        denoised = ind * x0.astype(jnp.float32) + (1.0 - ind) * denoised
     weight = (s**2 + schedule.sigma_data**2) / (s * schedule.sigma_data) ** 2
     mse = (denoised - x0.astype(jnp.float32)) ** 2
     if loss_mask is not None:

@@ -25,6 +25,7 @@ from gen3c_tpu.training.ema import ema_update, power_ema_beta
 from gen3c_tpu.training.losses import (
     condition_dropout,
     edm_loss,
+    sample_condition_indicator,
     sample_sigma,
 )
 
@@ -92,6 +93,13 @@ def train_step(
     video_cond_dropout_rate: float = 0.0,
     loss_reduce: str = "mean",
     loss_scale: float = 1.0,
+    video_extend: bool = False,
+    condition_location: str = "first_random_n",
+    first_random_n_min: int = 0,
+    first_random_n_max: int = 4,
+    random_condition_rate: float = 0.5,
+    augment_sigma_multiplier: float = 4.0,
+    compute_loss_for_condition_region: bool = False,
 ) -> Tuple[TrainState, dict]:
     """One optimizer step. batch keys:
     x0 (B,16,T,H,W), crossattn_emb (B,M,1024), extra_channels
@@ -103,6 +111,16 @@ def train_step(
     condition dropout (conditioner.py:74-81; the reference trains text
     at 0.2). loss_reduce/loss_scale: model_image.py:291-296.
 
+    video_extend=True trains the video-extend conditioning
+    (extend_model.py:206-287): a condition-region indicator is sampled
+    per step (condition_location "first_random_n"/"random",
+    config/base/conditioner.py:146-150) unless the batch carries
+    "condition_video_indicator"; the region's xt is replaced by the
+    augment-corrupted gt latent (augment sigma ~ lognormal *
+    augment_sigma_multiplier, extend_model.py:82-100) and excluded from
+    the loss; extra_channels' FIRST channel (the condition input mask)
+    is rebuilt from the sampled indicator.
+
     sp_sharding: optional NamedSharding for the DiT token stream —
     Megatron sequence parallelism via GSPMD constraints (see
     dit_forward).
@@ -113,18 +131,41 @@ def train_step(
     {"net": dit_params, "logvar": init_logvar_params(key)} so the
     logvar head trains alongside the network.
     """
-    k_sigma, k_noise, k_drop = jax.random.split(rng, 3)
+    k_sigma, k_noise, k_drop, k_ind, k_aug_s, k_aug_n = jax.random.split(
+        rng, 6)
     B = batch["x0"].shape[0]
     sigma = sample_sigma(k_sigma, B)
     noise = jax.random.normal(k_noise, batch["x0"].shape, jnp.float32)
     crossattn_emb, extra_channels = batch["crossattn_emb"], batch[
         "extra_channels"]
+    video_keep = None
     if text_dropout_rate > 0.0 or video_cond_dropout_rate > 0.0:
-        crossattn_emb, extra_channels = condition_dropout(
+        crossattn_emb, extra_channels, video_keep = condition_dropout(
             k_drop, crossattn_emb, extra_channels,
             text_rate=text_dropout_rate,
             video_cond_rate=video_cond_dropout_rate,
         )
+    indicator = augment_sigma = augment_noise = None
+    if video_extend:
+        indicator = batch.get("condition_video_indicator")
+        if indicator is None:
+            indicator = sample_condition_indicator(
+                k_ind, B, batch["x0"].shape[2],
+                location=condition_location,
+                n_min=first_random_n_min, n_max=first_random_n_max,
+                random_rate=random_condition_rate,
+            )
+        augment_sigma = sample_sigma(k_aug_s, B) * augment_sigma_multiplier
+        augment_noise = jax.random.normal(
+            k_aug_n, batch["x0"].shape, jnp.float32)
+        # the condition input mask channel must match the sampled region
+        _, _, T, H, W = extra_channels.shape
+        in_mask = jnp.broadcast_to(
+            indicator.astype(extra_channels.dtype), (B, 1, T, H, W))
+        if video_keep is not None:
+            in_mask = in_mask * video_keep
+        extra_channels = jnp.concatenate(
+            [in_mask, extra_channels[:, 1:]], axis=1)
 
     def loss_fn(params):
         net_params = params["net"] if loss_add_logvar else params
@@ -142,6 +183,12 @@ def train_step(
             loss_mask=batch.get("loss_mask"),
             loss_reduce=loss_reduce,
             loss_scale=loss_scale,
+            condition_video_indicator=indicator,
+            augment_sigma=augment_sigma,
+            augment_noise=augment_noise,
+            video_cond_keep=video_keep,
+            compute_loss_for_condition_region=(
+                compute_loss_for_condition_region),
         )
         return loss, per_sample
 
@@ -175,6 +222,7 @@ def make_sharded_train_step(
     loss_reduce: str = "mean",
     loss_scale: float = 1.0,
     extra_batch_specs: Optional[dict] = None,
+    **loss_kwargs,
 ):
     """jit the train step with (dp, tp) shardings over the mesh.
 
@@ -223,7 +271,8 @@ def make_sharded_train_step(
                       loss_add_logvar=loss_add_logvar,
                       text_dropout_rate=text_dropout_rate,
                       video_cond_dropout_rate=video_cond_dropout_rate,
-                      loss_reduce=loss_reduce, loss_scale=loss_scale)
+                      loss_reduce=loss_reduce, loss_scale=loss_scale,
+                      **loss_kwargs)
     # state shardings are inferred from the input state (device_put the
     # params with dit_param_shardings first — see parallel.sharding)
     return jax.jit(

@@ -61,6 +61,16 @@ class TrainerConfig:
     # loss reduction/scale (model_image.py:291-296)
     loss_reduce: str = "mean"
     loss_scale: float = 1.0
+    # video-extend conditioning training (extend_model.py:206-287):
+    # per-step condition-region sampling + gt-latent replacement with
+    # augment-sigma corruption; see train_step docstring
+    video_extend: bool = False
+    condition_location: str = "first_random_n"
+    first_random_n_min: int = 0
+    first_random_n_max: int = 4
+    random_condition_rate: float = 0.5
+    augment_sigma_multiplier: float = 4.0
+    compute_loss_for_condition_region: bool = False
 
 
 class Trainer:
@@ -111,6 +121,14 @@ class Trainer:
             video_cond_dropout_rate=config.video_cond_dropout_rate,
             loss_reduce=config.loss_reduce,
             loss_scale=config.loss_scale,
+            video_extend=config.video_extend,
+            condition_location=config.condition_location,
+            first_random_n_min=config.first_random_n_min,
+            first_random_n_max=config.first_random_n_max,
+            random_condition_rate=config.random_condition_rate,
+            augment_sigma_multiplier=config.augment_sigma_multiplier,
+            compute_loss_for_condition_region=(
+                config.compute_loss_for_condition_region),
         )
         from gen3c_tpu.parallel.sharding import shard_params
 

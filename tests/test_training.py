@@ -332,16 +332,16 @@ def test_condition_dropout_semantics():
     extra = jnp.asarray(rng.randn(64, 2, 2, 4, 4).astype(np.float32)) + 10.0
 
     # rate 0 -> identity
-    e1, x1 = condition_dropout(jax.random.PRNGKey(0), emb, extra, 0.0, 0.0)
+    e1, x1, _ = condition_dropout(jax.random.PRNGKey(0), emb, extra, 0.0, 0.0)
     np.testing.assert_array_equal(np.asarray(e1), np.asarray(emb))
     np.testing.assert_array_equal(np.asarray(x1), np.asarray(extra))
 
     # rate 1 -> all zero
-    e2, x2 = condition_dropout(jax.random.PRNGKey(0), emb, extra, 1.0, 1.0)
+    e2, x2, _ = condition_dropout(jax.random.PRNGKey(0), emb, extra, 1.0, 1.0)
     assert np.all(np.asarray(e2) == 0) and np.all(np.asarray(x2) == 0)
 
     # text at 0.5: some rows zeroed, others untouched (per-sample)
-    e3, x3 = condition_dropout(jax.random.PRNGKey(1), emb, extra, 0.5, 0.5)
+    e3, x3, kv = condition_dropout(jax.random.PRNGKey(1), emb, extra, 0.5, 0.5)
     row_zero = np.all(np.asarray(e3) == 0, axis=(1, 2))
     assert 0 < row_zero.sum() < 64
     kept = ~row_zero
@@ -349,6 +349,8 @@ def test_condition_dropout_semantics():
     # video at 0.5: all-or-nothing for the whole batch
     x3 = np.asarray(x3)
     assert np.all(x3 == 0) or np.array_equal(x3, np.asarray(extra))
+    assert float(kv) in (0.0, 1.0)
+    assert (float(kv) == 0.0) == np.all(x3 == 0)
 
 
 def test_loss_reduce_scale_mask_weights():
@@ -420,4 +422,122 @@ def test_train_step_with_dropout_and_optional_batch_keys():
     batch["weights_per_sample"] = jnp.ones((2,), jnp.float32)
     batch["loss_mask"] = jnp.ones((2, 16, 2, 4, 8), jnp.float32)
     state, metrics = step_fn(state, batch, jax.random.PRNGKey(7))
+    assert np.isfinite(float(metrics["loss"]))
+
+
+def test_sample_condition_indicator():
+    from gen3c_tpu.training.losses import sample_condition_indicator
+
+    ind = sample_condition_indicator(
+        jax.random.PRNGKey(0), 128, 6, "first_random_n", 0, 4)
+    assert ind.shape == (128, 1, 6, 1, 1)
+    ind = np.asarray(ind)[:, 0, :, 0, 0]
+    n = ind.sum(axis=1)
+    # prefix structure: frame t set iff t < n
+    for row, k in zip(ind, n):
+        assert np.array_equal(row, (np.arange(6) < k).astype(np.float32))
+    assert n.min() == 0 and n.max() == 4  # U{0..4} hits both ends at B=128
+
+    rnd = sample_condition_indicator(
+        jax.random.PRNGKey(1), 64, 8, "random", random_rate=0.5)
+    frac = float(np.asarray(rnd).mean())
+    assert 0.3 < frac < 0.7
+    with pytest.raises(ValueError):
+        sample_condition_indicator(jax.random.PRNGKey(0), 2, 4, "bogus")
+
+
+def test_video_extend_loss_semantics():
+    """extend_model.py:206-287: the condition region is replaced by the
+    augment-corrupted gt latent and excluded from the loss
+    (x0_pred_replaced), so (a) an all-ones indicator gives zero loss,
+    (b) with an elementwise net the extend loss equals masking the loss
+    to the generation region, and (c) the replaced region of x_in
+    carries c_in(augment_sigma)*augment_latent."""
+    from gen3c_tpu.diffusion.scheduler import EDMEulerSchedule
+
+    sched = EDMEulerSchedule()
+    rng = np.random.RandomState(3)
+    shape = (2, 4, 4, 4, 4)
+    x0 = jnp.asarray(rng.randn(*shape).astype(np.float32))
+    sigma = jnp.asarray([0.9, 2.1])
+    noise = jnp.asarray(rng.randn(*shape).astype(np.float32))
+    aug_sigma = jnp.asarray([0.3, 1.7])
+    aug_noise = jnp.asarray(rng.randn(*shape).astype(np.float32))
+    ctx = jnp.zeros((2, 1, 8), jnp.float32)
+    extra = jnp.zeros((2, 0, 4, 4, 4), jnp.float32)
+
+    def net(params, x_in, c_noise, _ctx):
+        return x_in[:, :4] * 0.1
+
+    # (a) fully conditioned -> zero loss
+    ones = jnp.ones((2, 1, 4, 1, 1), jnp.float32)
+    s_all, _ = edm_loss(net, None, x0, sigma, noise, ctx, extra, sched,
+                        condition_video_indicator=ones,
+                        augment_sigma=aug_sigma, augment_noise=aug_noise)
+    assert float(s_all) == 0.0
+
+    # (b) first-2-frames condition == loss_mask over the complement
+    ind = jnp.zeros((2, 1, 4, 1, 1), jnp.float32).at[:, :, :2].set(1.0)
+    s_ext, per_ext = edm_loss(net, None, x0, sigma, noise, ctx, extra,
+                              sched, condition_video_indicator=ind,
+                              augment_sigma=aug_sigma,
+                              augment_noise=aug_noise)
+    gen_mask = 1.0 - jnp.broadcast_to(ind, shape)
+    s_msk, per_msk = edm_loss(net, None, x0, sigma, noise, ctx, extra,
+                              sched, loss_mask=gen_mask)
+    np.testing.assert_allclose(np.asarray(per_ext), np.asarray(per_msk),
+                               rtol=1e-5)
+
+    # (c) composed region: denoised(region) = c_skip(s)*aug_latent*
+    #     c_in(aug)/c_in(s) + c_out(s)*0.1*c_in(aug)*aug_latent,
+    #     but verified via compute_loss_for_condition_region=True against
+    #     a manual composition
+    s_c, per_c = edm_loss(net, None, x0, sigma, noise, ctx, extra, sched,
+                          condition_video_indicator=ones,
+                          augment_sigma=aug_sigma, augment_noise=aug_noise,
+                          compute_loss_for_condition_region=True)
+    s_ = np.asarray(sigma)[:, None, None, None, None]
+    a_ = np.asarray(aug_sigma)[:, None, None, None, None]
+    aug_latent = np.asarray(x0) + np.asarray(aug_noise) * a_
+    c_in = lambda s: 1.0 / np.sqrt(s**2 + sched.sigma_data**2)
+    c_skip = lambda s: sched.sigma_data**2 / (s**2 + sched.sigma_data**2)
+    c_out = lambda s: s * sched.sigma_data / np.sqrt(s**2 + sched.sigma_data**2)
+    xt_new = aug_latent * c_in(a_) / c_in(s_)
+    denoised = c_skip(s_) * xt_new + c_out(s_) * 0.1 * c_in(s_) * xt_new
+    w = (s_**2 + sched.sigma_data**2) / (s_ * sched.sigma_data) ** 2
+    expect = (w * (denoised - np.asarray(x0)) ** 2).mean(axis=(1, 2, 3, 4))
+    np.testing.assert_allclose(np.asarray(per_c), expect, rtol=1e-4)
+
+    # video_cond_keep=0 zeroes the replacement region
+    s_k, per_k = edm_loss(net, None, x0, sigma, noise, ctx, extra, sched,
+                          condition_video_indicator=ones,
+                          augment_sigma=aug_sigma, augment_noise=aug_noise,
+                          video_cond_keep=jnp.zeros(()),
+                          compute_loss_for_condition_region=True)
+    denoised0 = np.zeros_like(denoised)
+    expect0 = (w * (denoised0 - np.asarray(x0)) ** 2).mean(axis=(1, 2, 3, 4))
+    np.testing.assert_allclose(np.asarray(per_k), expect0, rtol=1e-4)
+
+
+def test_video_extend_sharded_step():
+    """The sharded step runs video-extend training (indicator sampled
+    per step, extra_channels mask channel rebuilt) and trains."""
+    from gen3c_tpu.training.train_step import (
+        init_train_state,
+        make_optimizer,
+        make_sharded_train_step,
+    )
+
+    mesh = make_mesh(dp=1, cp=1, tp=1, devices=jax.devices()[:1])
+    params = init_dit_params(jax.random.PRNGKey(0), TINY, jnp.float32)
+    opt = make_optimizer(lr=1e-3, warmup_steps=1)
+    step_fn, _ = make_sharded_train_step(
+        mesh, TINY, opt, params,
+        video_extend=True, first_random_n_max=1,
+        text_dropout_rate=0.2, video_cond_dropout_rate=0.2,
+    )
+    state = init_train_state(params, opt)
+    batch = next(synthetic_latent_dataset(2, 16, 2, 4, 8))
+    for i in range(2):
+        state, metrics = step_fn(state, batch, jax.random.PRNGKey(i))
     assert np.isfinite(float(metrics["loss"]))
