@@ -65,6 +65,18 @@ class MultiviewPreset:
     width: int = 848
     num_video_frames: int = 57  # per view (reference default/only choice)
 
+    @property
+    def state_shape(self):
+        """Latent (C, V*T, H', W') — views stacked on the frame axis
+        (extend_model_multiview.py:43-45)."""
+        lat_t = (self.num_video_frames - 1) // self.vae.temporal_compression + 1
+        return (
+            self.vae.latent_channels,
+            self.dit.n_views * lat_t,
+            self.height // self.vae.spatial_compression,
+            self.width // self.vae.spatial_compression,
+        )
+
 
 MV_T2W_7B = MultiviewPreset(
     name="cosmos_t2w_mv_7b",

@@ -90,13 +90,17 @@ def sample_condition_indicator(
     n_min: int = 0,
     n_max: int = 4,
     random_rate: float = 0.5,
+    n_views: int = 1,
 ) -> Array:
-    """(B,1,T,1,1) training condition-region indicator
+    """(B,1,n_views*T,1,1) training condition-region indicator
     (config/base/conditioner.py:146-150 + extend_model
     add_condition_video_indicator_and_video_input_mask "first_random_n"
     / "random" branches): "first_random_n" marks the first n latent
     frames with n ~ U{n_min..n_max} per sample; "random" marks each
-    frame i.i.d. Bernoulli(random_rate)."""
+    frame i.i.d. Bernoulli(random_rate). latent_t is the PER-VIEW
+    latent length; with n_views>1 the same per-view pattern repeats for
+    every view (extend_model_multiview.py:195-230 rearranges
+    (V T) -> V,T, marks the first n of each view, and folds back)."""
     if location == "first_random_n":
         n = jax.random.randint(key, (batch,), n_min, n_max + 1)
         ind = (jnp.arange(latent_t)[None, :] < n[:, None]).astype(jnp.float32)
@@ -106,6 +110,8 @@ def sample_condition_indicator(
         ).astype(jnp.float32)
     else:
         raise ValueError(f"Unknown condition_location {location}")
+    if n_views > 1:
+        ind = jnp.tile(ind, (1, n_views))
     return ind[:, None, :, None, None]
 
 

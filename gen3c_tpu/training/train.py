@@ -98,8 +98,17 @@ def main(argv=None) -> None:
     log.info(f"experiment={exp_name} mesh={dict(mesh.shape)}")
 
     from gen3c_tpu.models.dit import init_dit_params
+    from gen3c_tpu.models.dit_multiview import (
+        MultiviewDiTConfig,
+        init_multiview_dit_params,
+    )
 
-    params = init_dit_params(jax.random.PRNGKey(t_cfg.seed), preset.dit)
+    if isinstance(preset.dit, MultiviewDiTConfig):
+        params = init_multiview_dit_params(
+            jax.random.PRNGKey(t_cfg.seed), preset.dit
+        )
+    else:
+        params = init_dit_params(jax.random.PRNGKey(t_cfg.seed), preset.dit)
     trainer = Trainer(t_cfg, mesh, preset.dit, params)
 
     if args.data_root:
@@ -111,8 +120,11 @@ def main(argv=None) -> None:
     else:
         C, T, Hl, Wl = preset.state_shape
         extra = preset.dit.in_channels - C
+        # multiview context stacks per-view text embeddings on M
+        ctx_len = 16 * getattr(preset.dit, "n_views", 1)
         data = synthetic_latent_dataset(
-            args.batch_size, C, T, Hl, Wl, extra_channels=extra
+            args.batch_size, C, T, Hl, Wl, extra_channels=extra,
+            ctx_len=ctx_len,
         )
 
     state = trainer.train(data)

@@ -75,6 +75,18 @@ def init_train_state(params, optimizer) -> TrainState:
 
 def _net(bundle, x, t, ctx):
     params, cfg, remat, sp_sharding = bundle
+    from gen3c_tpu.models.dit_multiview import (
+        MultiviewDiTConfig,
+        multiview_dit_forward,
+    )
+
+    if isinstance(cfg, MultiviewDiTConfig):
+        # multiview training (extend_model_multiview.py): per-view
+        # cross-attn/pos-emb forward; remat wraps the whole net (the
+        # multiview forward has no per-block remat hook)
+        fwd = lambda p, xx: multiview_dit_forward(p, cfg, xx, t, ctx,
+                                                  fps=24.0)
+        return jax.checkpoint(fwd)(params, x) if remat else fwd(params, x)
     return dit_forward(params, cfg, x, t, ctx, fps=24.0, remat=remat,
                        sp_sharding=sp_sharding)
 
@@ -149,11 +161,12 @@ def train_step(
     if video_extend:
         indicator = batch.get("condition_video_indicator")
         if indicator is None:
+            n_views = getattr(cfg, "n_views", 1)
             indicator = sample_condition_indicator(
-                k_ind, B, batch["x0"].shape[2],
+                k_ind, B, batch["x0"].shape[2] // n_views,
                 location=condition_location,
                 n_min=first_random_n_min, n_max=first_random_n_max,
-                random_rate=random_condition_rate,
+                random_rate=random_condition_rate, n_views=n_views,
             )
         augment_sigma = sample_sigma(k_aug_s, B) * augment_sigma_multiplier
         augment_noise = jax.random.normal(
@@ -242,7 +255,14 @@ def make_sharded_train_step(
     reduce-scatter + all-gather around each attn/MLP in place of
     all-reduce and the norm/adaLN work runs on L/tp tokens per rank.
     """
+    from gen3c_tpu.models.dit_multiview import MultiviewDiTConfig
     from gen3c_tpu.parallel.sharding import dit_param_pspecs
+
+    if sequence_parallel and isinstance(cfg, MultiviewDiTConfig):
+        raise ValueError(
+            "sequence_parallel is not supported for multiview training "
+            "(the multiview forward has no SP constraint hook)"
+        )
 
     # token stream (B, L, D): keep the batch on 'dp' and shard the
     # merged token axis over BOTH 'cp' and 'tp' — constraining with a

@@ -109,6 +109,10 @@ def _register_builtin_presets() -> None:
     register("experiment", "GEN3C_Cosmos_7B", factory.GEN3C_7B_PRESET)
     for name, preset in text2world.T2W_PRESETS.items():
         register("experiment", name, preset)
+    from gen3c_tpu.pipelines import text2world_multiview
+
+    for name, preset in text2world_multiview.MV_PRESETS.items():
+        register("experiment", name, preset)
 
 
 try:

@@ -541,3 +541,61 @@ def test_video_extend_sharded_step():
     for i in range(2):
         state, metrics = step_fn(state, batch, jax.random.PRNGKey(i))
     assert np.isfinite(float(metrics["loss"]))
+
+
+def test_multiview_training_step():
+    """Multiview DiT trains through the same sharded step: _net
+    dispatches on MultiviewDiTConfig (extend_model_multiview.py), the
+    video-extend indicator repeats per view."""
+    from gen3c_tpu.models.dit_multiview import (
+        MultiviewDiTConfig,
+        init_multiview_dit_params,
+    )
+    from gen3c_tpu.training.losses import sample_condition_indicator
+    from gen3c_tpu.training.train_step import (
+        init_train_state,
+        make_optimizer,
+        make_sharded_train_step,
+    )
+
+    # per-view indicator tiling
+    ind = sample_condition_indicator(
+        jax.random.PRNGKey(0), 8, 3, "first_random_n", 0, 2, n_views=2)
+    assert ind.shape == (8, 1, 6, 1, 1)
+    flat = np.asarray(ind)[:, 0, :, 0, 0]
+    np.testing.assert_array_equal(flat[:, :3], flat[:, 3:])
+
+    cfg = MultiviewDiTConfig(
+        in_channels=17, model_channels=64, num_blocks=1, num_heads=2,
+        adaln_lora_dim=8, n_views=2, view_condition_dim=3,
+        add_repeat_frame_embedding=True, dtype=jnp.float32,
+    )
+    mesh = make_mesh(dp=2, cp=1, tp=1, devices=jax.devices()[:2])
+    params = init_multiview_dit_params(jax.random.PRNGKey(0), cfg)
+    opt = make_optimizer(lr=1e-3, warmup_steps=1)
+    step_fn, _ = make_sharded_train_step(
+        mesh, cfg, opt, params, video_extend=True, first_random_n_max=1)
+    # the step donates its state (which aliases params): build every
+    # state BEFORE the first call
+    state = init_train_state(jax.tree.map(jnp.copy, params), opt)
+    state_r = init_train_state(jax.tree.map(jnp.copy, params), opt)
+    # V=2 views of T=2 latent frames stacked -> VT=4; ctx M=4 per view
+    batch = {
+        "x0": jnp.asarray(
+            np.random.RandomState(0).randn(2, 16, 4, 4, 8), jnp.float32),
+        "crossattn_emb": jnp.asarray(
+            np.random.RandomState(1).randn(2, 8, 1024), jnp.float32),
+        "extra_channels": jnp.asarray(
+            np.random.RandomState(2).randn(2, 1, 4, 4, 8), jnp.float32),
+    }
+    state, metrics = step_fn(state, batch, jax.random.PRNGKey(3))
+    assert np.isfinite(float(metrics["loss"]))
+    # remat path (whole-net checkpoint) also runs
+    step_fn_r, _ = make_sharded_train_step(
+        mesh, cfg, opt, params, remat=True)
+    state2, metrics2 = step_fn_r(state_r, batch, jax.random.PRNGKey(3))
+    assert np.isfinite(float(metrics2["loss"]))
+    # SP is rejected for multiview
+    with pytest.raises(ValueError):
+        make_sharded_train_step(
+            mesh, cfg, opt, params, sequence_parallel=True)
