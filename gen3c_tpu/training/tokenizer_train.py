@@ -33,6 +33,54 @@ def _gradients(x: Array) -> Tuple[Array, Array]:
     return dh, dw
 
 
+def piecewise_weight(iteration: Array, boundaries, values) -> Array:
+    """Iteration-scheduled loss weight (continuous.py:63-74
+    WeightScheduler): returns values[i] for the first boundary the
+    iteration is below, else values[-1]. jit-friendly (iteration may be
+    traced); len(values) == len(boundaries) + 1 or == len(boundaries)
+    (reference zips and falls through to values[-1])."""
+    b = jnp.asarray(list(boundaries))
+    v = jnp.asarray(list(values) + [values[-1]], jnp.float32)
+    idx = jnp.searchsorted(b, iteration, side="right")
+    return v[jnp.minimum(idx, len(values))]
+
+
+def video_consistency_windows(video: Array, num_frames: int,
+                              step: int) -> Array:
+    """Sliding windows along T (continuous.py:400-416 shuffle):
+    (B,3,T,H,W) -> (B*num_windows, 3, num_frames, H, W)."""
+    B, C, T, H, W = video.shape
+    assert T >= num_frames, (T, num_frames)
+    n_win = (T - num_frames) // step + 1
+    wins = jnp.stack(
+        [video[:, :, i * step : i * step + num_frames] for i in range(n_win)],
+        axis=1,
+    )  # (B, n_win, C, nf, H, W)
+    return wins.reshape(B * n_win, C, num_frames, H, W)
+
+
+def video_consistency_loss(
+    params: Dict[str, Array],
+    cfg: VAEConfig,
+    video: Array,  # (B, 3, T, H, W)
+    num_frames: int,
+    step: int,
+) -> Array:
+    """Overlapped-window reconstruction consistency
+    (continuous.py:391-440 VideoConsistencyLoss): each sliding window is
+    tokenized INDEPENDENTLY; the L1 between the overlapping frames of
+    consecutive windows' reconstructions penalizes chunk-boundary
+    flicker (the artifact the 121-frame chunk policy hits)."""
+    B = video.shape[0]
+    wins = video_consistency_windows(video, num_frames, step)
+    recon = vae_decode(params, cfg, vae_encode(params, cfg, wins))
+    n_win = wins.shape[0] // B
+    recon = recon.reshape(B, n_win, *recon.shape[1:]).astype(jnp.float32)
+    return jnp.mean(
+        jnp.abs(recon[:, :-1, :, step:] - recon[:, 1:, :, :-step])
+    )
+
+
 def tokenizer_loss(
     params: Dict[str, Array],
     cfg: VAEConfig,
@@ -42,7 +90,21 @@ def tokenizer_loss(
     w_grad: float = 0.5,
     w_temporal: float = 0.5,
     w_latent: float = 1e-4,
+    w_consistency: float = 0.0,
+    consistency_frames: int = 0,
+    consistency_step: int = 1,
+    iteration: Array | int = 0,
+    schedules: Dict[str, Tuple] | None = None,
 ) -> Tuple[Array, dict]:
+    """schedules: optional {"l1"|"mse"|"grad"|"temporal"|"consistency":
+    (boundaries, values)} iteration-dependent multipliers
+    (WeightScheduler parity; applied ON TOP of the w_* base weight)."""
+    def sched(name):
+        if schedules and name in schedules:
+            b, v = schedules[name]
+            return piecewise_weight(iteration, b, v)
+        return 1.0
+
     latent = vae_encode(params, cfg, video)
     recon = vae_decode(params, cfg, latent)
     vf = video.astype(jnp.float32)
@@ -59,19 +121,26 @@ def tokenizer_loss(
     latent_reg = jnp.mean(latent.astype(jnp.float32) ** 2)
 
     loss = (
-        w_l1 * l1
-        + w_mse * mse
-        + w_grad * grad_loss
-        + w_temporal * temporal
+        w_l1 * sched("l1") * l1
+        + w_mse * sched("mse") * mse
+        + w_grad * sched("grad") * grad_loss
+        + w_temporal * sched("temporal") * temporal
         + w_latent * latent_reg
     )
-    return loss, {
-        "loss": loss,
+    metrics = {
         "l1": l1,
         "mse": mse,
         "grad": grad_loss,
         "temporal": temporal,
     }
+    if w_consistency > 0.0 and consistency_frames > 0:
+        consistency = video_consistency_loss(
+            params, cfg, video, consistency_frames, consistency_step
+        )
+        loss = loss + w_consistency * sched("consistency") * consistency
+        metrics["consistency"] = consistency
+    metrics["loss"] = loss
+    return loss, metrics
 
 
 def tokenizer_train_step(
@@ -80,9 +149,13 @@ def tokenizer_train_step(
     video: Array,
     cfg: VAEConfig,
     optimizer: optax.GradientTransformation,
+    iteration: Array | int = 0,
+    **loss_kwargs,
 ) -> Tuple[Any, Any, dict]:
     (loss, metrics), grads = jax.value_and_grad(
-        lambda p: tokenizer_loss(p, cfg, video), has_aux=True
+        lambda p: tokenizer_loss(p, cfg, video, iteration=iteration,
+                                 **loss_kwargs),
+        has_aux=True,
     )(params)
     updates, opt_state = optimizer.update(grads, opt_state, params)
     params = optax.apply_updates(params, updates)
@@ -117,6 +190,13 @@ def main(argv=None) -> None:
     p.add_argument("--save", type=str, default=None)
     p.add_argument("--channels", type=int, default=16)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--w_consistency", type=float, default=0.0,
+                   help="overlapped-window reconstruction consistency "
+                        "weight (reference VideoConsistencyLoss)")
+    p.add_argument("--consistency_frames", type=int, default=0,
+                   help="sliding-window length (8k+1) for "
+                        "--w_consistency")
+    p.add_argument("--consistency_step", type=int, default=8)
     args = p.parse_args(argv)
     from gen3c_tpu.utils.jax_setup import setup_jax
 
@@ -136,7 +216,12 @@ def main(argv=None) -> None:
     optimizer = optax.adamw(args.lr)
     opt_state = optimizer.init(params)
     step = jax.jit(
-        lambda p, o, v: tokenizer_train_step(p, o, v, cfg, optimizer)
+        lambda p, o, v, it: tokenizer_train_step(
+            p, o, v, cfg, optimizer, iteration=it,
+            w_consistency=args.w_consistency,
+            consistency_frames=args.consistency_frames,
+            consistency_step=args.consistency_step,
+        )
     )
 
     rng = np.random.RandomState(args.seed)
@@ -182,7 +267,9 @@ def main(argv=None) -> None:
 
     it = batches()
     for i in range(1, args.max_iter + 1):
-        params, opt_state, metrics = step(params, opt_state, next(it))
+        params, opt_state, metrics = step(
+            params, opt_state, next(it), jnp.asarray(i)
+        )
         if i % args.log_every == 0:
             log.info(
                 f"tokenizer step {i}: loss {float(metrics['loss']):.4f} "

@@ -178,3 +178,87 @@ def test_hang_watchdog_kills_hung_step():
     cb.on_train_end(None)
     # handler restored; alarm clear
     assert signal.getsignal(signal.SIGALRM) is not cb._handler
+
+
+def test_piecewise_weight_scheduler():
+    """WeightScheduler parity (continuous.py:63-74): value[i] for the
+    first boundary the iteration is under, last value after."""
+    import numpy as np
+    import jax.numpy as jnp
+    from gen3c_tpu.training.tokenizer_train import piecewise_weight
+
+    b, v = [100, 1000], [0.0, 0.5, 1.0]
+    for it, want in [(0, 0.0), (99, 0.0), (100, 0.5), (999, 0.5),
+                     (1000, 1.0), (5000, 1.0)]:
+        got = float(piecewise_weight(jnp.asarray(it), b, v))
+        assert got == want, (it, got, want)
+    # reference also allows len(values) == len(boundaries) (falls
+    # through to values[-1])
+    assert np.isclose(float(piecewise_weight(jnp.asarray(50), [100], [0.3])), 0.3)
+    assert np.isclose(float(piecewise_weight(jnp.asarray(200), [100], [0.3])), 0.3)
+
+
+def test_video_consistency_loss():
+    """VideoConsistencyLoss (continuous.py:391-440): zero for a perfect
+    time-invariant tokenizer on a static video, positive when windows
+    reconstruct differently; windows fold to (B*n_win, C, nf, H, W)."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from gen3c_tpu.models import vae as jvae
+    from gen3c_tpu.training.tokenizer_train import (
+        video_consistency_loss,
+        video_consistency_windows,
+    )
+
+    video = jnp.asarray(
+        np.random.RandomState(0).rand(2, 3, 17, 16, 16).astype(np.float32)
+    )
+    wins = video_consistency_windows(video, num_frames=9, step=8)
+    assert wins.shape == (4, 3, 9, 16, 16)
+    # window contents line up with the slices
+    np.testing.assert_array_equal(
+        np.asarray(wins[0]), np.asarray(video[0, :, :9]))
+    np.testing.assert_array_equal(
+        np.asarray(wins[1]), np.asarray(video[0, :, 8:17]))
+
+    cfg = jvae.VAEConfig(
+        channels=16, channels_mult=(2, 4, 4), num_res_blocks=1,
+        attn_resolutions=(), resolution=16, patch_size=4,
+        latent_channels=4, z_channels=4,
+    )
+    params = jvae.init_vae_params(jax.random.PRNGKey(0), cfg)
+    loss = float(video_consistency_loss(params, cfg, video, 9, 8))
+    assert np.isfinite(loss) and loss >= 0.0
+
+
+def test_tokenizer_loss_with_consistency_and_schedule():
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from gen3c_tpu.models import vae as jvae
+    from gen3c_tpu.training.tokenizer_train import tokenizer_loss
+
+    cfg = jvae.VAEConfig(
+        channels=16, channels_mult=(2, 4, 4), num_res_blocks=1,
+        attn_resolutions=(), resolution=16, patch_size=4,
+        latent_channels=4, z_channels=4,
+    )
+    params = jvae.init_vae_params(jax.random.PRNGKey(0), cfg)
+    video = jnp.asarray(
+        np.random.RandomState(1).rand(1, 3, 17, 16, 16).astype(np.float32)
+        * 2 - 1
+    )
+    loss, m = tokenizer_loss(
+        params, cfg, video, w_consistency=0.5, consistency_frames=9,
+        consistency_step=8, iteration=jnp.asarray(10),
+        schedules={"l1": ([5], [0.0, 1.0])},
+    )
+    assert "consistency" in m and np.isfinite(float(loss))
+    # schedule at iteration 0 zeroes the l1 term -> smaller loss
+    loss0, _ = tokenizer_loss(
+        params, cfg, video, w_consistency=0.5, consistency_frames=9,
+        consistency_step=8, iteration=jnp.asarray(0),
+        schedules={"l1": ([5], [0.0, 1.0])},
+    )
+    assert float(loss0) < float(loss)
