@@ -127,6 +127,14 @@ def convert_dit_state_dict(
             k = k[len("net.") :]
         sd[k] = v
 
+    if "x_embedder.proj.weight" in sd:
+        # legacy_patch_emb Conv3d (training/module/blocks.py:121-129):
+        # weight (D, C, pt, ph, pw) flattened over (C, pt, ph, pw) equals
+        # the Rearrange "(c r m n)" + Linear layout used at inference —
+        # a pure reshape converts between them.
+        w = np.asarray(sd.pop("x_embedder.proj.weight"))
+        sd["x_embedder.proj.1.weight"] = w.reshape(w.shape[0], -1)
+
     consumed = set()
 
     def get(key):
@@ -182,6 +190,20 @@ def convert_dit_state_dict(
             "adaln": adaln("final_layer.adaLN_modulation"),
         },
     }
+    if "action_embedder_B_3D.fc1.weight" in sd:
+        # ActionConditionalVideoExtendGeneralDIT
+        # (general_dit_action.py:290-304): two timm Mlps with biases
+        def mlp(prefix):
+            return {
+                "fc1": {"w": _t(get(f"{prefix}.fc1.weight")),
+                        "b": _a(get(f"{prefix}.fc1.bias"))},
+                "fc2": {"w": _t(get(f"{prefix}.fc2.weight")),
+                        "b": _a(get(f"{prefix}.fc2.bias"))},
+            }
+
+        params["action_embedder_B_D"] = mlp("action_embedder_B_D")
+        params["action_embedder_B_3D"] = mlp("action_embedder_B_3D")
+
     if strict:
         leftover = sorted(set(sd) - consumed)
         if leftover:

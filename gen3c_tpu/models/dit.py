@@ -679,8 +679,19 @@ def dit_forward(
     span_delta: Optional[Array] = None,
     return_span_delta: bool = False,
     return_block_residuals: bool = False,
+    action: Optional[Array] = None,  # (B, 7) or (B, T_act, 7)
 ) -> Array:
     """Full GeneralDIT forward. Returns (B, out_channels, T, H, W).
+
+    action: robot-action conditioning (training/networks/
+    general_dit_action.py:276-431, ActionConditionalVideoExtendGeneralDIT):
+    the first frame's action vector runs through the action_embedder_B_3D
+    MLP and adds to the AdaLN-LoRA vector. NOTE the reference also
+    computes action_embedder_B_D but its add lands on a rebound local
+    AFTER `affline_emb_B_D = timesteps_B_D` aliased the pre-add tensor
+    (general_dit_action.py:421-431) — the B_D term never reaches the
+    network, so we match that effective behavior (the B_D embedder params
+    are still carried for checkpoint compatibility).
 
     Delta-DiT span caching (cfg.cache_block_span=(lo,hi), arXiv:
     2406.01125): with return_span_delta=True the forward also returns
@@ -771,6 +782,19 @@ def dit_forward(
     h = sincos @ _w(params["t_embedder"]["linear_1"], jnp.float32)
     h = jax.nn.silu(h)
     lora = h @ _w(params["t_embedder"]["linear_2"], jnp.float32)  # (B,3D)
+    if action is not None:
+        a = (action[:, 0] if action.ndim == 3 else action).astype(
+            jnp.float32)
+        p_a = params["action_embedder_B_3D"]
+        h_a = jax.nn.gelu(
+            a @ _w(p_a["fc1"], jnp.float32)
+            + p_a["fc1"]["b"].astype(jnp.float32),
+            approximate=True,
+        )
+        lora = lora + (
+            h_a @ _w(p_a["fc2"], jnp.float32)
+            + p_a["fc2"]["b"].astype(jnp.float32)
+        )
     emb = _rms_norm(sincos, params["affline_norm"]["scale"])  # (B, D) fp32
 
     def block_step(tokens, blk, emb, lora, extra, ctx_emb):

@@ -74,7 +74,8 @@ def init_train_state(params, optimizer) -> TrainState:
 
 
 def _net(bundle, x, t, ctx):
-    params, cfg, remat, sp_sharding = bundle
+    params, cfg, remat, sp_sharding, *rest = bundle
+    action = rest[0] if rest else None
     from gen3c_tpu.models.dit_multiview import (
         MultiviewDiTConfig,
         multiview_dit_forward,
@@ -84,11 +85,12 @@ def _net(bundle, x, t, ctx):
         # multiview training (extend_model_multiview.py): per-view
         # cross-attn/pos-emb forward; remat wraps the whole net (the
         # multiview forward has no per-block remat hook)
+        assert action is None, "action conditioning is base-DiT only"
         fwd = lambda p, xx: multiview_dit_forward(p, cfg, xx, t, ctx,
                                                   fps=24.0)
         return jax.checkpoint(fwd)(params, x) if remat else fwd(params, x)
     return dit_forward(params, cfg, x, t, ctx, fps=24.0, remat=remat,
-                       sp_sharding=sp_sharding)
+                       sp_sharding=sp_sharding, action=action)
 
 
 def train_step(
@@ -184,7 +186,7 @@ def train_step(
         net_params = params["net"] if loss_add_logvar else params
         loss, per_sample = edm_loss(
             _net,
-            (net_params, cfg, remat, sp_sharding),
+            (net_params, cfg, remat, sp_sharding, batch.get("action")),
             batch["x0"].astype(jnp.float32),
             sigma,
             noise,

@@ -113,6 +113,11 @@ def stub_cuda_stack():
         sys.modules["cosmos_predict1.utils.log"] = log_stub
 
     _stub("pynvml")
+    # utils/misc.py (imported by training/conditioner.py) imports boto3 +
+    # requests-retry plumbing at module scope
+    _stub("boto3")
+    _stub("botocore")
+    _stub("botocore.config")
 
     if "torchvision" not in sys.modules:
         tv = _stub("torchvision")
