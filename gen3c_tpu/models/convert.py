@@ -190,6 +190,23 @@ def convert_dit_state_dict(
             "adaln": adaln("final_layer.adaLN_modulation"),
         },
     }
+    if "augment_sigma_embedder.1.linear_1.weight" in sd:
+        # add_augment_sigma_embedding nets (general_dit_lvg.py:37-58):
+        # Sequential(SDXLTimesteps, SDXLTimestepEmbedding). Under
+        # AdaLN-LoRA the linears are forward-dead (the call site keeps
+        # only the raw-sincos emb) but must be consumed/carried.
+        params["augment_sigma_embedder"] = {
+            "linear_1": {
+                "w": _t(get("augment_sigma_embedder.1.linear_1.weight"))
+            },
+            "linear_2": {
+                "w": _t(get("augment_sigma_embedder.1.linear_2.weight"))
+            },
+        }
+        for b in ("linear_1", "linear_2"):
+            bk = f"augment_sigma_embedder.1.{b}.bias"
+            if bk in sd:  # non-lora variant keeps biases
+                params["augment_sigma_embedder"][b]["b"] = _a(get(bk))
     if "action_embedder_B_3D.fc1.weight" in sd:
         # ActionConditionalVideoExtendGeneralDIT
         # (general_dit_action.py:290-304): two timm Mlps with biases

@@ -77,6 +77,15 @@ class DiTConfig:
     rope_t_extrapolation_ratio: float = 1.0
     concat_padding_mask: bool = True
     base_fps: int = 24
+    # Optional augment-sigma affine embedder (general_dit_video_
+    # conditioned.py:181-189 / training general_dit_lvg.py:37-58):
+    # sincos(condition_video_augment_sigma) added to the pre-norm affine
+    # embedding. Under AdaLN-LoRA (all reference configs) the embedder's
+    # SDXLTimestepEmbedding returns the RAW sincos as emb_B_D and its
+    # 3D-lora output is discarded at the call site — so the two linears
+    # are forward-dead; they are still initialized/converted for
+    # checkpoint compatibility.
+    add_augment_sigma_embedding: bool = False
     # context-parallel self-attention strategy:
     #   "allgather" — one K/V all-gather per layer (production default)
     #   "ring"      — ppermute KV rotation + online softmax (TE ring
@@ -190,6 +199,17 @@ def init_dit_params(key: Array, cfg: DiTConfig, param_dtype=jnp.float32) -> Para
             "linear_2": {"w": trunc_normal((D, 3 * D))},
         },
         "affline_norm": {"scale": jnp.ones((D,), param_dtype)},
+        **(
+            {
+                "augment_sigma_embedder": {
+                    # normal(std=0.02) init (general_dit_lvg.py:47-56)
+                    "linear_1": {"w": trunc_normal((D, D))},
+                    "linear_2": {"w": trunc_normal((D, 3 * D))},
+                }
+            }
+            if cfg.add_augment_sigma_embedding
+            else {}
+        ),
         "extra_pos_emb": {
             "t": trunc_normal((cfg.len_t, D)),
             "h": trunc_normal((cfg.len_h, D)),
@@ -680,6 +700,7 @@ def dit_forward(
     return_span_delta: bool = False,
     return_block_residuals: bool = False,
     action: Optional[Array] = None,  # (B, 7) or (B, T_act, 7)
+    augment_sigma: Optional[Array] = None,  # (B,)
 ) -> Array:
     """Full GeneralDIT forward. Returns (B, out_channels, T, H, W).
 
@@ -795,7 +816,21 @@ def dit_forward(
             h_a @ _w(p_a["fc2"], jnp.float32)
             + p_a["fc2"]["b"].astype(jnp.float32)
         )
-    emb = _rms_norm(sincos, params["affline_norm"]["scale"])  # (B, D) fp32
+    affine = sincos
+    if cfg.add_augment_sigma_embedding:
+        # general_dit_video_conditioned.py:181-189: affline_emb +=
+        # augment_sigma_embedder(condition_video_augment_sigma) where the
+        # SDXLTimestepEmbedding under AdaLN-LoRA returns the raw sincos
+        # (blocks.py SDXLTimestepEmbedding.forward) and the lora output
+        # is discarded at the call site. None => zeros (image case /
+        # unconditioned video, same as the reference fallback).
+        aug = (
+            jnp.zeros_like(timesteps.reshape(-1))
+            if augment_sigma is None
+            else augment_sigma.reshape(-1)
+        )
+        affine = affine + timestep_sincos(aug, D)
+    emb = _rms_norm(affine, params["affline_norm"]["scale"])  # (B, D) fp32
 
     def block_step(tokens, blk, emb, lora, extra, ctx_emb):
         tokens = tokens + extra
