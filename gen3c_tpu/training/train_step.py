@@ -114,6 +114,7 @@ def train_step(
     random_condition_rate: float = 0.5,
     augment_sigma_multiplier: float = 4.0,
     compute_loss_for_condition_region: bool = False,
+    data_type: str = "video",
 ) -> Tuple[TrainState, dict]:
     """One optimizer step. batch keys:
     x0 (B,16,T,H,W), crossattn_emb (B,M,1024), extra_channels
@@ -139,19 +140,41 @@ def train_step(
     Megatron sequence parallelism via GSPMD constraints (see
     dit_forward).
 
+    data_type="image": joint image+video training, image-batch leg
+    (model.py:273-306 get_data_and_condition + general_dit_lvg.py:112-117
+    DataType.IMAGE): x0 may be (B,C,H,W) or (B,C,1,H,W), extra_channels
+    may be omitted (zero-padded to cfg.in_channels like the reference
+    net's image case), and video-extend conditioning is skipped.
+
     loss_add_logvar: train with the Kendall uncertainty loss
     (reference config.loss_add_logvar, model_image.py:232-235). The
     state's params must then be the wrapper tree
     {"net": dit_params, "logvar": init_logvar_params(key)} so the
     logvar head trains alongside the network.
     """
+    if data_type == "image":
+        # joint image+video training (model.py:286-296): image batches
+        # skip video-extend conditioning and zero-pad the condition
+        # channels (general_dit_lvg.py:112-117 DataType.IMAGE case)
+        video_extend = False
     k_sigma, k_noise, k_drop, k_ind, k_aug_s, k_aug_n = jax.random.split(
         rng, 6)
+    x0 = batch["x0"]
+    if data_type == "image" and x0.ndim == 4:
+        # (B, C, H, W) -> (B, C, 1, H, W), _augment_image_dim_inplace
+        # (model.py:259-270)
+        x0 = x0[:, :, None]
+        batch = {**batch, "x0": x0}
     B = batch["x0"].shape[0]
     sigma = sample_sigma(k_sigma, B)
     noise = jax.random.normal(k_noise, batch["x0"].shape, jnp.float32)
-    crossattn_emb, extra_channels = batch["crossattn_emb"], batch[
-        "extra_channels"]
+    crossattn_emb = batch["crossattn_emb"]
+    extra_channels = batch.get("extra_channels")
+    if extra_channels is None:
+        assert data_type == "image", "video batches require extra_channels"
+        pad_c = cfg.in_channels - x0.shape[1]
+        extra_channels = jnp.zeros(
+            (B, pad_c, x0.shape[2], x0.shape[3], x0.shape[4]), x0.dtype)
     video_keep = None
     if text_dropout_rate > 0.0 or video_cond_dropout_rate > 0.0:
         crossattn_emb, extra_channels, video_keep = condition_dropout(
@@ -237,6 +260,7 @@ def make_sharded_train_step(
     loss_reduce: str = "mean",
     loss_scale: float = 1.0,
     extra_batch_specs: Optional[dict] = None,
+    data_type: str = "video",
     **loss_kwargs,
 ):
     """jit the train step with (dp, tp) shardings over the mesh.
@@ -281,15 +305,24 @@ def make_sharded_train_step(
         is_leaf=lambda x: isinstance(x, P),
     )
     replicated = NamedSharding(mesh, P())
-    batch_sh = {
-        "x0": NamedSharding(mesh, P("dp", None, "cp")),
-        "crossattn_emb": NamedSharding(mesh, P("dp")),
-        "extra_channels": NamedSharding(mesh, P("dp", None, "cp")),
-    }
+    if data_type == "image":
+        # image batches (T=1) cannot shard the temporal axis on 'cp' —
+        # the reference likewise disables CP for image batches
+        # (model.py:323-339 compute_loss_with_epsilon_and_sigma)
+        batch_sh = {
+            "x0": NamedSharding(mesh, P("dp")),
+            "crossattn_emb": NamedSharding(mesh, P("dp")),
+        }
+    else:
+        batch_sh = {
+            "x0": NamedSharding(mesh, P("dp", None, "cp")),
+            "crossattn_emb": NamedSharding(mesh, P("dp")),
+            "extra_channels": NamedSharding(mesh, P("dp", None, "cp")),
+        }
     for k, spec in (extra_batch_specs or {}).items():
         batch_sh[k] = NamedSharding(mesh, spec)
     step_fn = partial(train_step, cfg=cfg, optimizer=optimizer, remat=remat,
-                      sp_sharding=sp_sharding,
+                      sp_sharding=sp_sharding, data_type=data_type,
                       loss_add_logvar=loss_add_logvar,
                       text_dropout_rate=text_dropout_rate,
                       video_cond_dropout_rate=video_cond_dropout_rate,

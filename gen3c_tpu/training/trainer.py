@@ -130,6 +130,12 @@ class Trainer:
             compute_loss_for_condition_region=(
                 config.compute_loss_for_condition_region),
         )
+        # image-batch leg of joint image+video training, built lazily on
+        # the first image batch (model.py:155-163 is_image_batch dispatch:
+        # the reference model branches per batch on which data key is
+        # present; here the jit signature is static so each leg is its
+        # own compiled step sharing the same TrainState)
+        self._image_step_fn = None
         from gen3c_tpu.parallel.sharding import shard_params
 
         params = shard_params(mesh, params, fsdp_axis=fsdp_axis)
@@ -145,6 +151,26 @@ class Trainer:
 
             self.callbacks.append(HangWatchdog(config.step_timeout_s))
         self._rng = jax.random.PRNGKey(config.seed)
+
+    def _get_image_step_fn(self):
+        """The image-batch train step (data_type='image': no CP on the
+        unit temporal axis, zero-padded condition channels, no
+        video-extend conditioning)."""
+        if self._image_step_fn is None:
+            cfg = self.config
+            self._image_step_fn, _ = make_sharded_train_step(
+                self.mesh, self.dit_cfg, self.optimizer, self.state.params,
+                remat=cfg.remat,
+                fsdp_axis="dp" if cfg.fsdp else None,
+                sequence_parallel=cfg.sequence_parallel,
+                loss_add_logvar=cfg.loss_add_logvar,
+                text_dropout_rate=cfg.text_dropout_rate,
+                video_cond_dropout_rate=cfg.video_cond_dropout_rate,
+                loss_reduce=cfg.loss_reduce,
+                loss_scale=cfg.loss_scale,
+                data_type="image",
+            )
+        return self._image_step_fn
 
     def maybe_resume(self) -> int:
         restored = self.checkpointer.restore(self.state)
@@ -181,7 +207,12 @@ class Trainer:
             self.callbacks.on_training_step_start(self, step)
             batch = next(it)
             self._rng, sub = jax.random.split(self._rng)
-            self.state, metrics = self.step_fn(self.state, batch, sub)
+            step_fn = (
+                self._get_image_step_fn()
+                if "extra_channels" not in batch
+                else self.step_fn
+            )
+            self.state, metrics = step_fn(self.state, batch, sub)
             self.callbacks.on_training_step_end(self, step, metrics)
             if cfg.save_every and step % cfg.save_every == 0:
                 self.checkpointer.save(step, jax.device_get(self.state))
@@ -221,3 +252,32 @@ def synthetic_latent_dataset(
                 rng.randn(batch, extra_channels, t, h, w), jnp.float32
             ),
         }
+
+
+def synthetic_joint_dataset(
+    batch: int, channels: int, t: int, h: int, w: int,
+    extra_channels: int = 65, ctx_len: int = 16, seed: int = 0,
+    image_every: int = 2,
+):
+    """Joint image+video stream: every `image_every`-th batch is an image
+    batch (T=1 latents, no extra_channels) — the reference's
+    images_1024/video two-key dataloader pattern (model.py:155-163)."""
+    import jax.numpy as jnp
+
+    rng = np.random.RandomState(seed)
+    video = synthetic_latent_dataset(
+        batch, channels, t, h, w, extra_channels, ctx_len, seed)
+    i = 0
+    while True:
+        i += 1
+        if image_every and i % image_every == 0:
+            yield {
+                "x0": jnp.asarray(
+                    rng.randn(batch, channels, 1, h, w), jnp.float32
+                ),
+                "crossattn_emb": jnp.asarray(
+                    rng.randn(batch, ctx_len, 1024), jnp.float32
+                ),
+            }
+        else:
+            yield next(video)
