@@ -328,6 +328,112 @@ def convert_multiview_dit_state_dict(
     return params
 
 
+def shard_ar_tp_state_dict(
+    state_dict: Mapping[str, Any],
+    tp: int,
+    rank: int,
+    n_heads: int,
+    n_kv_heads: int,
+    dim: int,
+    context_dim: int | None = None,
+) -> Dict[str, np.ndarray]:
+    """Megatron-TP shard of a Cosmos AR (llama-naming) state dict —
+    obtain_tensor_parallel_state_dict parity (autoregressive/utils/
+    checkpoint.py:87-177, pytorch backend): wq/wk/wv chunk head-major on
+    the output dim, w1/w3/embeddings/output column-split, w2/wo
+    row-split, norms replicated."""
+    out = {}
+    for full_key, v in state_dict.items():
+        prefix = "model." if full_key.startswith("model.") else ""
+        key = full_key[len(prefix):]
+        v = np.asarray(v)
+        if key.startswith("layers."):
+            if ".attention.wq.weight" in key or "cross_attention.wq.weight" in key:
+                v = np.split(v.reshape(n_heads, -1, dim), tp, axis=0)[rank]
+                v = v.reshape(-1, dim)
+            elif ".attention.wk.weight" in key or ".attention.wv.weight" in key:
+                v = np.split(v.reshape(n_kv_heads, -1, dim), tp, axis=0)[rank]
+                v = v.reshape(-1, dim)
+            elif ("cross_attention.wk.weight" in key
+                  or "cross_attention.wv.weight" in key):
+                assert context_dim is not None
+                v = np.split(
+                    v.reshape(n_kv_heads, -1, context_dim), tp, axis=0
+                )[rank]
+                v = v.reshape(-1, context_dim)
+            elif ("feed_forward.w1.weight" in key
+                  or "feed_forward.w3.weight" in key):
+                v = np.split(v, tp, axis=0)[rank]
+            elif ("feed_forward.w2.weight" in key
+                  or ".attention.wo.weight" in key
+                  or "cross_attention.wo.weight" in key):
+                v = np.split(v, tp, axis=1)[rank]
+        elif key in ("tok_embeddings.weight", "output.weight"):
+            v = np.split(v, tp, axis=0)[rank]
+        out[full_key] = v
+    return out
+
+
+def merge_ar_tp_state_dicts(
+    shards: list,
+    n_heads: int,
+    n_kv_heads: int,
+    dim: int,
+    context_dim: int | None = None,
+    head_dim: int | None = None,
+) -> Dict[str, np.ndarray]:
+    """Inverse of shard_ar_tp_state_dict — merge_tensor_parallel_
+    state_dicts parity (autoregressive/utils/checkpoint.py:179-262):
+    head-major concat for q/k/v, column/row concat for the rest, norms
+    averaged with a shard-0 closeness assert."""
+    tp = len(shards)
+    if head_dim is None:
+        head_dim = dim // n_heads
+    n_local_heads = n_heads // tp
+    n_local_kv = n_kv_heads // tp
+    merged = {}
+    for full_key in shards[0]:
+        prefix = "model." if full_key.startswith("model.") else ""
+        key = full_key[len(prefix):]
+        vals = [np.asarray(s[full_key]) for s in shards]
+        if key in ("tok_embeddings.weight", "output.weight"):
+            merged[full_key] = np.concatenate(vals, axis=0)
+        elif ".attention.wq.weight" in key or "cross_attention.wq.weight" in key:
+            chunks = [v.reshape(n_local_heads, head_dim, dim) for v in vals]
+            merged[full_key] = np.concatenate(chunks, axis=0).reshape(
+                head_dim * n_heads, dim)
+        elif ".attention.wk.weight" in key or ".attention.wv.weight" in key:
+            chunks = [v.reshape(n_local_kv, head_dim, dim) for v in vals]
+            merged[full_key] = np.concatenate(chunks, axis=0).reshape(
+                head_dim * n_kv_heads, dim)
+        elif ("cross_attention.wk.weight" in key
+              or "cross_attention.wv.weight" in key):
+            assert context_dim is not None
+            chunks = [
+                v.reshape(n_local_kv, head_dim, context_dim) for v in vals
+            ]
+            merged[full_key] = np.concatenate(chunks, axis=0).reshape(
+                head_dim * n_kv_heads, context_dim)
+        elif ("feed_forward.w1.weight" in key
+              or "feed_forward.w3.weight" in key):
+            merged[full_key] = np.concatenate(vals, axis=0)
+        elif ("feed_forward.w2.weight" in key
+              or ".attention.wo.weight" in key
+              or "cross_attention.wo.weight" in key):
+            merged[full_key] = np.concatenate(vals, axis=1)
+        else:
+            avg = np.mean(np.stack(vals), axis=0)
+            if not np.allclose(vals[0], avg, atol=5e-2, rtol=0.1):
+                raise ValueError(
+                    f"replicated tensor {full_key} differs across shards"
+                )
+            assert "norm" in key or vals[0].ndim <= 1, (
+                f"unexpected replicated key {full_key}"
+            )
+            merged[full_key] = avg
+    return merged
+
+
 def convert_cosmos_ar_state_dict(state_dict, cfg, dtype=None) -> dict:
     """Reference Cosmos AR transformer state dict
     (autoregressive/networks/transformer.py: llama naming + per-head
