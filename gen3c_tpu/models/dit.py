@@ -93,6 +93,14 @@ class DiTConfig:
     #   "ulysses"   — head-scatter all-to-all (xDiT/DeepSpeed-Ulysses);
     #                 lowest ICI traffic, needs num_heads % cp == 0
     cp_attn_impl: str = "allgather"
+    # OPT-IN sparse self-attention (sliding-tile-attention family): each
+    # query frame attends to frames within +/- attn_temporal_window plus
+    # the first attn_prefix_frames (seed) frames globally. None = full
+    # attention (the pretrained-weight behavior). A speed/quality knob
+    # like step caching: on the splash kernel masked KV blocks are
+    # skipped, so self-attention FLOPs scale with the band width.
+    attn_temporal_window: Optional[int] = None
+    attn_prefix_frames: int = 1
     # Delta-DiT span caching (arXiv:2406.01125): blocks [lo, hi) are the
     # cacheable span — on cache-skip denoise steps only the blocks
     # OUTSIDE the span run, and the span's cached residual delta is
@@ -359,13 +367,72 @@ def _pick_block(n: int, candidates) -> int:
     return n
 
 
-def attention_op(q: Array, k: Array, v: Array) -> Array:
+def make_temporal_band_mask(L: int, hw: int, window_frames: int,
+                            prefix_frames: int = 1):
+    """Splash-attention mask: frame-granular temporal band + global
+    prefix (sliding-tile-attention family, arXiv:2502.04507; tokens in
+    t-major THW order so |q_frame - k_frame| <= window is a block band).
+    Every query also attends to the first `prefix_frames` frames (the
+    seed/conditioning frames). Lazy/computable — never materializes the
+    (L, L) matrix; the splash kernel skips fully-masked KV blocks, so
+    FLOPs scale with the band width instead of L."""
+    from jax.experimental.pallas.ops.tpu.splash_attention import (
+        splash_attention_mask as sm,
+    )
+
+    class _TemporalBandMask(sm._ComputableMask):
+        def __init__(self):
+            def fn(q_ids, kv_ids):
+                # operator-only math: the splash kernel calls this both
+                # with numpy id grids (MaskInfo build) and with traced
+                # arrays (partial-block in-kernel evaluation)
+                qf = q_ids // hw
+                kf = kv_ids // hw
+                d = qf - kf
+                band = (d <= window_frames) & (d >= -window_frames)
+                return band | (kf < prefix_frames)
+
+            super().__init__(shape=(L, L), mask_function=fn)
+
+        def __eq__(self, other):
+            return (
+                type(other).__name__ == type(self).__name__
+                and other.shape == self.shape
+                and getattr(other, "_key", None) == self._key
+            )
+
+        def __hash__(self):
+            return hash((type(self).__name__, self.shape, self._key))
+
+    m = _TemporalBandMask()
+    m._key = (L, hw, window_frames, prefix_frames)
+    return m
+
+
+def _dense_band_mask(Lq: int, Lk: int, hw: int, window_frames: int,
+                     prefix_frames: int) -> Array:
+    qf = jnp.arange(Lq)[:, None] // hw
+    kf = jnp.arange(Lk)[None, :] // hw
+    return (jnp.abs(qf - kf) <= window_frames) | (kf < prefix_frames)
+
+
+def attention_op(
+    q: Array, k: Array, v: Array,
+    temporal_band: Optional[Tuple[int, int, int]] = None,
+) -> Array:
     """Scaled dot-product attention. q: (B, Lq, h, d), k/v: (B, Lk, h, d).
 
     TPU: splash-attention Pallas kernel for self-attention-sized inputs
     (Lq == Lk, ~143 TF/s at the GEN3C shape), flash-attention kernel for
     cross-attention, XLA elsewhere. Replaces the reference's
     TransformerEngine DotProductAttention (attention.py:228-238).
+
+    temporal_band=(hw, window_frames, prefix_frames): OPT-IN sparse
+    self-attention (see make_temporal_band_mask) — an approximation of
+    the full-attention net, like step caching a speed/quality knob. On
+    the splash path masked-out KV blocks are skipped (real FLOP
+    savings); elsewhere the equivalent dense mask is applied (exact same
+    numerics, no savings — the CPU-testable path).
     """
     scale = 1.0 / math.sqrt(q.shape[-1])
     # Backend dispatch is a trace-time (static) decision.
@@ -389,7 +456,11 @@ def attention_op(q: Array, k: Array, v: Array) -> Array:
             block_q_dkv=bq, block_kv_dkv=bkv, block_kv_dkv_compute=bkv,
             block_q_dq=bq, block_kv_dq=bkv,
         )
-        mmask = sm.MultiHeadMask([sm.FullMask((L, L))] * H)
+        if temporal_band is not None:
+            head_mask = make_temporal_band_mask(L, *temporal_band)
+        else:
+            head_mask = sm.FullMask((L, L))
+        mmask = sm.MultiHeadMask([head_mask] * H)
         kernel = sk.make_splash_mha(
             mask=mmask, head_shards=1, q_seq_shards=1, block_sizes=bs
         )
@@ -398,7 +469,7 @@ def attention_op(q: Array, k: Array, v: Array) -> Array:
         vt = jnp.swapaxes(v, 1, 2)
         out = jax.vmap(kernel)(qt, kt, vt)
         return jnp.swapaxes(out, 1, 2)
-    if on_tpu:
+    if on_tpu and temporal_band is None:
         from jax.experimental.pallas.ops.tpu.flash_attention import (
             BlockSizes,
             flash_attention,
@@ -439,6 +510,9 @@ def attention_op(q: Array, k: Array, v: Array) -> Array:
         return jnp.swapaxes(out, 1, 2)
     # XLA fallback (CPU tests / small shapes)
     logits = jnp.einsum("bqhd,bkhd->bhqk", q, k).astype(jnp.float32) * scale
+    if temporal_band is not None:
+        mask = _dense_band_mask(q.shape[1], k.shape[1], *temporal_band)
+        logits = jnp.where(mask[None, None], logits, -1e30)
     probs = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
     return jnp.einsum("bhqk,bkhd->bqhd", probs, v)
 
@@ -543,6 +617,7 @@ def _attn_block(
     cp_attn_impl: str = "allgather",
     tp_axis: Optional[str] = None,
     sp: bool = False,
+    temporal_band: Optional[Tuple[int, int, int]] = None,
 ) -> Array:
     """Self- or cross-attention with per-head RMSNorm on q,k.
 
@@ -589,6 +664,10 @@ def _attn_block(
         q = apply_rope(q, *rope)
         k = apply_rope(k, *rope)
     if context is None and cp_axis is not None:
+        assert temporal_band is None, (
+            "attn_temporal_window is not supported under context "
+            "parallelism (the band mask needs global token positions)"
+        )
         if cp_attn_impl == "ring":
             out = _ring_attention(q, k, v, cp_axis)
         elif cp_attn_impl == "ulysses":
@@ -603,7 +682,7 @@ def _attn_block(
             v = jax.lax.all_gather(v, cp_axis, axis=1, tiled=True)
             out = attention_op(q, k, v)
     else:
-        out = attention_op(q, k, v)
+        out = attention_op(q, k, v, temporal_band=temporal_band)
     out = out.reshape(B, L, -1)
     out = _linear(out, p["out"], dtype)
     if tp_axis is not None:
@@ -758,6 +837,11 @@ def dit_forward(
     Bt, Tp, Hp, Wp, D = tokens.shape
     L = Tp * Hp * Wp
     tokens = tokens.reshape(B, L, D)
+    temporal_band = (
+        (Hp * Wp, cfg.attn_temporal_window, cfg.attn_prefix_frames)
+        if cfg.attn_temporal_window is not None
+        else None
+    )
 
     cp_size = 1 if cp_axis is None else jax.lax.axis_size(cp_axis)
     if rope_tables is None:
@@ -839,6 +923,7 @@ def dit_forward(
             lambda t: _attn_block(
                 blk["fa"], t, None, cfg.num_heads, rope_tables, cp_axis,
                 cfg.cp_attn_impl, tp_axis, sp,
+                temporal_band=temporal_band,
             ),
             blk["fa"],
             emb,

@@ -99,6 +99,7 @@ def build_gen3c_model(
     cache_span_dtype: str = "bf16",
     offload_dit: bool = False,
     offload_tokenizer: bool = False,
+    attn_temporal_window: Optional[int] = None,
 ) -> Tuple[Gen3CModel, Gen3CPreset]:
     """Build a Gen3CModel from a preset, loading weights if available.
 
@@ -130,6 +131,21 @@ def build_gen3c_model(
             dit=dataclasses.replace(
                 preset.dit, cache_block_span=(lo, hi),
                 cache_span_dtype=cache_span_dtype,
+            ),
+        )
+
+    if attn_temporal_window is not None:
+        # temporal-band sparse self-attention (speed/quality knob,
+        # measured 1.5-3x on the attention op at window 4..1); CP
+        # shards global positions, so single-device only
+        if parallel != "none" and num_devices > 1:
+            raise ValueError(
+                "attn_temporal_window requires single-device execution"
+            )
+        preset = dataclasses.replace(
+            preset,
+            dit=dataclasses.replace(
+                preset.dit, attn_temporal_window=attn_temporal_window,
             ),
         )
 
