@@ -79,14 +79,21 @@ def step_flops(cfg, B: int, lat_t: int, lat_h: int, lat_w: int,
     }
 
 
-def bench_denoise_step_full_int8(act_quant: bool = True) -> float:
+def bench_denoise_step_full_int8(
+    act_quant: bool = True, attn_temporal_window=None,
+) -> float:
     """Directly measure the full 28-block step (int8 weights, one chip).
 
     act_quant=True is the W8A8 production serving config
     (--quantize_w8a8): dynamic int8 activations on the MXU, measured
     1.5x on the MLP matmuls, ~1% per-matmul relative error (see
     scripts/probe_int8.py + tests/test_quantize.py accuracy bounds).
+
+    attn_temporal_window: measure the opt-in temporal-band sparse
+    attention variant (--attn_temporal_window) instead of full attention.
     """
+    import dataclasses
+
     import jax
     import jax.numpy as jnp
 
@@ -97,8 +104,13 @@ def bench_denoise_step_full_int8(act_quant: bool = True) -> float:
     )
 
     cfg = GEN3C_7B
+    if attn_temporal_window is not None:
+        cfg = dataclasses.replace(
+            cfg, attn_temporal_window=attn_temporal_window)
     log(f"Benchmarking FULL 7B denoise step "
-        f"({'W8A8' if act_quant else 'int8 weight-only'}, single chip)...")
+        f"({'W8A8' if act_quant else 'int8 weight-only'}"
+        f"{f', band window={attn_temporal_window}' if attn_temporal_window is not None else ''}"
+        ", single chip)...")
     params = init_dit_params(jax.random.PRNGKey(0), cfg, jnp.bfloat16)
     qparams = quantize_dit_params_inplace(params, act_quant=act_quant)
     log(f"  quantized params: {quantized_bytes(qparams)/1e9:.2f} GB")
@@ -242,6 +254,15 @@ def main() -> None:
 
     gc.collect()
     jax.clear_caches()
+    # opt-in temporal-band sparse attention (--attn_temporal_window 2):
+    # measured 18.8s (1.57x) on 2026-08-17; re-measure for the artifact
+    sparse_step = None
+    try:
+        sparse_step = bench_denoise_step_full_int8(attn_temporal_window=2)
+    except Exception as e:  # noqa: BLE001
+        log(f"sparse-attention bench failed: {e}")
+    gc.collect()
+    jax.clear_caches()
     try:
         cache_fps = bench_cache_render()
     except Exception as e:  # noqa: BLE001
@@ -310,6 +331,12 @@ def main() -> None:
                 "e2e_sec_chunk_step_cached": round(e2e_est * 20 / 35, 1),
                 "cache_render_fps": (
                     round(cache_fps, 2) if cache_fps else None
+                ),
+                "sparse_attn_step_s": (
+                    round(sparse_step, 3) if sparse_step else None
+                ),
+                "sparse_attn_speedup": (
+                    round(step / sparse_step, 2) if sparse_step else None
                 ),
             }
         )
