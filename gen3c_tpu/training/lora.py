@@ -36,27 +36,51 @@ def init_lora_params(
     rank: int = 16,
     targets: str = DEFAULT_TARGETS,
     dtype=jnp.float32,
+    plan: Optional[Dict[str, Tuple[int, float]]] = None,
 ) -> Dict[str, Dict[str, Array]]:
-    """A/B adapters (A ~ N(0, 1/r), B = 0 so the model starts unchanged)."""
+    """A/B adapters (A ~ N(0, 1/r), B = 0 so the model starts unchanged).
+
+    plan: fine-grained per-parameter {path: (rank, scale)} from
+    training.peft_control.parse_layer_control (the reference's
+    LayerControlConfigParser semantics) — overrides targets/rank. The
+    per-path scales are returned by plan_scales(plan) and passed to
+    apply_lora(scales=...)."""
     pattern = re.compile(targets)
     lora = {}
     i = 0
     for name, leaf in _iter_paths(params):
-        if leaf.ndim == 2 and pattern.search(name):
-            i += 1
-            k = jax.random.fold_in(key, i)
-            lora[name] = {
-                "a": jax.random.normal(k, (leaf.shape[0], rank), dtype)
-                / rank,
-                "b": jnp.zeros((rank, leaf.shape[1]), dtype),
-            }
+        if plan is not None:
+            if name not in plan:
+                continue
+            r = plan[name][0]
+        elif leaf.ndim == 2 and pattern.search(name):
+            r = rank
+        else:
+            continue
+        i += 1
+        k = jax.random.fold_in(key, i)
+        lora[name] = {
+            "a": jax.random.normal(k, (leaf.shape[0], r), dtype) / r,
+            "b": jnp.zeros((r, leaf.shape[1]), dtype),
+        }
+    if plan is not None and set(lora) != set(plan):
+        missing = sorted(set(plan) - set(lora))
+        raise ValueError(f"plan paths not found in params: {missing[:5]}")
     assert lora, f"no parameters matched LoRA targets {targets!r}"
     return lora
 
 
+def plan_scales(plan: Dict[str, Tuple[int, float]]) -> Dict[str, float]:
+    """Per-path merge scales from a layer-control plan."""
+    return {name: s for name, (_, s) in plan.items()}
+
+
 def apply_lora(params: Any, lora: Dict[str, Dict[str, Array]],
-               scale: float = 1.0) -> Any:
-    """Merged params: W + scale * A @ B for every adapted weight."""
+               scale: float = 1.0,
+               scales: Optional[Dict[str, float]] = None) -> Any:
+    """Merged params: W + scale * A @ B for every adapted weight.
+
+    scales: per-path overrides (layer-control plans, see plan_scales)."""
     flat, treedef = jax.tree_util.tree_flatten_with_path(params)
     out = []
     for keypath, leaf in flat:
@@ -65,7 +89,8 @@ def apply_lora(params: Any, lora: Dict[str, Dict[str, Array]],
         )
         if name in lora:
             ab = (lora[name]["a"] @ lora[name]["b"]).astype(leaf.dtype)
-            leaf = leaf + scale * ab
+            s = scale if scales is None else scales.get(name, scale)
+            leaf = leaf + s * ab
         out.append(leaf)
     return jax.tree_util.tree_unflatten(
         jax.tree_util.tree_structure(params), out
