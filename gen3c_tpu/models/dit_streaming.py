@@ -68,16 +68,17 @@ def _prologue(aux, cfg: DiTConfig, x: Array, timesteps: Array):
     return tokens, emb, lora, extra
 
 
-@partial(jax.jit, static_argnames=("cfg",))
+@partial(jax.jit, static_argnames=("cfg", "temporal_band"))
 def _block_apply(blk, cfg: DiTConfig, tokens, emb, lora, extra, ctx_emb,
-                 cos, sin):
+                 cos, sin, temporal_band=None):
     """One GeneralDITTransformerBlock (FA-CA-MLP), identical math to the
     block_step closure in dit.py::dit_forward."""
     rope = (cos, sin)
     tokens = tokens + extra
     tokens = _modulated_residual(
         tokens,
-        lambda t: _attn_block(blk["fa"], t, None, cfg.num_heads, rope),
+        lambda t: _attn_block(blk["fa"], t, None, cfg.num_heads, rope,
+                              temporal_band=temporal_band),
         blk["fa"],
         emb,
         lora,
@@ -177,6 +178,11 @@ class StreamingDiT:
         B, C, T, H, W = x.shape
         ps, pt = cfg.patch_spatial, cfg.patch_temporal
         cos, sin = self._rope(T // pt, H // ps, W // ps, fps)
+        temporal_band = (
+            ((H // ps) * (W // ps), cfg.attn_temporal_window,
+             cfg.attn_prefix_frames)
+            if cfg.attn_temporal_window is not None else None
+        )
 
         tokens, emb, lora, extra = _prologue(self.aux, cfg, x, timesteps)
         ctx_emb = crossattn_emb.astype(cfg.dtype)
@@ -193,7 +199,8 @@ class StreamingDiT:
                 # the DMA overlaps the compute (both are async)
                 inflight.append(self._stage(self.blocks[nxt]))
             tokens = _block_apply(
-                blk, cfg, tokens, emb, lora, extra, ctx_emb, cos, sin
+                blk, cfg, tokens, emb, lora, extra, ctx_emb, cos, sin,
+                temporal_band=temporal_band,
             )
             # free this block's HBM copy; PJRT refcounts keep it alive
             # for the in-flight computation that uses it

@@ -172,6 +172,7 @@ class Gen3cPersistentModel(InferenceModel):
         num_devices: int = 1,
         parallel: str = "cp",
         offload_dit: Optional[bool] = None,
+        attn_temporal_window: Optional[int] = None,
     ):
         from gen3c_tpu.pipelines.depth import make_depth_estimator
         from gen3c_tpu.pipelines.factory import build_gen3c_model
@@ -194,6 +195,7 @@ class Gen3cPersistentModel(InferenceModel):
             model_preset, checkpoint_dir=checkpoint_dir, seed=seed,
             quantize=quantize, num_devices=num_devices, parallel=parallel,
             offload_dit=offload_dit,
+            attn_temporal_window=attn_temporal_window,
             # VAE params (0.42 GB) would otherwise sit in the ~0.5 GB
             # slack the host-loop denoise step leaves (docs/STATUS.md)
             offload_tokenizer=offload_dit,

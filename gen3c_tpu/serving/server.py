@@ -253,6 +253,12 @@ def build_model_from_env():
             os.environ.get("GEN3C_STEP_CACHE_THRESHOLD", "0")
         ),
         num_devices=int(os.environ.get("GEN3C_NUM_DEVICES", "1")),
+        # opt-in temporal-band sparse attention (measured 1.57x denoise
+        # at window 2; small quality cost — docs/STATUS.md)
+        attn_temporal_window=(
+            int(os.environ["GEN3C_ATTN_WINDOW"])
+            if os.environ.get("GEN3C_ATTN_WINDOW", "").strip() else None
+        ),
         parallel=os.environ.get("GEN3C_PARALLEL", "cp"),
         # GEN3C_OFFLOAD_DIT=1/0 overrides the single-chip-7B auto-enable
         offload_dit=(

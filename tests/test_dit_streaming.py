@@ -89,3 +89,25 @@ def test_streaming_prefetch_one_and_large():
             StreamingDiT(params, cfg, prefetch=prefetch)(x, t, ctx)
         )
         np.testing.assert_allclose(out, ref, rtol=2e-4, atol=2e-5)
+
+
+def test_streaming_with_temporal_band_matches_dit_forward():
+    """cfg.attn_temporal_window flows through the block-streamed path
+    and matches the resident dit_forward with the same band."""
+    import dataclasses
+
+    cfg = dataclasses.replace(_cfg(), attn_temporal_window=1)
+    params = randomize_degenerate_inits(
+        init_dit_params(jax.random.PRNGKey(0), cfg, jnp.float32)
+    )
+    rng = np.random.RandomState(1)
+    x = jnp.asarray(rng.randn(1, 17, 4, 8, 16), jnp.float32)
+    t = jnp.asarray([0.5], jnp.float32)
+    ctx = jnp.asarray(rng.randn(1, 6, 1024), jnp.float32)
+    ref = np.asarray(dit_forward(params, cfg, x, t, ctx, fps=24.0))
+    out = np.asarray(StreamingDiT(params, cfg, prefetch=2)(x, t, ctx))
+    np.testing.assert_allclose(out, ref, atol=1e-5)
+    # and the band actually bites vs full attention
+    full_cfg = dataclasses.replace(cfg, attn_temporal_window=None)
+    full = np.asarray(dit_forward(params, full_cfg, x, t, ctx, fps=24.0))
+    assert np.abs(full - ref).max() > 1e-5
