@@ -103,8 +103,17 @@ def main(argv=None) -> None:
         init_multiview_dit_params,
     )
 
+    from gen3c_tpu.models.dit_action import (
+        ActionDiTConfig,
+        init_action_dit_params,
+    )
+
     if isinstance(preset.dit, MultiviewDiTConfig):
         params = init_multiview_dit_params(
+            jax.random.PRNGKey(t_cfg.seed), preset.dit
+        )
+    elif isinstance(preset.dit, ActionDiTConfig):
+        params = init_action_dit_params(
             jax.random.PRNGKey(t_cfg.seed), preset.dit
         )
     else:
@@ -126,6 +135,20 @@ def main(argv=None) -> None:
             args.batch_size, C, T, Hl, Wl, extra_channels=extra,
             ctx_len=ctx_len,
         )
+        if isinstance(preset.dit, ActionDiTConfig):
+            # bridge-style robot action vectors per clip (B, 1, 7)
+            import jax.numpy as _jnp
+            import numpy as _np
+
+            def with_actions(stream, dim=preset.dit.action_dim, seed=17):
+                rng = _np.random.RandomState(seed)
+                for b in stream:
+                    b = dict(b)
+                    b["action"] = _jnp.asarray(
+                        rng.randn(args.batch_size, 1, dim), _jnp.float32)
+                    yield b
+
+            data = with_actions(data)
 
     state = trainer.train(data)
     log.info(f"training done at step {int(jax.device_get(state.step))}")

@@ -112,8 +112,17 @@ class Trainer:
                     jax.random.PRNGKey(config.seed + 1)
                 ),
             }
+        # action-conditioned experiments carry batch["action"] (B,T,7)
+        from gen3c_tpu.models.dit_action import ActionDiTConfig
+
+        extra_specs = None
+        if isinstance(dit_cfg, ActionDiTConfig):
+            from jax.sharding import PartitionSpec as _P
+
+            extra_specs = {"action": _P("dp")}
         self.step_fn, self.param_shardings = make_sharded_train_step(
             mesh, dit_cfg, self.optimizer, params,
+            extra_batch_specs=extra_specs,
             remat=config.remat, fsdp_axis=fsdp_axis,
             sequence_parallel=config.sequence_parallel,
             loss_add_logvar=config.loss_add_logvar,

@@ -114,6 +114,29 @@ def _register_builtin_presets() -> None:
     for name, preset in text2world_multiview.MV_PRESETS.items():
         register("experiment", name, preset)
 
+    # robot-action post-training family (reference training/config/
+    # video2world_action/experiment.py): video-extend DiT + action MLPs
+    import dataclasses as _dc
+
+    from gen3c_tpu.models.dit_action import ActionDiTConfig
+
+    for base_name, base in (
+        ("video2world_action_tiny", factory.GEN3C_TINY_PRESET),
+        ("video2world_action_7b", factory.GEN3C_7B_PRESET),
+    ):
+        dit = base.dit
+        action_dit = ActionDiTConfig(
+            **{f.name: getattr(dit, f.name)
+               for f in _dc.fields(type(dit))},
+        )
+        # action experiments condition on [x, mask] only (in 16+1)
+        action_dit = _dc.replace(
+            action_dit, in_channels=dit.out_channels + 1)
+        register(
+            "experiment", base_name,
+            _dc.replace(base, name=base_name, dit=action_dit),
+        )
+
 
 try:
     _register_builtin_presets()

@@ -171,3 +171,16 @@ def test_action_training_step():
     # the 3D action embedder trains (it is live in the forward)
     assert not np.allclose(
         np.asarray(state.params["action_embedder_B_3D"]["fc2"]["w"]), w0)
+
+
+def test_action_experiment_registered():
+    """video2world_action experiments are registered with ActionDiTConfig
+    and the video-extend [x, mask] channel layout (reference
+    training/config/video2world_action/experiment.py family)."""
+    from gen3c_tpu.utils import registry
+
+    for name in ("video2world_action_tiny", "video2world_action_7b"):
+        preset = registry.get("experiment", name)
+        assert isinstance(preset.dit, ActionDiTConfig)
+        assert preset.dit.in_channels == preset.dit.out_channels + 1
+        assert preset.dit.action_dim == 7
