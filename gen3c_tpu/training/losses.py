@@ -108,6 +108,13 @@ def sample_condition_indicator(
         ind = jax.random.bernoulli(
             key, random_rate, (batch, latent_t)
         ).astype(jnp.float32)
+    elif location == "first_and_last_1":
+        # world-interpolator training (training/models/interpolator.py:
+        # 87-95): the first and last num_condition_t (=n_max here)
+        # latent frames are the condition region
+        t = jnp.arange(latent_t)[None, :]
+        ind = ((t < n_max) | (t >= latent_t - n_max)).astype(jnp.float32)
+        ind = jnp.broadcast_to(ind, (batch, latent_t))
     else:
         raise ValueError(f"Unknown condition_location {location}")
     if n_views > 1:

@@ -262,3 +262,27 @@ def test_tokenizer_loss_with_consistency_and_schedule():
         schedules={"l1": ([5], [0.0, 1.0])},
     )
     assert float(loss0) < float(loss)
+
+
+def test_first_and_last_condition_location():
+    """world-interpolator conditioning (interpolator.py:87-95): first
+    and last n latent frames marked, deterministic."""
+    import jax
+    import numpy as np
+
+    from gen3c_tpu.training.losses import sample_condition_indicator
+
+    ind = sample_condition_indicator(
+        jax.random.PRNGKey(0), 2, 8, location="first_and_last_1",
+        n_max=1)
+    ind = np.asarray(ind)[:, 0, :, 0, 0]
+    expect = np.zeros((2, 8), np.float32)
+    expect[:, 0] = expect[:, -1] = 1.0
+    np.testing.assert_array_equal(ind, expect)
+
+    ind2 = np.asarray(sample_condition_indicator(
+        jax.random.PRNGKey(0), 1, 8, location="first_and_last_1",
+        n_max=2))[:, 0, :, 0, 0]
+    np.testing.assert_array_equal(ind2[0, :2], 1.0)
+    np.testing.assert_array_equal(ind2[0, -2:], 1.0)
+    np.testing.assert_array_equal(ind2[0, 2:-2], 0.0)
