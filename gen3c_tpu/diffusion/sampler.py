@@ -418,6 +418,12 @@ def generate_samples(
         "cfg_sequential",
         "solver",
     ),
+    # the carries (xt, cached_out, prev_x0) die each iteration — donate
+    # so XLA aliases the step's outputs onto them. Without this the 7B
+    # step peaks ~0.6 GB higher (out-of-place carries + the async queue
+    # keeping the previous triple alive) and the measured-fitting
+    # 16.2 GB program OOMs at runtime on a 16 GiB chip
+    donate_argnums=(2, 3, 4),
 )
 def _host_loop_step(
     net_fn,

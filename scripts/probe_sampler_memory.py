@@ -32,6 +32,8 @@ def main():
     ap.add_argument("--host_step", action="store_true",
                     help="analyze the single-step program the host-loop "
                          "sampler dispatches (generate_samples_host_loop)")
+    ap.add_argument("--attn_temporal_window", type=int, default=None,
+                    help="analyze with temporal-band sparse attention")
     args = ap.parse_args()
 
     import jax
@@ -43,6 +45,11 @@ def main():
     from gen3c_tpu.models.quantize import _MIN_SIZE, quantize_linear
 
     cfg = GEN3C_7B
+    if args.attn_temporal_window is not None:
+        import dataclasses
+
+        cfg = dataclasses.replace(
+            cfg, attn_temporal_window=args.attn_temporal_window)
 
     def _quantize_pure(params):
         # same tree transform as quantize_dit_params_inplace, but pure
