@@ -65,6 +65,7 @@ def run_chunked_generation(
         image_frames=seed_frames,
         rendered_warp_images=warp_images,
         rendered_warp_masks=warp_masks,
+        free_warp_buffers=True,
         negative_prompt=negative_prompt,
     )
     if out is None:
@@ -108,6 +109,7 @@ def run_chunked_generation(
             image_frames=seed,
             rendered_warp_images=warp_images,
             rendered_warp_masks=warp_masks,
+            free_warp_buffers=True,
             negative_prompt=negative_prompt,
         )
         video_new, _ = out

@@ -59,8 +59,17 @@ class Gen3cPipeline:
         rendered_warp_masks: Array,  # (B, F, N, 1, H, W)
         negative_prompt: Optional[str] = None,
         seed: Optional[int] = None,
+        free_warp_buffers: bool = False,
     ) -> Optional[Tuple[np.ndarray, str]]:
-        """Generate one chunk. Returns ((T, H, W, 3) uint8 frames, prompt)."""
+        """Generate one chunk. Returns ((T, H, W, 3) uint8 frames, prompt).
+
+        free_warp_buffers=True transfers ownership of device-resident
+        rendered_warp_images/masks to the pipeline: in offload mode
+        their HBM (~3.5 GB at 121x704x1280 fp32 x2 buffers) is freed
+        once encoded, BEFORE the denoise loop — required for the
+        single-chip 7B, whose step program leaves <1 GB headroom. The
+        caller must not touch the arrays afterwards (take np.asarray
+        snapshots first, as pipelines/chunked.py does)."""
         if self.text_guardrail is not None:
             if not self.text_guardrail.run(prompt):
                 log.warning("Guardrail blocked the prompt.")
@@ -101,11 +110,13 @@ class Gen3cPipeline:
             np.asarray(pose_latent[:1, :1, :1, :1, :1])  # tunnel-safe sync
             for dev, src in ((warp_dev, rendered_warp_images),
                              (mask_dev, rendered_warp_masks)):
-                if (
-                    isinstance(dev, jax.Array)
-                    and dev is not src
-                    and not dev.is_deleted()
-                ):
+                if not isinstance(dev, jax.Array) or dev.is_deleted():
+                    continue
+                if dev is not src:
+                    dev.delete()
+                elif free_warp_buffers:
+                    # caller opted in: jnp.asarray aliased its array,
+                    # delete it (ownership transferred)
                     dev.delete()
 
         log.info(f"Denoising ({self.num_steps} steps, CFG batched)...")

@@ -273,6 +273,7 @@ def _generate_one(args, preset, pipeline, image_path, prompt, save_name) -> str:
         image_frames=image_b3thw[:, :, :1],
         rendered_warp_images=warp_images,
         rendered_warp_masks=warp_masks,
+        free_warp_buffers=True,
         negative_prompt=args.negative_prompt or None,
     )
     if out is None:
@@ -308,6 +309,7 @@ def _generate_one(args, preset, pipeline, image_path, prompt, save_name) -> str:
             image_frames=seed_frames,
             rendered_warp_images=warp_images,
             rendered_warp_masks=warp_masks,
+            free_warp_buffers=True,
             negative_prompt=args.negative_prompt or None,
         )
         video_new, _ = out
