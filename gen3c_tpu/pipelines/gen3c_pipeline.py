@@ -27,6 +27,20 @@ from gen3c_tpu.utils import log
 Array = jnp.ndarray
 
 
+def fetch_video_uint8(video) -> np.ndarray:
+    """Device video (B, 3, T, H, W) in [-1, 1] -> host (T, H, W, 3)
+    uint8. The [-1,1]->uint8 convert + transpose run ON DEVICE so the
+    host fetch moves 1/4 the bytes — through the axon tunnel the fp32
+    fetch of a 121-frame chunk costs ~7.5 min vs ~2 min as uint8
+    (measured 2026-08-18)."""
+    if hasattr(video, "device"):  # jax array: convert on device
+        u8 = jnp.clip((video[0] + 1.0) * 127.5, 0, 255).astype(jnp.uint8)
+        u8 = jnp.transpose(u8, (1, 2, 3, 0))
+        return np.asarray(u8)
+    v = np.asarray(video[0]).transpose(1, 2, 3, 0)
+    return ((v + 1.0) / 2.0 * 255.0).clip(0, 255).astype(np.uint8)
+
+
 @dataclasses.dataclass
 class Gen3cPipeline:
     model: Gen3CModel
@@ -136,8 +150,7 @@ class Gen3cPipeline:
 
         log.info("Decoding latents...")
         video = self.model.decode(samples)  # (B, 3, T, H, W) in [-1, 1]
-        video = np.asarray(video[0]).transpose(1, 2, 3, 0)  # (T, H, W, 3)
-        video = ((video + 1.0) / 2.0 * 255.0).clip(0, 255).astype(np.uint8)
+        video = fetch_video_uint8(video)  # (T, H, W, 3) uint8
 
         if self.video_guardrail is not None:
             video = self.video_guardrail.run(video)

@@ -153,8 +153,9 @@ def generate_world(
         **sample_kwargs,
     )
     video = model.decode(samples)
-    video = np.asarray(video[0]).transpose(1, 2, 3, 0)
-    return ((video + 1) / 2 * 255).clip(0, 255).astype(np.uint8)
+    from gen3c_tpu.pipelines.gen3c_pipeline import fetch_video_uint8
+
+    return fetch_video_uint8(video)
 
 
 def create_parser() -> argparse.ArgumentParser:

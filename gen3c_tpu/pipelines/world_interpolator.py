@@ -129,8 +129,9 @@ def demo(args) -> str:
         solver=args.solver,
     )
     video = model.decode(samples)
-    video = np.asarray(video[0]).transpose(1, 2, 3, 0)
-    video = ((video + 1) / 2 * 255).clip(0, 255).astype(np.uint8)
+    from gen3c_tpu.pipelines.gen3c_pipeline import fetch_video_uint8
+
+    video = fetch_video_uint8(video)
     path = os.path.join(args.video_save_folder, f"{args.video_save_name}.mp4")
     path = io_utils.save_video(video, args.fps, path)
     log.info(f"Saved interpolated video to {path}")
