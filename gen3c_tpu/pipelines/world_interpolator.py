@@ -33,8 +33,18 @@ from gen3c_tpu.utils import log
 
 def create_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description="Cosmos world interpolator (TPU)")
-    p.add_argument("--first_image", type=str, required=True)
-    p.add_argument("--last_image", type=str, required=True)
+    p.add_argument("--first_image", type=str, default=None)
+    p.add_argument("--last_image", type=str, default=None)
+    p.add_argument("--input_video", type=str, default=None,
+                   help="interpolate between consecutive frame pairs of "
+                        "this video (reference world_interpolator.py "
+                        "video mode), chaining segments with a 1-frame "
+                        "overlap")
+    p.add_argument("--num_frame_pairs", type=int, default=None,
+                   help="pairs to process (default: frames//stride - 1)")
+    p.add_argument("--frame_stride", type=int, default=1,
+                   help="stride between the frames of each pair "
+                        "(reference --frame_stride)")
     p.add_argument("--model_preset", type=str, default="cosmos_v2w_7b",
                    choices=sorted(T2W_PRESETS))
     p.add_argument("--checkpoint_dir", type=str, default="checkpoints")
@@ -75,11 +85,48 @@ def demo(args) -> str:
         offload_dit=offload, offload_tokenizer=offload,
     )
     h, w = preset.height, preset.width
+
+    if args.input_video:
+        # reference video mode (world_generation_pipeline.py:1300-1380):
+        # interpolate each (i*stride, i*stride+stride) frame pair,
+        # chain segments skipping the duplicated first frame
+        video_in, _ = io_utils.read_video_bcthw(args.input_video, h, w)
+        n_frames = video_in.shape[2]
+        stride = args.frame_stride
+        n_pairs = args.num_frame_pairs or max(n_frames // stride - 1, 1)
+        segments = []
+        for i in range(n_pairs):
+            a, b = i * stride, i * stride + stride
+            if b >= n_frames:
+                break
+            log.info(f"Processing frame pair {i + 1} / {n_pairs}...")
+            seg = _interpolate_pair(
+                model, preset,
+                video_in[:, :, a : a + 1],
+                video_in[:, :, b : b + 1],
+                args, seed=args.seed + i,
+            )
+            segments.append(seg if not segments else seg[1:])
+        video = np.concatenate(segments, axis=0)
+    else:
+        if not (args.first_image and args.last_image):
+            raise SystemExit(
+                "provide --input_video OR --first_image + --last_image")
+        first = io_utils.read_image_bcthw(args.first_image, h, w)
+        last = io_utils.read_image_bcthw(args.last_image, h, w)
+        video = _interpolate_pair(model, preset, first, last, args,
+                                  seed=args.seed)
+
+    path = os.path.join(args.video_save_folder, f"{args.video_save_name}.mp4")
+    path = io_utils.save_video(video, args.fps, path)
+    log.info(f"Saved interpolated video to {path}")
+    return path
+
+
+def _interpolate_pair(model, preset, first, last, args, seed: int):
+    """One first/last-conditioned chunk -> (T, H, W, 3) uint8."""
     C, T, Hl, Wl = preset.state_shape
     B = 1
-
-    first = io_utils.read_image_bcthw(args.first_image, h, w)
-    last = io_utils.read_image_bcthw(args.last_image, h, w)
 
     # encode each end into its own latent chunk (inference_utils.py:736-757
     # first_and_last_1 path: each end is zero-padded and encoded separately)
@@ -105,7 +152,7 @@ def demo(args) -> str:
         gt, cond, num_condition_t=1, condition_location="first_and_last_1"
     )
 
-    init_noise = np.random.RandomState(args.seed).standard_normal(
+    init_noise = np.random.RandomState(seed).standard_normal(
         (B, C, T, Hl, Wl)
     ).astype(np.float32)
     from gen3c_tpu.diffusion.sampler import generate_samples_auto
@@ -117,7 +164,7 @@ def demo(args) -> str:
         streaming_net=getattr(model, "streaming_net", None),
         init_noise=jnp.asarray(init_noise),
         augment_noise=jnp.asarray(
-            arch_invariant_randn((B, C, T, Hl, Wl), args.seed)
+            arch_invariant_randn((B, C, T, Hl, Wl), seed)
         ),
         crossattn_cond=cond.crossattn_emb,
         crossattn_uncond=jnp.zeros_like(cond.crossattn_emb),
@@ -131,11 +178,7 @@ def demo(args) -> str:
     video = model.decode(samples)
     from gen3c_tpu.pipelines.gen3c_pipeline import fetch_video_uint8
 
-    video = fetch_video_uint8(video)
-    path = os.path.join(args.video_save_folder, f"{args.video_save_name}.mp4")
-    path = io_utils.save_video(video, args.fps, path)
-    log.info(f"Saved interpolated video to {path}")
-    return path
+    return fetch_video_uint8(video)
 
 
 if __name__ == "__main__":

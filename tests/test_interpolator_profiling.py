@@ -65,3 +65,41 @@ def test_device_memory_report_runs():
     from gen3c_tpu.utils.profiling import device_memory_report
 
     device_memory_report()  # may be None on CPU; must not raise
+
+
+def test_world_interpolator_video_pairs(tmp_path):
+    """Video mode: consecutive frame pairs chained with 1-frame overlap
+    (reference world_generation_pipeline.py:1300-1380)."""
+    import jax
+
+    from PIL import Image
+
+    from gen3c_tpu.pipelines import world_interpolator as cli
+
+    rng = np.random.RandomState(1)
+    frames_dir = tmp_path / "vid"
+    os.makedirs(frames_dir)
+    for i in range(3):
+        Image.fromarray(
+            (rng.rand(96, 160, 3) * 255).astype(np.uint8)
+        ).save(frames_dir / f"{i:04d}.png")
+    args = cli.create_parser().parse_args(
+        [
+            "--input_video", str(frames_dir),
+            "--num_frame_pairs", "2",
+            "--model_preset", "cosmos_v2w_tiny",
+            "--checkpoint_dir", str(tmp_path / "none"),
+            "--num_steps", "2",
+            "--video_save_folder", str(tmp_path / "out"),
+        ]
+    )
+    path = cli.demo(args)
+    assert os.path.exists(path) or os.path.isdir(os.path.splitext(path)[0])
+    # two chained chunks: T + (T - 1) frames
+    from gen3c_tpu.pipelines.text2world import T2W_PRESETS
+
+    T_pix = T2W_PRESETS["cosmos_v2w_tiny"].chunk_size
+    from gen3c_tpu.utils.io import read_video_bcthw
+
+    out, _ = read_video_bcthw(path)
+    assert out.shape[2] == 2 * T_pix - 1
