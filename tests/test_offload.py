@@ -95,3 +95,35 @@ def test_staged_releases_buffers():
     mk = getattr(getattr(a, "sharding", None), "memory_kind", None)
     assert isinstance(a, np.ndarray) or mk == "pinned_host"
     assert int(np.asarray(host["b"])) == 3
+
+
+def test_free_warp_buffers_ownership():
+    """generate(free_warp_buffers=True) deletes the caller's
+    device-resident warp arrays in offload mode (HBM freed before the
+    denoise loop); default keeps caller arrays alive."""
+    from gen3c_tpu.pipelines.gen3c_pipeline import Gen3cPipeline
+
+    model, preset = _tiny_model(offload_dit=True, offload_tokenizer=True)
+    pipe = Gen3cPipeline(model=model, num_steps=2,
+                         height=preset.height, width=preset.width)
+    rng = np.random.RandomState(0)
+    chunk, h, w = preset.chunk_size, preset.height, preset.width
+    frames = (rng.rand(1, 3, 1, h, w) * 2 - 1).astype(np.float32)
+
+    def warps():
+        return (
+            jnp.asarray(rng.rand(1, chunk, 1, 3, h, w) * 2 - 1,
+                        jnp.float32),
+            jnp.asarray((rng.rand(1, chunk, 1, 1, h, w) > 0.3),
+                        jnp.float32),
+        )
+
+    wi, wm = warps()
+    out = pipe.generate("p", frames, wi, wm)
+    assert out is not None
+    assert not wi.is_deleted() and not wm.is_deleted()  # default: kept
+
+    wi, wm = warps()
+    out = pipe.generate("p", frames, wi, wm, free_warp_buffers=True)
+    assert out is not None
+    assert wi.is_deleted() and wm.is_deleted()  # ownership transferred
