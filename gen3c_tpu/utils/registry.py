@@ -120,6 +120,19 @@ def _register_builtin_presets() -> None:
 
     from gen3c_tpu.models.dit_action import ActionDiTConfig
 
+    # instruction post-training family (training/config/
+    # video2world_instruction/experiment.py): the plain video-extend
+    # DiT trained with text instructions — same net, [x, mask] layout
+    for base_name, base in (
+        ("video2world_instruction_tiny", factory.GEN3C_TINY_PRESET),
+        ("video2world_instruction_7b", factory.GEN3C_7B_PRESET),
+    ):
+        dit = _dc.replace(base.dit, in_channels=base.dit.out_channels + 1)
+        register(
+            "experiment", base_name,
+            _dc.replace(base, name=base_name, dit=dit),
+        )
+
     for base_name, base in (
         ("video2world_action_tiny", factory.GEN3C_TINY_PRESET),
         ("video2world_action_7b", factory.GEN3C_7B_PRESET),
