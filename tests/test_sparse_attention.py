@@ -102,3 +102,56 @@ def test_factory_and_pipeline_with_band():
         rendered_warp_masks=jnp.asarray(masks),
     )
     assert video.shape == (chunk, h, w, 3)
+
+
+def test_band_training_grads():
+    """cfg.attn_temporal_window trains: full-window band grads equal
+    full-attention grads exactly (mask all-true), narrow window trains
+    finitely. (The TPU splash-kernel backward with the computed mask is
+    probed separately: band-masked grad verified on v5e 2026-08-18.)"""
+    from gen3c_tpu.training.train_step import (
+        init_train_state,
+        make_optimizer,
+        train_step,
+    )
+
+    rng = np.random.RandomState(0)
+    batch = {
+        "x0": jnp.asarray(rng.randn(1, 16, 4, 8, 8), jnp.float32),
+        "crossattn_emb": jnp.asarray(rng.randn(1, 4, 32), jnp.float32),
+        "extra_channels": jnp.zeros((1, 1, 4, 8, 8), jnp.float32),
+    }
+    import dataclasses
+
+    def cfg17(**kw):
+        return dataclasses.replace(_cfg(**kw), in_channels=16 + 1)
+
+    opt = make_optimizer(lr=1e-3, warmup_steps=1)
+    params = init_dit_params(jax.random.PRNGKey(0), cfg17())
+    # zero-init final/adaLN leaves make the loss attention-independent
+    params = jax.tree.map(
+        lambda x: (
+            0.02 * jax.random.normal(jax.random.PRNGKey(3), x.shape, x.dtype)
+            if float(jnp.sum(jnp.abs(x))) == 0.0 else x
+        ),
+        params,
+    )
+    key = jax.random.PRNGKey(5)
+
+    s_full, m_full = train_step(
+        init_train_state(params, opt), batch, key, cfg17(), opt)
+    s_wide, m_wide = train_step(
+        init_train_state(params, opt), batch, key,
+        cfg17(attn_temporal_window=4), opt)
+    np.testing.assert_array_equal(
+        np.asarray(m_full["loss"]), np.asarray(m_wide["loss"]))
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(
+            np.asarray(a), np.asarray(b)),
+        s_full.params, s_wide.params)
+
+    _, m_narrow = train_step(
+        init_train_state(params, opt), batch, key,
+        cfg17(attn_temporal_window=0), opt)
+    assert np.isfinite(float(m_narrow["loss"]))
+    assert float(m_narrow["loss"]) != float(m_full["loss"])
