@@ -281,3 +281,59 @@ class MultiviewClipDataset:
                 k: jnp.concatenate([s[k] for s in samples], axis=0)
                 for k in samples[0]
             }
+
+
+class PrefetchIterator:
+    """Background-thread batch prefetcher (the reference's DataLoader
+    num_workers equivalent, utils/trainer.py dataloader path): the
+    wrapped iterator's decode/IO runs in a worker thread while the
+    training step executes, with a bounded queue (double buffering by
+    default). Exceptions propagate to the consumer; close() (or GC)
+    stops the worker."""
+
+    _SENTINEL = object()
+
+    def __init__(self, iterable, prefetch: int = 2):
+        import queue
+        import threading
+
+        self._q = queue.Queue(maxsize=max(1, prefetch))
+        self._err = None
+        self._stop = threading.Event()
+
+        def worker():
+            try:
+                for item in iterable:
+                    if self._stop.is_set():
+                        return
+                    self._q.put(item)
+            except BaseException as e:  # noqa: BLE001
+                self._err = e
+            finally:
+                self._q.put(self._SENTINEL)
+
+        self._thread = threading.Thread(target=worker, daemon=True)
+        self._thread.start()
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        item = self._q.get()
+        if item is self._SENTINEL:
+            if self._err is not None:
+                raise self._err
+            raise StopIteration
+        return item
+
+    def close(self):
+        self._stop.set()
+        # drain so a blocked put() wakes up and sees the stop flag
+        try:
+            while True:
+                self._q.get_nowait()
+        except Exception:  # noqa: BLE001
+            pass
+
+    def __del__(self):
+        self.close()

@@ -50,6 +50,9 @@ class TrainerConfig:
     # kill a hung step after this many seconds via SIGALRM
     # (utils/trainer.py:108-109 timeout_period parity); 0 = off
     step_timeout_s: float = 0.0
+    # background-thread batch prefetch depth (the reference DataLoader
+    # num_workers role); 0 = synchronous
+    prefetch_batches: int = 2
     # Kendall uncertainty loss with a learned per-sigma logvar head
     # (reference config.loss_add_logvar, model_image.py:232-235)
     loss_add_logvar: bool = False
@@ -210,6 +213,11 @@ class Trainer:
         cfg = self.config
         start = self.maybe_resume()
         self.callbacks.on_train_start(self)
+        if cfg.prefetch_batches > 0:
+            from gen3c_tpu.training.datasets import PrefetchIterator
+
+            dataloader = PrefetchIterator(
+                dataloader, prefetch=cfg.prefetch_batches)
         it = iter(dataloader)
         metrics = {}
         for step in range(start + 1, cfg.max_iter + 1):
