@@ -387,17 +387,40 @@ class Gen3cPersistentModel(InferenceModel):
                         max_points=2_000_000
                     )
                 pts, cols = self._native_pc
-                frames = pr.raster_points(
-                    pts, cols,
-                    req.world_to_cameras().astype(np.float32),
-                    req.intrinsics_matrix(
-                        for_resolutions=target_res
-                    ).astype(np.float32),
-                    self.preset.height, self.preset.width,
-                    point_radius=float(
-                        _os.environ.get("GEN3C_PREVIEW_POINT_RADIUS", "1.0")
-                    ),
+                w2c_np = req.world_to_cameras().astype(np.float32)
+                ks_np = req.intrinsics_matrix(
+                    for_resolutions=target_res
+                ).astype(np.float32)
+                radius = float(
+                    _os.environ.get("GEN3C_PREVIEW_POINT_RADIUS", "1.0")
                 )
+                spp = int(_os.environ.get("GEN3C_PREVIEW_SPP", "1"))
+                frames = pr.raster_points(
+                    pts, cols, w2c_np, ks_np,
+                    self.preset.height, self.preset.width,
+                    point_radius=radius,
+                )
+                if spp > 1:
+                    # progressive anti-aliasing: accumulate sub-pixel
+                    # jittered re-renders in the native render buffer
+                    # (render_buffer.cu accumulation role)
+                    from gen3c_tpu.native import render_buffer as rbuf
+
+                    if rbuf.available():
+                        acc = rbuf.RenderBuffer.for_shape(frames.shape)
+                        acc.accumulate(frames.astype(np.float32) / 255.0)
+                        rng = np.random.RandomState(0)
+                        for _ in range(spp - 1):
+                            kj = ks_np.copy()
+                            kj[:, 0, 2] += rng.uniform(-0.5, 0.5)
+                            kj[:, 1, 2] += rng.uniform(-0.5, 0.5)
+                            f = pr.raster_points(
+                                pts, cols, w2c_np, kj,
+                                self.preset.height, self.preset.width,
+                                point_radius=radius,
+                            )
+                            acc.accumulate(f.astype(np.float32) / 255.0)
+                        frames = acc.readout(srgb_transfer=False)
                 return InferenceResult(
                     request_id=req.request_id,
                     cameras_to_world=req.cameras_to_world,
