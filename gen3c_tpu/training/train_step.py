@@ -289,6 +289,12 @@ def make_sharded_train_step(
             "sequence_parallel is not supported for multiview training "
             "(the multiview forward has no SP constraint hook)"
         )
+    if (getattr(cfg, "attn_temporal_window", None) is not None
+            and mesh.shape.get("cp", 1) > 1):
+        raise ValueError(
+            "attn_temporal_window training requires cp=1 (the banded "
+            "splash kernel cannot partition the token axis; use dp/tp)"
+        )
 
     # token stream (B, L, D): keep the batch on 'dp' and shard the
     # merged token axis over BOTH 'cp' and 'tp' — constraining with a
