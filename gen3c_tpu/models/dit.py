@@ -583,7 +583,10 @@ def _ring_attention(q: Array, k: Array, v: Array, axis_name: str,
     return jnp.swapaxes(out, 1, 2).astype(q.dtype)
 
 
-def _ulysses_attention(q: Array, k: Array, v: Array, axis_name: str) -> Array:
+def _ulysses_attention(
+    q: Array, k: Array, v: Array, axis_name: str,
+    temporal_band: Optional[Tuple[int, int, int]] = None,
+) -> Array:
     """Ulysses/DeepSpeed-style sequence parallelism (the head-scatter
     strategy xDiT popularized for DiTs, arXiv:2411.01738): one all-to-all
     turns sequence shards into head shards, full-sequence attention runs
@@ -601,7 +604,8 @@ def _ulysses_attention(q: Array, k: Array, v: Array, axis_name: str) -> Array:
                             tiled=True)
     vg = jax.lax.all_to_all(v, axis_name, split_axis=2, concat_axis=1,
                             tiled=True)
-    out = attention_op(qg, kg, vg)
+    # full-sequence attention: the band mask composes (global positions)
+    out = attention_op(qg, kg, vg, temporal_band=temporal_band)
     # inverse: split sequence, gather heads
     return jax.lax.all_to_all(out, axis_name, split_axis=1, concat_axis=2,
                               tiled=True)
@@ -664,14 +668,16 @@ def _attn_block(
         q = apply_rope(q, *rope)
         k = apply_rope(k, *rope)
     if context is None and cp_axis is not None:
-        assert temporal_band is None, (
-            "attn_temporal_window is not supported under context "
-            "parallelism (the band mask needs global token positions)"
+        assert temporal_band is None or cp_attn_impl == "ulysses", (
+            "attn_temporal_window under context parallelism requires "
+            "cp_attn_impl='ulysses' (local full-sequence attention; "
+            "allgather/ring q-shards lack global positions)"
         )
         if cp_attn_impl == "ring":
             out = _ring_attention(q, k, v, cp_axis)
         elif cp_attn_impl == "ulysses":
-            out = _ulysses_attention(q, k, v, cp_axis)
+            out = _ulysses_attention(q, k, v, cp_axis,
+                                     temporal_band=temporal_band)
         elif cp_attn_impl != "allgather":
             raise ValueError(
                 f"unknown cp_attn_impl {cp_attn_impl!r}; expected "

@@ -481,3 +481,46 @@ def test_factory_cp_tp_sp_strategy():
 
     with _pytest.raises(ValueError, match="needs tp>=2"):
         build_gen3c_model("gen3c_tiny", num_devices=4, parallel="cp4tp1sp")
+
+
+def test_cp_ulysses_band_attention_matches_single_device():
+    """Temporal-band sparse attention under Ulysses CP == single-device
+    banded forward (the all-to-all gathers the full sequence locally,
+    so the band mask's global positions are exact)."""
+    import dataclasses
+
+    from jax.sharding import Mesh
+
+    mesh = make_mesh(dp=1, cp=2, tp=1, devices=jax.devices()[:2])
+    from gen3c_tpu.models.dit import randomize_degenerate_inits
+
+    cfg_b = dataclasses.replace(
+        CFG, cp_attn_impl="ulysses", attn_temporal_window=1)
+    params = randomize_degenerate_inits(
+        init_dit_params(jax.random.PRNGKey(0), CFG, jnp.float32))
+    rng = np.random.RandomState(4)
+    x = jnp.asarray(rng.randn(1, 81, 4, 8, 16), jnp.float32)
+    t = jnp.asarray([0.4])
+    ctx = jnp.asarray(rng.randn(1, 8, 1024), jnp.float32)
+
+    ref = dit_forward(params, cfg_b, x, t, ctx, fps=24.0)
+    # the band is live (differs from full attention on these params)
+    full = dit_forward(params, CFG, x, t, ctx, fps=24.0)
+    assert np.abs(np.asarray(ref) - np.asarray(full)).max() > 1e-6
+
+    def body(params, x, t, ctx):
+        return dit_forward(params, cfg_b, x, t, ctx, fps=24.0,
+                           cp_axis="cp")
+
+    seq = P(None, None, "cp")
+    mapped = jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P(), seq, P(), P()),
+        out_specs=seq,
+        check_vma=False,
+    )
+    out = mapped(params, x, t, ctx)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-4
+    )
