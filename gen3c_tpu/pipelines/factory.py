@@ -100,6 +100,7 @@ def build_gen3c_model(
     offload_dit: bool = False,
     offload_tokenizer: bool = False,
     attn_temporal_window: Optional[int] = None,
+    cp_attn: Optional[str] = None,
 ) -> Tuple[Gen3CModel, Gen3CPreset]:
     """Build a Gen3CModel from a preset, loading weights if available.
 
@@ -134,13 +135,24 @@ def build_gen3c_model(
             ),
         )
 
+    if cp_attn is not None:
+        # context-parallel self-attention strategy (DiTConfig
+        # cp_attn_impl): allgather (default), ring, or ulysses
+        preset = dataclasses.replace(
+            preset,
+            dit=dataclasses.replace(preset.dit, cp_attn_impl=cp_attn),
+        )
     if attn_temporal_window is not None:
         # temporal-band sparse self-attention (speed/quality knob,
-        # measured 1.5-3x on the attention op at window 4..1); CP
-        # shards global positions, so single-device only
-        if parallel != "none" and num_devices > 1:
+        # measured 1.5-3x on the attention op at window 4..1).
+        # allgather/ring CP shard q positions, so multi-device needs
+        # the ulysses strategy (full local sequence per head group)
+        if (parallel != "none" and num_devices > 1
+                and preset.dit.cp_attn_impl != "ulysses"):
             raise ValueError(
-                "attn_temporal_window requires single-device execution"
+                "attn_temporal_window over multiple devices requires "
+                "cp_attn='ulysses' (allgather/ring q-shards lack global "
+                "positions)"
             )
         preset = dataclasses.replace(
             preset,

@@ -83,6 +83,11 @@ def create_parser() -> argparse.ArgumentParser:
                         "frame (sliding-tile-attention family). Measured "
                         "1.5x/2.2x/3.1x on the attention op at window "
                         "4/2/1 (v5e, 56k tokens); small quality cost")
+    p.add_argument("--cp_attn", type=str, default=None,
+                   choices=["allgather", "ring", "ulysses"],
+                   help="context-parallel attention strategy (default "
+                        "allgather; ulysses enables --attn_temporal_"
+                        "window over multiple devices)")
     p.add_argument("--num_video_frames", type=int, default=121,
                    help="(N-1) %% (chunk-1) must be 0")
     p.add_argument("--fps", type=int, default=24)
@@ -185,6 +190,7 @@ def demo(args) -> str:
         cache_span_dtype=args.step_cache_span_dtype,
         quantize="w8a8" if args.quantize_w8a8 else args.quantize_int8,
         attn_temporal_window=args.attn_temporal_window,
+        cp_attn=args.cp_attn,
     )
     validate_args(args, preset.chunk_size)
 
