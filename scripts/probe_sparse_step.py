@@ -36,6 +36,30 @@ def bench(cfg, qparams, label):
     return dt
 
 
+def rel_delta(cfg_a, cfg_b, qparams):
+    """Math-level output delta between two attention configs (random
+    weights — NOT a quality claim, an error-propagation magnitude)."""
+    B = 1
+    x = jax.random.normal(
+        jax.random.PRNGKey(5), (B, 81, 16, 88, 160), jnp.bfloat16)
+    t = jnp.ones((B,), jnp.float32)
+    ctx = jax.random.normal(
+        jax.random.PRNGKey(6), (B, 512, 1024), jnp.bfloat16)
+
+    @jax.jit
+    def both(p, x, t, c):
+        a = dit_forward(p, cfg_a, x, t, c, fps=24.0).astype(jnp.float32)
+        b = dit_forward(p, cfg_b, x, t, c, fps=24.0).astype(jnp.float32)
+        num = jnp.sqrt(jnp.mean((a - b) ** 2))
+        den = jnp.sqrt(jnp.mean(a ** 2))
+        return num / den
+
+    r = float(both(qparams, x, t, ctx))
+    print(f"  rel output delta vs full (random weights): {r:.4f}",
+          flush=True)
+    return r
+
+
 if __name__ == "__main__":
     params = init_dit_params(jax.random.PRNGKey(0), GEN3C_7B, jnp.bfloat16)
     qparams = quantize_dit_params_inplace(params, act_quant=True)
@@ -44,3 +68,4 @@ if __name__ == "__main__":
         cfg = dataclasses.replace(GEN3C_7B, attn_temporal_window=win)
         dt = bench(cfg, qparams, f"band window={win} (W8A8)")
         print(f"  step speedup {full/dt:.2f}x", flush=True)
+        rel_delta(GEN3C_7B, cfg, qparams)
