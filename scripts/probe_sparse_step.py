@@ -37,8 +37,10 @@ def bench(cfg, qparams, label):
 
 
 def rel_delta(cfg_a, cfg_b, qparams):
-    """Math-level output delta between two attention configs (random
-    weights — NOT a quality claim, an error-propagation magnitude)."""
+    """Math-level output delta between two attention configs. NOTE:
+    random 7B weights overflow bf16 activations (inf -> nan delta), so
+    this is only meaningful with REAL converted weights — kept for when
+    checkpoints are available; not called by default."""
     B = 1
     x = jax.random.normal(
         jax.random.PRNGKey(5), (B, 81, 16, 88, 160), jnp.bfloat16)
@@ -68,4 +70,5 @@ if __name__ == "__main__":
         cfg = dataclasses.replace(GEN3C_7B, attn_temporal_window=win)
         dt = bench(cfg, qparams, f"band window={win} (W8A8)")
         print(f"  step speedup {full/dt:.2f}x", flush=True)
-        rel_delta(GEN3C_7B, cfg, qparams)
+        if "--rel-delta" in sys.argv:  # real weights only (see rel_delta)
+            rel_delta(GEN3C_7B, cfg, qparams)
