@@ -66,7 +66,8 @@ if __name__ == "__main__":
     params = init_dit_params(jax.random.PRNGKey(0), GEN3C_7B, jnp.bfloat16)
     qparams = quantize_dit_params_inplace(params, act_quant=True)
     full = bench(GEN3C_7B, qparams, "full attention (W8A8)")
-    for win in (int(a) for a in (sys.argv[1:] or ["2"])):
+    wins = [a for a in sys.argv[1:] if not a.startswith("-")] or ["2"]
+    for win in (int(a) for a in wins):
         cfg = dataclasses.replace(GEN3C_7B, attn_temporal_window=win)
         dt = bench(cfg, qparams, f"band window={win} (W8A8)")
         print(f"  step speedup {full/dt:.2f}x", flush=True)
