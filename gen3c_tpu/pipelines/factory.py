@@ -366,3 +366,46 @@ def build_tokenizer(preset, checkpoint_dir=None):
     )
     full, p = build_gen3c_model(stub, checkpoint_dir=checkpoint_dir)
     return types.SimpleNamespace(encode=full.encode, decode=full.decode), p
+
+
+def add_perf_flags(p) -> None:
+    """Shared serving-performance CLI flags (the single-image CLI keeps
+    its richer documented set; these mirror its semantics)."""
+    p.add_argument("--quantize_int8", action="store_true",
+                   help="int8 weight-only DiT (fits the 7B on one chip)")
+    p.add_argument("--quantize_w8a8", action="store_true",
+                   help="int8 weights + dynamic int8 activations")
+    p.add_argument("--offload_diffusion_transformer", action="store_true")
+    p.add_argument("--offload_tokenizer", action="store_true")
+    p.add_argument("--step_cache_interval", type=int, default=1,
+                   help=">1: training-free step caching")
+    p.add_argument("--attn_temporal_window", type=int, default=None,
+                   help="temporal-band sparse attention (opt-in; "
+                        "measured 1.57x the 7B step at window 2)")
+    p.add_argument("--cp_attn", type=str, default=None,
+                   choices=["allgather", "ring", "ulysses"])
+    p.add_argument("--parallel", type=str, default="cp")
+    p.add_argument("--num_devices", "--num_gpus", type=int, default=1,
+                   dest="num_devices")
+
+
+def build_from_args(args, preset_name: Optional[str] = None):
+    """build_gen3c_model from an add_perf_flags-style namespace, with
+    the single-image CLI's 7B single-chip offload auto-enable."""
+    name = preset_name or args.model_preset
+    offload = (
+        args.offload_diffusion_transformer
+        or (name == "gen3c_7b" and args.num_devices == 1)
+    )
+    return build_gen3c_model(
+        name,
+        checkpoint_dir=args.checkpoint_dir,
+        seed=args.seed,
+        num_devices=args.num_devices,
+        parallel=args.parallel,
+        quantize="w8a8" if args.quantize_w8a8 else args.quantize_int8,
+        offload_dit=offload,
+        offload_tokenizer=offload or args.offload_tokenizer,
+        attn_temporal_window=args.attn_temporal_window,
+        cp_attn=args.cp_attn,
+    )

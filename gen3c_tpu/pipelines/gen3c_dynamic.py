@@ -71,13 +71,16 @@ def create_parser() -> argparse.ArgumentParser:
     p.add_argument("--filter_points_threshold", type=float, default=0.05)
     p.add_argument("--foreground_masking", action="store_true")
     p.add_argument("--save_buffer", action="store_true")
+    from gen3c_tpu.pipelines.factory import add_perf_flags
+
+    add_perf_flags(p)
     return p
 
 
 def demo(args) -> str:
-    model, preset = build_gen3c_model(
-        args.model_preset, checkpoint_dir=args.checkpoint_dir, seed=args.seed
-    )
+    from gen3c_tpu.pipelines.factory import build_from_args
+
+    model, preset = build_from_args(args)
     chunk = preset.chunk_size
     assert (args.num_video_frames - 1) % (chunk - 1) == 0
 
@@ -93,6 +96,7 @@ def demo(args) -> str:
         guidance=args.guidance,
         num_steps=args.num_steps,
         solver=args.solver,
+        step_cache_interval=args.step_cache_interval,
         height=preset.height,
         width=preset.width,
         fps=args.fps,
