@@ -194,6 +194,9 @@ def create_parser() -> argparse.ArgumentParser:
                    help="stage DiT params host<->HBM per phase "
                         "(auto-enabled for 7B presets on one device)")
     p.add_argument("--offload_tokenizer", action="store_true")
+    p.add_argument("--attn_temporal_window", type=int, default=None,
+                   help="temporal-band sparse attention (opt-in; "
+                        "measured 1.57x the 7B step at window 2)")
     return p
 
 
@@ -216,6 +219,7 @@ def demo(args) -> str:
         quantize="w8a8" if args.quantize_w8a8 else args.quantize_int8,
         offload_dit=offload,
         offload_tokenizer=offload or args.offload_tokenizer,
+        attn_temporal_window=args.attn_temporal_window,
     )
 
     if args.disable_prompt_encoder:
