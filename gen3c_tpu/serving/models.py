@@ -474,6 +474,7 @@ class Gen3cPersistentModel(InferenceModel):
             if self._inference_times
             else 4.0  # server_cosmos_base.py:246-248 placeholder parity
         )
+        cfg = self.model.dit_cfg
         return {
             "model": "Gen3cPersistentModel",
             "preset": self.preset.name,
@@ -481,6 +482,18 @@ class Gen3cPersistentModel(InferenceModel):
             "inference_resolution": [self.preset.width, self.preset.height],
             "chunk_size": self.model.chunk_size,
             "mean_inference_time_per_frame": mean_t,
+            # active performance configuration (observability)
+            "perf": {
+                "quantize": getattr(self.model, "quantized", False),
+                "offload_dit": getattr(self.model, "offload_dit", False),
+                "streaming": getattr(self.model, "streaming_net", None)
+                is not None,
+                "attn_temporal_window": cfg.attn_temporal_window,
+                "cp_attn_impl": cfg.cp_attn_impl,
+                "step_cache_interval": self.pipeline.step_cache_interval,
+                "step_cache_threshold": self.pipeline.step_cache_threshold,
+                "solver": self.pipeline.solver,
+            },
         }
 
 
