@@ -173,6 +173,7 @@ class Gen3cPersistentModel(InferenceModel):
         parallel: str = "cp",
         offload_dit: Optional[bool] = None,
         attn_temporal_window: Optional[int] = None,
+        cp_attn: Optional[str] = None,
     ):
         from gen3c_tpu.pipelines.depth import make_depth_estimator
         from gen3c_tpu.pipelines.factory import build_gen3c_model
@@ -196,6 +197,7 @@ class Gen3cPersistentModel(InferenceModel):
             quantize=quantize, num_devices=num_devices, parallel=parallel,
             offload_dit=offload_dit,
             attn_temporal_window=attn_temporal_window,
+            cp_attn=cp_attn,
             # VAE params (0.42 GB) would otherwise sit in the ~0.5 GB
             # slack the host-loop denoise step leaves (docs/STATUS.md)
             offload_tokenizer=offload_dit,

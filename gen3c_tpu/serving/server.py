@@ -259,6 +259,7 @@ def build_model_from_env():
             int(os.environ["GEN3C_ATTN_WINDOW"])
             if os.environ.get("GEN3C_ATTN_WINDOW", "").strip() else None
         ),
+        cp_attn=os.environ.get("GEN3C_CP_ATTN") or None,
         parallel=os.environ.get("GEN3C_PARALLEL", "cp"),
         # GEN3C_OFFLOAD_DIT=1/0 overrides the single-chip-7B auto-enable
         offload_dit=(
