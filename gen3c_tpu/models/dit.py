@@ -527,7 +527,9 @@ def _adaln_modulation(p: Params, emb: Array, lora: Array, n_chunks: int) -> Tupl
 
 
 def _ring_attention(q: Array, k: Array, v: Array, axis_name: str,
-                    q_block: int = 512) -> Array:
+                    q_block: int = 512,
+                    temporal_band: Optional[Tuple[int, int, int]] = None,
+                    ) -> Array:
     """Ring context-parallel attention: each rank holds a KV shard,
     shards rotate around the cp axis via ppermute while an online-softmax
     accumulator folds them in (the in-framework equivalent of
@@ -541,8 +543,23 @@ def _ring_attention(q: Array, k: Array, v: Array, axis_name: str,
     combined with the one-shard KV residency this keeps the path viable
     at production sequence lengths (at the GEN3C shape, cp=4:
     ~1.8 GB transient vs ~50 GB unchunked).
+
+    temporal_band=(hw, window_frames, prefix_frames): the same
+    frame-granular sparse mask as make_temporal_band_mask, evaluated
+    DYNAMICALLY per rank — global token positions are recovered from
+    lax.axis_index (q rows) and the ring step (KV shard origin), which
+    is what the program-static splash block mask cannot express under
+    SPMD. Ring steps whose whole (q-shard, kv-shard) frame ranges fall
+    outside band+prefix skip their score/AV compute via lax.cond (the
+    ppermute still runs on every step — collectives must stay uniform
+    across ranks), so attention FLOPs scale with the band width once
+    cp exceeds the band's shard footprint. Masked entries are gated by
+    construction (where on the probabilities, -1e30 logits) — no
+    NaN/inf ever exists in either cond lane (TPU lowers cheap conds to
+    both-lanes select; see CLAUDE.md).
     """
     size = jax.lax.axis_size(axis_name)
+    rank = jax.lax.axis_index(axis_name)
     perm = [(j, (j + 1) % size) for j in range(size)]
     scale = 1.0 / math.sqrt(q.shape[-1])
     B, L, H, D = q.shape
@@ -556,18 +573,40 @@ def _ring_attention(q: Array, k: Array, v: Array, axis_name: str,
     m = jnp.full((nq, B, H, qb), -jnp.inf, jnp.float32)
     num = jnp.zeros((nq, B, H, qb, D), jnp.float32)
     den = jnp.zeros((nq, B, H, qb), jnp.float32)
+    if temporal_band is not None:
+        hw, window, prefix = temporal_band
+        assert L % hw == 0, (
+            f"local shard L={L} must be whole frames (hw={hw})"
+        )
+        f_loc = L // hw  # frames per shard
+        q_row0 = rank * L + jnp.arange(nq, dtype=jnp.int32) * qb
+    else:
+        q_row0 = jnp.zeros((nq,), jnp.int32)  # unused
 
     k_cur, v_cur = k, v
-    for _ in range(size):
+    for step in range(size):
         kf = jnp.swapaxes(k_cur.astype(jnp.float32), 1, 2)  # (B,H,Ls,D)
         vf = jnp.swapaxes(v_cur.astype(jnp.float32), 1, 2)
+        # after `step` forward rotations rank r holds rank (r-step)'s shard
+        kv_rank = jnp.mod(rank - step, size)
 
-        def chunk_update(args, kf=kf, vf=vf):
-            qc, mc, numc, denc = args  # (B,H,qb,D), (B,H,qb), ...
+        def chunk_update(args, kf=kf, vf=vf, kv_rank=kv_rank):
+            qc, mc, numc, denc, row0 = args  # (B,H,qb,D), (B,H,qb), ...
             logits = jnp.einsum("bhqd,bhkd->bhqk", qc, kf) * scale
+            if temporal_band is not None:
+                qfr = (row0 + jnp.arange(qb, dtype=jnp.int32)) // hw
+                kfr = (kv_rank * L + jnp.arange(
+                    kf.shape[2], dtype=jnp.int32)) // hw
+                d = qfr[:, None] - kfr[None, :]
+                mask = ((d <= window) & (d >= -window)
+                        | (kfr < prefix)[None, :])  # (qb, Ls)
+                logits = jnp.where(mask[None, None], logits, -1e30)
             cmax = jnp.max(logits, axis=-1)
             m_new = jnp.maximum(mc, cmax)
             p = jnp.exp(logits - m_new[..., None])
+            if temporal_band is not None:
+                # all-masked rows have m_new=-1e30 -> exp(0)=1: gate them
+                p = jnp.where(mask[None, None], p, 0.0)
             corr = jnp.exp(mc - m_new)
             numc = numc * corr[..., None] + jnp.einsum(
                 "bhqk,bhkd->bhqd", p, vf
@@ -575,7 +614,25 @@ def _ring_attention(q: Array, k: Array, v: Array, axis_name: str,
             denc = denc * corr + jnp.sum(p, axis=-1)
             return m_new, numc, denc
 
-        m, num, den = jax.lax.map(chunk_update, (qf, m, num, den))
+        def do_step(carry):
+            mm, nn, dd = carry
+            mm, nn, dd = jax.lax.map(
+                chunk_update, (qf, mm, nn, dd, q_row0))
+            return mm, nn, dd
+
+        if temporal_band is not None:
+            # whole-step skip when no (q frame, kv frame) pair of this
+            # rank pair is inside band or prefix
+            qf0 = rank * f_loc
+            kf0 = kv_rank * f_loc
+            needed = (
+                (kf0 <= qf0 + (f_loc - 1) + window)
+                & (qf0 <= kf0 + (f_loc - 1) + window)
+            ) | (kf0 < prefix)
+            m, num, den = jax.lax.cond(
+                needed, do_step, lambda c: c, (m, num, den))
+        else:
+            m, num, den = do_step((m, num, den))
         k_cur = jax.lax.ppermute(k_cur, axis_name, perm)
         v_cur = jax.lax.ppermute(v_cur, axis_name, perm)
     out = num / den[..., None]  # (nq, B, H, qb, D)
@@ -668,13 +725,18 @@ def _attn_block(
         q = apply_rope(q, *rope)
         k = apply_rope(k, *rope)
     if context is None and cp_axis is not None:
-        assert temporal_band is None or cp_attn_impl == "ulysses", (
+        assert temporal_band is None or cp_attn_impl in (
+            "ulysses", "ring"
+        ), (
             "attn_temporal_window under context parallelism requires "
-            "cp_attn_impl='ulysses' (local full-sequence attention; "
-            "allgather/ring q-shards lack global positions)"
+            "cp_attn_impl='ulysses' (local full-sequence attention) or "
+            "'ring' (dynamic per-rank band masks); the allgather "
+            "strategy's splash mask is program-static under SPMD and "
+            "cannot encode per-rank q offsets"
         )
         if cp_attn_impl == "ring":
-            out = _ring_attention(q, k, v, cp_axis)
+            out = _ring_attention(q, k, v, cp_axis,
+                                  temporal_band=temporal_band)
         elif cp_attn_impl == "ulysses":
             out = _ulysses_attention(q, k, v, cp_axis,
                                      temporal_band=temporal_band)

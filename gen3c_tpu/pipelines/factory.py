@@ -145,14 +145,15 @@ def build_gen3c_model(
     if attn_temporal_window is not None:
         # temporal-band sparse self-attention (speed/quality knob,
         # measured 1.5-3x on the attention op at window 4..1).
-        # allgather/ring CP shard q positions, so multi-device needs
-        # the ulysses strategy (full local sequence per head group)
+        # allgather CP's splash mask is program-static under SPMD, so
+        # multi-device needs ulysses (full local sequence per head
+        # group) or ring (dynamic per-rank band masks + step skipping)
         if (parallel != "none" and num_devices > 1
-                and preset.dit.cp_attn_impl != "ulysses"):
+                and preset.dit.cp_attn_impl not in ("ulysses", "ring")):
             raise ValueError(
                 "attn_temporal_window over multiple devices requires "
-                "cp_attn='ulysses' (allgather/ring q-shards lack global "
-                "positions)"
+                "cp_attn='ulysses' or 'ring' (the allgather splash "
+                "mask is program-static and lacks per-rank q offsets)"
             )
         preset = dataclasses.replace(
             preset,

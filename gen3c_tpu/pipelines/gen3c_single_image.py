@@ -86,7 +86,7 @@ def create_parser() -> argparse.ArgumentParser:
     p.add_argument("--cp_attn", type=str, default=None,
                    choices=["allgather", "ring", "ulysses"],
                    help="context-parallel attention strategy (default "
-                        "allgather; ulysses enables --attn_temporal_"
+                        "allgather; ulysses/ring enable --attn_temporal_"
                         "window over multiple devices)")
     p.add_argument("--num_video_frames", type=int, default=121,
                    help="(N-1) %% (chunk-1) must be 0")

@@ -524,3 +524,79 @@ def test_cp_ulysses_band_attention_matches_single_device():
     np.testing.assert_allclose(
         np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-4
     )
+
+
+def test_cp_ring_band_attention_matches_single_device():
+    """Temporal-band sparse attention under RING CP == single-device
+    banded forward. Unlike ulysses (which gathers the full sequence
+    locally), the ring path evaluates the band mask DYNAMICALLY per
+    rank from lax.axis_index + the ring step, and skips ring steps
+    whose (q-shard, kv-shard) frame ranges are fully outside
+    band+prefix via lax.cond. cp=4 with window=1 makes at least one
+    ring step per rank fully masked, so the skip path is exercised."""
+    import dataclasses
+
+    mesh = make_mesh(dp=1, cp=4, tp=1, devices=jax.devices()[:4])
+    from gen3c_tpu.models.dit import randomize_degenerate_inits
+
+    cfg_b = dataclasses.replace(
+        CFG, cp_attn_impl="ring", attn_temporal_window=1)
+    params = randomize_degenerate_inits(
+        init_dit_params(jax.random.PRNGKey(0), CFG, jnp.float32))
+    rng = np.random.RandomState(5)
+    x = jnp.asarray(rng.randn(1, 81, 4, 8, 16), jnp.float32)
+    t = jnp.asarray([0.4])
+    ctx = jnp.asarray(rng.randn(1, 8, 1024), jnp.float32)
+
+    ref = dit_forward(params, cfg_b, x, t, ctx, fps=24.0)
+    # the band is live (differs from full attention on these params)
+    full = dit_forward(params, CFG, x, t, ctx, fps=24.0)
+    assert np.abs(np.asarray(ref) - np.asarray(full)).max() > 1e-6
+
+    def body(params, x, t, ctx):
+        return dit_forward(params, cfg_b, x, t, ctx, fps=24.0,
+                           cp_axis="cp")
+
+    seq = P(None, None, "cp")
+    mapped = jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P(), seq, P(), P()),
+        out_specs=seq,
+        check_vma=False,
+    )
+    out = mapped(params, x, t, ctx)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-4
+    )
+
+
+def test_cp_ring_full_attention_unchanged_by_band_refactor():
+    """The unmasked ring path (temporal_band=None) keeps its original
+    numerics after the band refactor: ring CP forward == single-device
+    full forward."""
+    import dataclasses
+
+    mesh = make_mesh(dp=1, cp=4, tp=1, devices=jax.devices()[:4])
+    cfg_r = dataclasses.replace(CFG, cp_attn_impl="ring")
+    params = init_dit_params(jax.random.PRNGKey(1), CFG, jnp.float32)
+    rng = np.random.RandomState(6)
+    x = jnp.asarray(rng.randn(1, 81, 4, 8, 16), jnp.float32)
+    t = jnp.asarray([0.7])
+    ctx = jnp.asarray(rng.randn(1, 8, 1024), jnp.float32)
+
+    ref = dit_forward(params, CFG, x, t, ctx, fps=24.0)
+
+    def body(params, x, t, ctx):
+        return dit_forward(params, cfg_r, x, t, ctx, fps=24.0,
+                           cp_axis="cp")
+
+    seq = P(None, None, "cp")
+    mapped = jax.shard_map(
+        body, mesh=mesh, in_specs=(P(), seq, P(), P()), out_specs=seq,
+        check_vma=False,
+    )
+    out = mapped(params, x, t, ctx)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-4
+    )
