@@ -16,3 +16,14 @@ if "xla_force_host_platform_device_count" not in _flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+import pytest  # noqa: E402
+
+
+def pytest_collection_modifyitems(config, items):
+    """Two-tier suite (VERDICT r2 weak #7): anything not explicitly
+    @pytest.mark.slow is `fast`, so `pytest -m fast` gives a <3-min loop
+    on the 1-CPU host while `pytest tests/ -q` stays the full gate."""
+    for item in items:
+        if "slow" not in item.keywords:
+            item.add_marker(pytest.mark.fast)
