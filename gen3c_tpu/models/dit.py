@@ -557,6 +557,16 @@ def _ring_attention(q: Array, k: Array, v: Array, axis_name: str,
     construction (where on the probabilities, -1e30 logits) — no
     NaN/inf ever exists in either cond lane (TPU lowers cheap conds to
     both-lanes select; see CLAUDE.md).
+
+    FLOP-saving caveat (ADVICE r2): numerics are correct either way, but
+    the cond only saves compute if XLA emits a real branch. TPU lowers
+    CHEAP conds to both-lanes select; this cond's taken lane is a full
+    chunked attention scan (matmuls + online softmax), which XLA does
+    compile as a real conditional, so the skip is expected to hold on
+    TPU — but this is unverified on real multi-chip hardware (none
+    available; single-chip has no ring). Until measured, treat the
+    band+ring FLOP scaling as CPU-mesh-verified parity + TPU-expected
+    perf, not a measured multi-chip number.
     """
     size = jax.lax.axis_size(axis_name)
     rank = jax.lax.axis_index(axis_name)
@@ -725,15 +735,20 @@ def _attn_block(
         q = apply_rope(q, *rope)
         k = apply_rope(k, *rope)
     if context is None and cp_axis is not None:
-        assert temporal_band is None or cp_attn_impl in (
+        if temporal_band is not None and cp_attn_impl not in (
             "ulysses", "ring"
-        ), (
-            "attn_temporal_window under context parallelism requires "
-            "cp_attn_impl='ulysses' (local full-sequence attention) or "
-            "'ring' (dynamic per-rank band masks); the allgather "
-            "strategy's splash mask is program-static under SPMD and "
-            "cannot encode per-rank q offsets"
-        )
+        ):
+            # ValueError (not assert): under `python -O` an assert would
+            # be stripped and the allgather branch below would silently
+            # drop the band (exact attention instead of the requested
+            # approximation).
+            raise ValueError(
+                "attn_temporal_window under context parallelism requires "
+                "cp_attn_impl='ulysses' (local full-sequence attention) "
+                "or 'ring' (dynamic per-rank band masks); the allgather "
+                "strategy's splash mask is program-static under SPMD and "
+                "cannot encode per-rank q offsets"
+            )
         if cp_attn_impl == "ring":
             out = _ring_attention(q, k, v, cp_axis,
                                   temporal_band=temporal_band)

@@ -104,6 +104,23 @@ def test_factory_and_pipeline_with_band():
     assert video.shape == (chunk, h, w, 3)
 
 
+def test_allgather_cp_band_rejected():
+    """allgather CP + temporal band must raise (ADVICE r2: was a bare
+    assert, stripped under python -O — the band would silently drop)."""
+    import pytest
+
+    from gen3c_tpu.models.dit import _attn_block, init_dit_params
+
+    params = init_dit_params(jax.random.PRNGKey(0), _cfg())
+    p = params["blocks"][0]["fa"]
+    x = jnp.zeros((1, 16, 96), jnp.float32)
+    with pytest.raises(ValueError, match="program-static"):
+        _attn_block(
+            p, x, None, 4, None, cp_axis="cp",
+            cp_attn_impl="allgather", temporal_band=(4, 1, 1),
+        )
+
+
 def test_band_training_grads():
     """cfg.attn_temporal_window trains: full-window band grads equal
     full-attention grads exactly (mask all-true), narrow window trains
