@@ -196,6 +196,104 @@ def stub_cuda_stack():
     mtp.utils = tputils
 
 
+def stub_diffusers():
+    """Stub ``diffusers.EDMEulerScheduler`` so the reference sampling-loop
+    modules (model_t2w.py:17,65; model_v2w.py:121-149) import and run under
+    torch-CPU. Semantics re-derived from the diffusers EDMEulerScheduler
+    the reference constructs with (sigma_max=80, sigma_min=0.0002,
+    sigma_data) — karras rho=7 sigma ramp with a trailing 0, c_noise
+    timesteps 0.25*ln(sigma), init_noise_sigma (sigma_max^2+1)^0.5, EDM
+    preconditioning, and the Euler step (the same derivation as
+    gen3c_tpu/diffusion/scheduler.py, here in torch as the oracle)."""
+    if "diffusers" in sys.modules:
+        return
+    import numpy as np
+    import torch
+
+    d = _stub("diffusers")
+
+    class _StepOutput:
+        def __init__(self, prev_sample):
+            self.prev_sample = prev_sample
+
+    class EDMEulerScheduler:
+        def __init__(self, sigma_min=0.002, sigma_max=80.0, sigma_data=0.5,
+                     rho=7.0, **kwargs):
+            self.config = types.SimpleNamespace(
+                sigma_min=sigma_min, sigma_max=sigma_max,
+                sigma_data=sigma_data, rho=rho,
+            )
+            self._step_index = None
+
+        @property
+        def init_noise_sigma(self):
+            return (self.config.sigma_max**2 + 1) ** 0.5
+
+        def set_timesteps(self, num_inference_steps):
+            ramp = np.linspace(0, 1, num_inference_steps)
+            min_inv = self.config.sigma_min ** (1 / self.config.rho)
+            max_inv = self.config.sigma_max ** (1 / self.config.rho)
+            s = (max_inv + ramp * (min_inv - max_inv)) ** self.config.rho
+            s = s.astype(np.float32)
+            self.sigmas = torch.cat(
+                [torch.from_numpy(s), torch.zeros(1)]
+            )
+            self.timesteps = 0.25 * torch.log(torch.from_numpy(s))
+            self._step_index = None
+
+        @property
+        def step_index(self):
+            return self._step_index
+
+        def _init_step_index(self, timestep):
+            idx = (self.timesteps == timestep).nonzero()
+            self._step_index = int(idx[0].item())
+
+        def precondition_inputs(self, sample, sigma):
+            c_in = 1 / ((sigma**2 + self.config.sigma_data**2) ** 0.5)
+            return sample * c_in
+
+        def scale_model_input(self, sample, timestep):
+            if self._step_index is None:
+                self._init_step_index(timestep)
+            return self.precondition_inputs(
+                sample, self.sigmas[self._step_index]
+            )
+
+        def precondition_outputs(self, sample, model_output, sigma):
+            sd = self.config.sigma_data
+            c_skip = sd**2 / (sigma**2 + sd**2)
+            c_out = sigma * sd / (sigma**2 + sd**2) ** 0.5
+            return c_skip * sample + c_out * model_output
+
+        def step(self, model_output, timestep, sample):
+            if self._step_index is None:
+                self._init_step_index(timestep)
+            sigma = self.sigmas[self._step_index]
+            sigma_next = self.sigmas[self._step_index + 1]
+            denoised = self.precondition_outputs(sample, model_output, sigma)
+            derivative = (sample - denoised) / sigma
+            prev = sample + (sigma_next - sigma) * derivative
+            self._step_index += 1
+            return _StepOutput(prev)
+
+    d.EDMEulerScheduler = EDMEulerScheduler
+
+    # model_t2w imports LayerControlConfigParser, whose module imports
+    # omegaconf for isinstance checks only
+    if "omegaconf" not in sys.modules:
+        om = _stub("omegaconf")
+
+        class DictConfig(dict):
+            pass
+
+        class ListConfig(list):
+            pass
+
+        om.DictConfig = DictConfig
+        om.ListConfig = ListConfig
+
+
 def load_reference_geometry():
     if REFERENCE_ROOT not in sys.path:
         sys.path.insert(0, REFERENCE_ROOT)
