@@ -78,36 +78,315 @@ class GuardrailRunner:
         return self.postprocess(x)
 
 
+# better_profanity-equivalent leetspeak character variants: a censor
+# word matches a prompt token when every character of the token is one
+# of the word character's variants (VaryingString equality semantics)
+_CHARS_MAPPING = {
+    "a": ("a", "@", "*", "4"),
+    "i": ("i", "*", "l", "1"),
+    "o": ("o", "*", "0", "@"),
+    "u": ("u", "*", "v"),
+    "v": ("v", "*", "u"),
+    "l": ("l", "1"),
+    "e": ("e", "*", "3"),
+    "s": ("s", "$", "5"),
+    "t": ("t", "7"),
+}
+# characters that can be part of a word during censoring (everything
+# else is a separator): letters, digits, and the leet variant chars
+_WORD_CHARS = (
+    set(string.ascii_letters) | set(string.digits) | {"@", "$", "*", "'"}
+)
+
+
+def _to_ascii(prompt: str) -> str:
+    """blocklist/utils.py:44-46 parity."""
+    return re.sub(r"[^\x00-\x7F]+", " ", prompt)
+
+
+def _variant_match(word: str, token: str) -> bool:
+    """True when `token` is a leetspeak variant of censor word `word`."""
+    if len(word) != len(token):
+        return False
+    return all(
+        t in _CHARS_MAPPING.get(w, (w,)) for w, t in zip(word, token)
+    )
+
+
+class _FuzzyCensor:
+    """Word/phrase censor with leet variants (the better_profanity role
+    in blocklist/blocklist.py:23,52,80: whole-word case-insensitive
+    match, multi-word phrases, each hit replaced by censor_char*4)."""
+
+    def __init__(self, words: List[str], whitelist: List[str]):
+        wl = {w.strip().lower() for w in whitelist}
+        self.phrases = [
+            tuple(w.lower().split())
+            for w in words
+            if w.strip() and w.strip().lower() not in wl
+        ]
+        self.max_len = max((len(p) for p in self.phrases), default=1)
+
+    def censor(self, text: str, censor_char: str = "*") -> str:
+        # tokenize into (start, end, lowered word) runs of word chars
+        tokens, i, n = [], 0, len(text)
+        while i < n:
+            if text[i] in _WORD_CHARS:
+                j = i
+                while j < n and text[j] in _WORD_CHARS:
+                    j += 1
+                tokens.append((i, j, text[i:j].lower()))
+                i = j
+            else:
+                i += 1
+        out, pos, t = [], 0, 0
+        while t < len(tokens):
+            matched_span = None
+            for plen in range(min(self.max_len, len(tokens) - t), 0, -1):
+                window = tokens[t:t + plen]
+                for phrase in self.phrases:
+                    if len(phrase) != plen:
+                        continue
+                    if all(
+                        _variant_match(pw, tok[2])
+                        for pw, tok in zip(phrase, window)
+                    ):
+                        matched_span = (window[0][0], window[-1][1], plen)
+                        break
+                if matched_span:
+                    break
+            if matched_span:
+                start, end, plen = matched_span
+                out.append(text[pos:start])
+                out.append(censor_char * 4)
+                pos = end
+                t += plen
+            else:
+                t += 1
+        out.append(text[pos:])
+        return "".join(out)
+
+
+# WordNet noun morphology (nltk MORPHOLOGICAL_SUBSTITUTIONS['n'] — the
+# default pos the reference's lemmatizer.lemmatize(token) uses)
+_NOUN_RULES = (
+    ("s", ""), ("ses", "s"), ("ves", "f"), ("xes", "x"), ("zes", "z"),
+    ("ches", "ch"), ("shes", "sh"), ("men", "man"), ("ies", "y"),
+)
+# common noun.exc irregulars (WordNet exception-list role)
+_NOUN_EXCEPTIONS = {
+    "men": "man", "women": "woman", "children": "child", "feet": "foot",
+    "teeth": "tooth", "geese": "goose", "mice": "mouse", "lice": "louse",
+    "oxen": "ox", "dice": "die", "knives": "knife", "wives": "wife",
+    "lives": "life", "leaves": "leaf", "loaves": "loaf",
+    "thieves": "thief", "selves": "self", "elves": "elf",
+    "halves": "half", "calves": "calf", "shelves": "shelf",
+    "scarves": "scarf", "hooves": "hoof", "wolves": "wolf",
+    "corpora": "corpus", "analyses": "analysis", "crises": "crisis",
+}
+
+
+class _NounLemmatizer:
+    """WordNet-morphy noun lemmatization against a provided lexicon
+    (the nltk.WordNetLemmatizer role in blocklist/blocklist.py:42,173-175
+    — the reference calls lemmatize(token) with the default pos='n').
+
+    morphy validates rule outputs against the WordNet lexicon; without
+    nltk data the lexicon here is the loaded word lists themselves —
+    exactly the vocabulary whose inflected forms must fold back onto
+    blocklist entries for the censor's second pass to behave like the
+    reference's. Unknown words pass through unchanged, as in morphy.
+    """
+
+    def __init__(self, lexicon):
+        self.lexicon = set(lexicon) | set(_NOUN_EXCEPTIONS.values())
+
+    def lemmatize(self, form: str) -> str:
+        word = form.lower()
+        if word in _NOUN_EXCEPTIONS:
+            return _NOUN_EXCEPTIONS[word]
+
+        def apply_rules(forms):
+            return [
+                f[: -len(old)] + new
+                for f in forms
+                for old, new in _NOUN_RULES
+                if f.endswith(old)
+            ]
+
+        forms = apply_rules([word])
+        valid = [f for f in [word] + forms if f in self.lexicon]
+        if valid:
+            return min(valid, key=len)
+        while forms:
+            forms = apply_rules(forms)
+            valid = [f for f in forms if f in self.lexicon]
+            if valid:
+                return min(valid, key=len)
+        return form
+
+
 class Blocklist(ContentSafetyGuardrail):
-    """Word-blocklist text filter (blocklist/blocklist.py parity, minus
-    nltk lemmatization). Word lists load from <checkpoint_dir>/blocklist/
-    {custom,exact_match}/*.txt when present."""
+    """Word-blocklist text filter (blocklist/blocklist.py:32-192 parity):
+    leet-variant fuzzy censoring with whitelist uncensor, a lemmatized
+    second pass (WordNet noun morphy, lexicon = the word lists), and the
+    exact-match list with SequenceMatcher partial matching. Word lists
+    load from <checkpoint_dir>/blocklist/{custom,whitelist,exact_match}/
+    (reference checkpoint layout); loose *.txt under blocklist/ are
+    treated as custom words."""
+
+    CENSOR = "*"
 
     def __init__(self, checkpoint_dir: Optional[str] = None,
-                 extra_words: Optional[List[str]] = None):
-        self.words = set(w.lower() for w in (extra_words or []))
+                 extra_words: Optional[List[str]] = None,
+                 whitelist_words: Optional[List[str]] = None,
+                 exact_match_words: Optional[List[str]] = None,
+                 guardrail_partial_match_min_chars: int = 6,
+                 guardrail_partial_match_letter_count: float = 0.4):
+        self.guardrail_partial_match_min_chars = (
+            guardrail_partial_match_min_chars
+        )
+        self.guardrail_partial_match_letter_count = (
+            guardrail_partial_match_letter_count
+        )
+        self.blocklist_words = [w.lower() for w in (extra_words or [])]
+        self.whitelist_words = [w.lower() for w in (whitelist_words or [])]
+        self.exact_match_words = [
+            w.lower() for w in (exact_match_words or [])
+        ]
         if checkpoint_dir:
             bl_dir = os.path.join(checkpoint_dir, "blocklist")
             if os.path.isdir(bl_dir):
                 for root, _, files in os.walk(bl_dir):
-                    for f in files:
+                    sub = os.path.relpath(root, bl_dir).split(os.sep)[0]
+                    target = {
+                        "whitelist": self.whitelist_words,
+                        "exact_match": self.exact_match_words,
+                    }.get(sub, self.blocklist_words)
+                    for f in sorted(files):
                         if f.endswith(".txt"):
                             with open(os.path.join(root, f)) as fh:
-                                for line in fh:
-                                    w = line.strip().lower()
-                                    if w:
-                                        self.words.add(w)
+                                target.extend(
+                                    line.strip().lower()
+                                    for line in fh if line.strip()
+                                )
+        self._censor = _FuzzyCensor(self.blocklist_words,
+                                    self.whitelist_words)
+        lexicon = {
+            part
+            for w in (self.blocklist_words + self.whitelist_words
+                      + self.exact_match_words)
+            for part in w.split()
+        }
+        self.lemmatizer = _NounLemmatizer(lexicon)
+        # back-compat alias (pre-round-3 API)
+        self.words = set(self.blocklist_words)
+
+    def uncensor_whitelist(self, input_prompt: str,
+                           censored_prompt: str) -> str:
+        """Restore whitelisted tokens (blocklist.py:57-66)."""
+        input_words = input_prompt.split()
+        censored_words = censored_prompt.split()
+        whitelist = set(self.whitelist_words)
+        for i, token in enumerate(input_words):
+            if i < len(censored_words) and (
+                token.strip(string.punctuation).lower() in whitelist
+            ):
+                censored_words[i] = token
+        return " ".join(censored_words)
+
+    def censor_prompt(self, input_prompt: str) -> Tuple[bool, str]:
+        """Fuzzy censor + whitelist uncensor (blocklist.py:68-84)."""
+        censored = self._censor.censor(input_prompt, self.CENSOR)
+        censored = self.uncensor_whitelist(input_prompt, censored)
+        if self.CENSOR in censored:
+            return True, (
+                "Prompt blocked by censorship: "
+                f"Censored Prompt: {censored}"
+            )
+        return False, ""
 
     @staticmethod
-    def _tokens(prompt: str) -> List[str]:
-        table = str.maketrans("", "", string.punctuation)
-        return re.sub(r"\s+", " ", prompt).translate(table).lower().split()
+    def check_partial_match(
+        normalized_prompt: str, normalized_word: str,
+        guardrail_partial_match_letter_count: float,
+    ) -> Tuple[bool, str]:
+        """SequenceMatcher partial match (blocklist.py:86-117)."""
+        from difflib import SequenceMatcher
 
-    def is_safe(self, prompt: str) -> Tuple[bool, str]:
-        for tok in self._tokens(prompt):
-            if tok in self.words:
-                return False, f"Prompt blocked by blocklist: {tok}"
-        return True, ""
+        prompt_words = normalized_prompt.split()
+        word_length = len(normalized_word.split())
+        max_ratio = (
+            len(normalized_word) - float(
+                guardrail_partial_match_letter_count
+            )
+        ) / float(len(normalized_word))
+        for i in range(len(prompt_words) - word_length + 1):
+            substring = " ".join(prompt_words[i:i + word_length])
+            if SequenceMatcher(
+                None, substring, normalized_word
+            ).ratio() >= max_ratio:
+                return True, (
+                    "Prompt blocked by partial match blocklist: "
+                    f"Prompt: {normalized_prompt}, "
+                    f"Partial Match Word: {normalized_word}"
+                )
+        return False, ""
+
+    def check_against_whole_word_blocklist(
+        self, prompt: str, blocklist: List[str],
+    ) -> Tuple[bool, str]:
+        """Whole-word + partial exact-match pass (blocklist.py:119-158)."""
+        normalized_prompt = re.sub(r"\s+", " ", prompt).strip().lower()
+        for word in blocklist:
+            normalized_word = re.sub(r"\s+", " ", word).strip().lower()
+            if re.search(
+                r"\b" + re.escape(normalized_word) + r"\b",
+                normalized_prompt,
+            ):
+                return True, (
+                    "Prompt blocked by exact match blocklist: "
+                    f"Prompt: {prompt}, Exact Match Word: {word}"
+                )
+            if len(normalized_word) >= (
+                self.guardrail_partial_match_min_chars
+            ):
+                match, message = self.check_partial_match(
+                    normalized_prompt, normalized_word,
+                    self.guardrail_partial_match_letter_count,
+                )
+                if match:
+                    return True, message
+        return False, ""
+
+    def is_safe(self, prompt: str = "") -> Tuple[bool, str]:
+        """Full reference check order (blocklist.py:160-192)."""
+        if not prompt:
+            return False, "Input is empty"
+        prompt = _to_ascii(prompt)
+
+        censored, message = self.censor_prompt(prompt)
+        if censored:
+            return False, message
+
+        # lemmatized second pass catches inflected blocklist words
+        # (token class keeps interior @/*/$ like nltk's treebank
+        # tokenizer, so leet-variant words survive as single tokens)
+        tokens = re.findall(r"[A-Za-z0-9'@*$]+|[^\sA-Za-z0-9'@*$]", prompt)
+        lemmatized = " ".join(
+            self.lemmatizer.lemmatize(tok) for tok in tokens
+        )
+        censored, message = self.censor_prompt(lemmatized)
+        if censored:
+            return False, message
+
+        censored, message = self.check_against_whole_word_blocklist(
+            prompt, self.exact_match_words
+        )
+        if censored:
+            return False, message
+
+        return True, "Input is safe"
 
 
 class LlamaGuard3(ContentSafetyGuardrail):
