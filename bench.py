@@ -263,6 +263,23 @@ def main() -> None:
         log(f"sparse-attention bench failed: {e}")
     gc.collect()
     jax.clear_caches()
+    # quality gate for the approximation knobs (VERDICT r2 #3): toy-scale
+    # error-vs-exact curves on the CPU backend (tiny parity-architecture
+    # net; full-size random weights overflow bf16, and real checkpoints
+    # are not in this environment)
+    quality = None
+    try:
+        from gen3c_tpu.diffusion.quality import approximation_quality_curve
+
+        cpu = jax.devices("cpu")[0]
+        with jax.default_device(cpu):
+            quality = approximation_quality_curve()
+        log(f"approximation quality (toy, rel L2 vs exact loop): "
+            + ", ".join(f"{k}={v['rel_l2']}" for k, v in quality.items()))
+    except Exception as e:  # noqa: BLE001
+        log(f"quality curve failed: {e}")
+    gc.collect()
+    jax.clear_caches()
     try:
         cache_fps = bench_cache_render()
     except Exception as e:  # noqa: BLE001
@@ -338,6 +355,16 @@ def main() -> None:
                 "sparse_attn_speedup": (
                     round(step / sparse_step, 2) if sparse_step else None
                 ),
+                # toy-scale quality gate (rel L2 of final latent vs the
+                # exact loop, tiny parity-architecture net): no advertised
+                # speedup without an error number next to it
+                "sparse_attn_rel_delta_toy": (
+                    quality["band_w2"]["rel_l2"] if quality else None
+                ),
+                "step_cache_rel_delta_toy": (
+                    quality["cache_i2"]["rel_l2"] if quality else None
+                ),
+                "approx_quality_toy": quality,
             }
         )
     )

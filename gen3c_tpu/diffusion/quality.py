@@ -1,0 +1,151 @@
+"""Quality gates for the approximation knobs (toy-scale error curves).
+
+The reference computes exact attention (module/attention.py:228-241) and
+runs every denoise step; gen3c_tpu's opt-in approximations — temporal-band
+sparse attention (``attn_temporal_window``) and training-free step caching
+(``step_cache_interval`` / ``step_cache_threshold``) — trade output
+fidelity for measured speedups. This module produces the error side of
+that trade so no advertised speedup ships without a quality number next
+to it (VERDICT r2 'next #3').
+
+Method: the parity-tested tiny DiT architecture (the same topology
+tests/test_dit_parity.py proves equivalent to the reference
+VideoExtendGeneralDIT), fp32 random weights (the full-size 7B with random
+weights overflows bf16 — scripts/probe_sparse_step.py), full-length
+35-step denoise trajectories, identical injected noise. Errors are
+relative L2 and PSNR of the final latent vs the exact loop. Real-weight
+deltas at production scale require the GEN3C-Cosmos-7B checkpoint (not in
+this environment); the toy curve is the available evidence and its
+ORDERING (wider band / denser refresh => smaller error) is what the test
+suite gates.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Optional, Sequence
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+def _tiny_cfg(attn_temporal_window: Optional[int] = None):
+    from gen3c_tpu.models.dit import DiTConfig
+
+    return DiTConfig(
+        max_img_h=16,
+        max_img_w=16,
+        max_frames=16,
+        in_channels=16 + 64 + 1,
+        out_channels=16,
+        model_channels=96,
+        num_blocks=2,
+        num_heads=4,
+        crossattn_emb_channels=32,
+        adaln_lora_dim=8,
+        rope_t_extrapolation_ratio=2.0,
+        attn_temporal_window=attn_temporal_window,
+        dtype=jnp.float32,
+    )
+
+
+def _sample(params, cfg, args, **overrides):
+    from gen3c_tpu.diffusion.sampler import generate_samples
+    from gen3c_tpu.models.dit import dit_forward
+
+    def net_fn(bundle, x, t, ctx):
+        p, c = bundle
+        return dit_forward(p, c, x, t, ctx, fps=24.0)
+
+    return np.asarray(
+        generate_samples(
+            net_fn=net_fn, net_params=(params, cfg), **args, **overrides
+        )
+    )
+
+
+def _metrics(exact: np.ndarray, approx: np.ndarray) -> Dict[str, float]:
+    err = approx - exact
+    rel_l2 = float(np.linalg.norm(err) / np.linalg.norm(exact))
+    peak = float(np.abs(exact).max())
+    rmse = float(np.sqrt(np.mean(err**2)))
+    psnr = float(20 * np.log10(peak / rmse)) if rmse > 0 else float("inf")
+    return {"rel_l2": round(rel_l2, 5), "psnr_db": round(psnr, 2)}
+
+
+def approximation_quality_curve(
+    num_steps: int = 35,
+    windows: Sequence[int] = (4, 2, 1),
+    intervals: Sequence[int] = (2, 3),
+    thresholds: Sequence[float] = (0.1,),
+    seed: int = 0,
+    lat_t: int = 16,
+    lat_hw: int = 16,
+) -> Dict[str, Dict[str, float]]:
+    """Error-vs-exact for each approximation knob at toy scale.
+
+    Returns {"band_w4": {"rel_l2":…, "psnr_db":…}, "cache_i2": …,
+    "cache_adaptive_t0.1": …} — all measured against the exact
+    35-step loop with the same weights and noise.
+    """
+    from gen3c_tpu.models.dit import init_dit_params
+
+    cfg = _tiny_cfg()
+    params = init_dit_params(jax.random.PRNGKey(seed), cfg, jnp.float32)
+    # randomize zero-initialized leaves (adaLN / final layer): a
+    # zero-output net makes every knob trivially exact (same recipe as
+    # tests/test_dit_parity.py)
+    leaves, treedef = jax.tree_util.tree_flatten(params)
+    keys = jax.random.split(jax.random.PRNGKey(seed + 1), len(leaves))
+    leaves = [
+        jax.random.normal(k, leaf.shape, leaf.dtype) * 0.02
+        if float(jnp.sum(jnp.abs(leaf))) == 0 else leaf
+        for k, leaf in zip(keys, leaves)
+    ]
+    params = jax.tree_util.tree_unflatten(treedef, leaves)
+    rng = np.random.RandomState(seed)
+    B, C, T, H, W = 1, 16, lat_t, lat_hw, lat_hw
+    indicator = np.zeros((1, 1, T, 1, 1), np.float32)
+    indicator[:, :, :1] = 1.0
+    args = dict(
+        init_noise=jnp.asarray(rng.randn(B, C, T, H, W), jnp.float32),
+        augment_noise=jnp.asarray(rng.randn(B, C, T, H, W), jnp.float32),
+        crossattn_cond=jnp.asarray(
+            rng.randn(B, 8, cfg.crossattn_emb_channels), jnp.float32
+        ),
+        crossattn_uncond=jnp.zeros(
+            (B, 8, cfg.crossattn_emb_channels), jnp.float32
+        ),
+        gt_latent=jnp.asarray(
+            rng.randn(B, C, T, H, W).astype(np.float32) * 0.5
+        ),
+        condition_video_indicator=jnp.asarray(indicator),
+        condition_video_input_mask=jnp.asarray(
+            np.broadcast_to(indicator, (B, 1, T, H, W)).astype(np.float32)
+        ),
+        pose_latent_cond=jnp.asarray(
+            rng.randn(B, 64, T, H, W).astype(np.float32) * 0.3
+        ),
+        pose_latent_uncond=jnp.zeros((B, 64, T, H, W), jnp.float32),
+        num_steps=num_steps,
+        guidance=1.5,
+    )
+
+    exact = _sample(params, cfg, args)
+    curve: Dict[str, Dict[str, float]] = {}
+    for w in windows:
+        band_cfg = dataclasses.replace(cfg, attn_temporal_window=w)
+        curve[f"band_w{w}"] = _metrics(
+            exact, _sample(params, band_cfg, args)
+        )
+    for interval in intervals:
+        curve[f"cache_i{interval}"] = _metrics(
+            exact, _sample(params, cfg, args, step_cache_interval=interval)
+        )
+    for thr in thresholds:
+        curve[f"cache_adaptive_t{thr}"] = _metrics(
+            exact, _sample(params, cfg, args, step_cache_threshold=thr)
+        )
+    return curve

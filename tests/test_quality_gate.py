@@ -1,0 +1,36 @@
+"""Quality gates for the approximation knobs (VERDICT r2 'next #3').
+
+Gates the ORDERING of the toy-scale error curves: a wider temporal band
+and a denser cache-refresh grid must be closer to the exact loop, and no
+knob may be error-free (which would mean the knob isn't doing anything —
+the zero-output-net failure mode) or catastrophically wrong.
+"""
+
+import pytest
+
+from gen3c_tpu.diffusion.quality import approximation_quality_curve
+
+pytestmark = pytest.mark.slow
+
+
+@pytest.fixture(scope="module")
+def curve():
+    return approximation_quality_curve(num_steps=35)
+
+
+def test_band_error_monotone_in_window(curve):
+    """Wider band => smaller error vs exact attention."""
+    assert 0 < curve["band_w4"]["rel_l2"] <= curve["band_w2"]["rel_l2"]
+    assert curve["band_w2"]["rel_l2"] <= curve["band_w1"]["rel_l2"]
+
+
+def test_cache_error_monotone_in_interval(curve):
+    """Denser refresh grid => smaller error vs the uncached loop."""
+    assert 0 < curve["cache_i2"]["rel_l2"] <= curve["cache_i3"]["rel_l2"]
+
+
+def test_all_knobs_bounded(curve):
+    """Every knob produces a nonzero but bounded deviation."""
+    for name, m in curve.items():
+        assert 0 < m["rel_l2"] < 0.1, (name, m)
+        assert m["psnr_db"] > 20, (name, m)
