@@ -517,6 +517,25 @@ def _host_loop_step(
     return jax.lax.cond(use_multi, multi, euler_step, None), net_out, x0
 
 
+class PendingSamples:
+    """Handle for an asynchronously-dispatched host-loop denoise.
+
+    ``result()`` joins the dispatch thread and returns the final latent
+    (the device work itself remains async JAX arrays — callers still
+    block only when they read). Exceptions raised on the dispatch thread
+    re-raise in ``result()``."""
+
+    def __init__(self, thread, box):
+        self._thread = thread
+        self._box = box
+
+    def result(self) -> Array:
+        self._thread.join()
+        if "error" in self._box:
+            raise self._box["error"]
+        return self._box["xt"]
+
+
 def generate_samples_host_loop(
     net_fn,
     net_params,
@@ -537,7 +556,8 @@ def generate_samples_host_loop(
     cfg_sequential: bool = False,
     net_in_dtype=None,
     solver: str = "euler",
-) -> Array:
+    dispatch_async: bool = False,
+):
     """Memory-lean sampler: a HOST python loop over a jitted single-step
     program, instead of one jit holding the whole `num_steps` fori_loop.
 
@@ -550,6 +570,17 @@ def generate_samples_host_loop(
     step — <0.2% overhead. Math is identical to generate_samples;
     step_cache_interval reuses the cached raw output on skipped steps
     with the same warmup/tail refresh schedule.
+
+    Host-CPU-contention hardening (VERDICT r2 #4): per-step scalars
+    (sigma / sigma_next / c_noise / prev_sigma) are staged to the device
+    in ONE batch up front and sliced on-device per step — the loop body
+    performs zero host->device transfers, so a starved tunnel client
+    costs dispatch RTTs only, not transfer round-trips. With
+    ``dispatch_async=True`` the whole dispatch loop runs on a dedicated
+    thread and a :class:`PendingSamples` handle returns immediately: the
+    device queue fills (the tunnel queues executions; the denoise
+    "completes" in seconds of dispatch and drains on device) even while
+    the caller's thread does CPU-heavy work beside it.
     """
     sig = np.asarray(schedule.sigmas(num_steps), np.float32)
     c_noises = np.asarray(schedule.timesteps(num_steps), np.float32)
@@ -568,47 +599,84 @@ def generate_samples_host_loop(
         )
     B = init_noise.shape[0]
     C_out = gt.shape[1]
-    net_out = jnp.zeros((2 * B, C_out) + gt.shape[2:], jnp.float32)
-    prev_x0 = jnp.zeros_like(xt)
-    prev_sigma = 0.0  # sentinel: first step always takes the euler path
+    # one batched upload of every per-step scalar: prev_sigma row i is
+    # sig[i-1] with the 0.0 first-step sentinel in row 0
+    scalar_table = jax.device_put(
+        jnp.asarray(
+            np.stack(
+                [
+                    np.concatenate([[0.0], sig[: num_steps - 1]]),
+                    sig[:num_steps],
+                    sig[1 : num_steps + 1],
+                    c_noises,
+                ],
+                axis=1,
+            ).astype(np.float32)
+        )
+    )  # (num_steps, 4)
     warmup, tail = 2, 2
-    for i in range(num_steps):
-        refresh = (
-            step_cache_interval <= 1
-            or i < warmup
-            or i >= num_steps - tail
-            or (i - warmup) % step_cache_interval == 0
-        )
-        xt, net_out, prev_x0 = _host_loop_step(
-            net_fn,
-            net_params,
-            xt,
-            net_out,
-            prev_x0,
-            jnp.float32(prev_sigma),
-            jnp.float32(sig[i]),
-            jnp.float32(sig[i + 1]),
-            jnp.float32(c_noises[i]),
-            augment_latent,
-            gt,
-            indicator_base,
-            crossattn_cond,
-            crossattn_uncond,
-            condition_video_input_mask,
-            pose_latent_cond,
-            pose_latent_uncond,
-            guidance=guidance,
-            aug=aug,
-            schedule=schedule,
-            net_in_dtype=(
-                jnp.float32 if net_in_dtype is None else net_in_dtype
-            ),
-            refresh=bool(refresh),
-            cfg_sequential=cfg_sequential,
-            solver=solver,
-        )
-        prev_sigma = float(sig[i])
-    return xt
+    box: dict = {}
+
+    def _drive():
+        try:
+            xt_c = xt
+            net_out = jnp.zeros(
+                (2 * B, C_out) + gt.shape[2:], jnp.float32
+            )
+            prev_x0 = jnp.zeros_like(xt_c)
+            for i in range(num_steps):
+                refresh = (
+                    step_cache_interval <= 1
+                    or i < warmup
+                    or i >= num_steps - tail
+                    or (i - warmup) % step_cache_interval == 0
+                )
+                row = scalar_table[i]  # device slice, no h2d transfer
+                xt_c, net_out, prev_x0 = _host_loop_step(
+                    net_fn,
+                    net_params,
+                    xt_c,
+                    net_out,
+                    prev_x0,
+                    row[0],
+                    row[1],
+                    row[2],
+                    row[3],
+                    augment_latent,
+                    gt,
+                    indicator_base,
+                    crossattn_cond,
+                    crossattn_uncond,
+                    condition_video_input_mask,
+                    pose_latent_cond,
+                    pose_latent_uncond,
+                    guidance=guidance,
+                    aug=aug,
+                    schedule=schedule,
+                    net_in_dtype=(
+                        jnp.float32 if net_in_dtype is None
+                        else net_in_dtype
+                    ),
+                    refresh=bool(refresh),
+                    cfg_sequential=cfg_sequential,
+                    solver=solver,
+                )
+            box["xt"] = xt_c
+        except BaseException as e:  # noqa: BLE001 — re-raised in result()
+            box["error"] = e
+
+    if not dispatch_async:
+        _drive()
+        if "error" in box:
+            raise box["error"]
+        return box["xt"]
+    import threading
+
+    thread = threading.Thread(
+        target=_drive, name="gen3c-denoise-dispatch", daemon=True
+    )
+    thread.start()
+    return PendingSamples(thread, box)
 
 
 def generate_samples_auto(

@@ -1,6 +1,7 @@
 """Sampling-loop behavior tests (conditioned-region replacement, CFG)."""
 
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -423,6 +424,42 @@ def test_host_loop_matches_fori_loop():
         generate_samples_host_loop(cfg_sequential=True, **kwargs)
     )
     np.testing.assert_allclose(host_s, ref, rtol=1e-5, atol=1e-6)
+
+    # async dispatch thread (VERDICT r2 #4): identical result via the
+    # PendingSamples handle, with the caller's thread busy meanwhile
+    pending = generate_samples_host_loop(dispatch_async=True, **kwargs)
+    acc = 0.0
+    for i in range(200_000):  # synthetic CPU work on the main thread
+        acc += i * 1e-9
+    host_a = np.asarray(pending.result())
+    assert acc > 0
+    np.testing.assert_allclose(host_a, ref, rtol=1e-5, atol=1e-6)
+
+
+def test_host_loop_async_error_propagates():
+    """Exceptions on the dispatch thread re-raise in result()."""
+    from gen3c_tpu.diffusion.sampler import generate_samples_host_loop
+
+    B, C, T, H, W, P = _shapes()
+    rng = np.random.RandomState(2)
+
+    def bad_net(params, x_in, t, crossattn):
+        raise RuntimeError("boom in net")
+
+    pending = generate_samples_host_loop(
+        net_fn=bad_net,
+        net_params=None,
+        init_noise=jnp.asarray(rng.randn(B, C, T, H, W), jnp.float32),
+        augment_noise=jnp.asarray(rng.randn(B, C, T, H, W), jnp.float32),
+        crossattn_cond=jnp.asarray(rng.randn(B, 2, 4), jnp.float32),
+        crossattn_uncond=jnp.zeros((B, 2, 4), jnp.float32),
+        gt_latent=jnp.asarray(rng.randn(B, C, T, H, W), jnp.float32),
+        condition_video_indicator=jnp.zeros((1, 1, T, 1, 1)),
+        num_steps=2,
+        dispatch_async=True,
+    )
+    with pytest.raises(RuntimeError, match="boom in net"):
+        pending.result()
 
 
 def test_streaming_sampler_matches_fori_loop():
