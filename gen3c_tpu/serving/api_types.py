@@ -120,6 +120,82 @@ class SeedingRequest(RequestBase):
     def _array_fields(self):
         return super()._array_fields() + ["images", "depths", "masks"]
 
+    def compress(self, format_rgb=None, format_depth=None,
+                 format_mask=None) -> "CompressedSeedingRequest":
+        """Per-buffer compression (api_types.py:176-206 parity; EXR's
+        lossless-float role for depth is carried by NPZ — see
+        serving/encoding.py)."""
+        from gen3c_tpu.serving.encoding import (
+            CompressionFormat,
+            compress_images,
+        )
+
+        format_rgb = format_rgb or CompressionFormat.JPG
+        format_depth = format_depth or CompressionFormat.NPZ
+        format_mask = format_mask or CompressionFormat.NPZ
+        images_c = compress_images(self.images, format_rgb)
+        depths_c = compress_images(self.depths, format_depth, is_depth=True)
+        masks_c = compress_images(self.masks, format_mask, is_bool=True)
+        kwargs = {
+            f.name: getattr(self, f.name)
+            for f in dataclasses.fields(self)
+        }
+        kwargs["images"] = None
+        kwargs["depths"] = None
+        kwargs["masks"] = None
+        return CompressedSeedingRequest(
+            images_compressed=images_c,
+            images_format=format_rgb,
+            depths_compressed=depths_c,
+            depths_format=None if depths_c is None else format_depth,
+            masks_compressed=masks_c,
+            masks_format=None if masks_c is None else format_mask,
+            **kwargs,
+        )
+
+
+@dataclasses.dataclass(kw_only=True)
+class CompressedSeedingRequest(SeedingRequest):
+    """SeedingRequest with per-buffer compressed image/depth/mask payloads
+    (api_types.py:208-250 parity): images as JPG/PNG frame buffers, depths
+    and masks as lossless NPZ. Call decompress() before use."""
+
+    images_compressed: list = None  # list[bytes]
+    images_format: object = None  # CompressionFormat
+    depths_compressed: Optional[list] = None
+    depths_format: object = None
+    masks_compressed: Optional[list] = None
+    masks_format: object = None
+
+    def __post_init__(self):
+        assert (self.resolutions is not None) or (self.images is not None), (
+            "CompressedSeedingRequest: at least one of resolutions or "
+            "images must be provided"
+        )
+        w, h = self.resolution()
+        if self.images is None:
+            self.images = np.empty((0, h, w, 3), np.float32)
+        if self.depths is None and self.depths_compressed is not None:
+            self.depths = np.empty((0, h, w), np.float32)
+        if self.masks is None and self.masks_compressed is not None:
+            self.masks = np.empty((0, h, w), bool)
+        assert self.images.shape[0] == 0, (
+            "CompressedSeedingRequest should not carry raw image data"
+        )
+
+    def decompress(self) -> None:
+        from gen3c_tpu.serving.encoding import decompress_buffer
+
+        self.images = decompress_buffer(
+            self.images_compressed, self.images_format
+        )
+        self.depths = decompress_buffer(
+            self.depths_compressed, self.depths_format, is_depth=True
+        )
+        self.masks = decompress_buffer(
+            self.masks_compressed, self.masks_format, is_bool=True
+        )
+
 
 @dataclasses.dataclass(kw_only=True)
 class SeedingResult(RequestBase):
@@ -182,3 +258,95 @@ class InferenceResult(RequestBase):
         os.makedirs(directory, exist_ok=True)
         for i, img in enumerate(self.images):
             Image.fromarray(img).save(f"{directory}/{i:05d}.png")
+
+    def compress(self, format_rgb=None,
+                 format_depth=None) -> "CompressedInferenceResult":
+        """Per-buffer compression of the result frames
+        (api_types.py:377-430 CompressedInferenceResult role)."""
+        from gen3c_tpu.serving.encoding import (
+            CompressionFormat,
+            compress_images,
+        )
+
+        format_rgb = format_rgb or CompressionFormat.JPG
+        format_depth = format_depth or CompressionFormat.NPZ
+        images = self.images
+        if images is not None and images.dtype == np.uint8:
+            images = images.astype(np.float32) / 255.0
+        images_c = compress_images(images, format_rgb)
+        depths_c = compress_images(self.depths, format_depth, is_depth=True)
+        kwargs = {
+            f.name: getattr(self, f.name)
+            for f in dataclasses.fields(self)
+        }
+        kwargs["images"] = None
+        kwargs["depths"] = None
+        return CompressedInferenceResult(
+            images_compressed=images_c,
+            images_format=format_rgb,
+            depths_compressed=depths_c,
+            depths_format=None if depths_c is None else format_depth,
+            **kwargs,
+        )
+
+
+@dataclasses.dataclass(kw_only=True)
+class CompressedInferenceResult(InferenceResult):
+    """InferenceResult with compressed frame buffers (api_types.py:377-430
+    parity, minus MP4 — no ffmpeg in the target image). decompress()
+    restores float 0..1 images; pad/trim also adjusts the buffers."""
+
+    images_compressed: list = None  # list[bytes]
+    images_format: object = None  # CompressionFormat
+    depths_compressed: Optional[list] = None
+    depths_format: object = None
+
+    def __post_init__(self):
+        assert (self.resolutions is not None) or (self.images is not None), (
+            "CompressedInferenceResult: at least one of resolutions or "
+            "images must be provided"
+        )
+        w, h = self.resolution()
+        if self.images is None:
+            self.images = np.empty((0, h, w, 3), np.float32)
+        if self.depths is None and self.depths_compressed is not None:
+            self.depths = np.empty((0, h, w), np.float32)
+        assert self.images.shape[0] == 0, (
+            "CompressedInferenceResult should not carry raw image data"
+        )
+        if self.depths_compressed is not None:
+            from gen3c_tpu.serving.encoding import CompressionFormat
+
+            if self.images_format != CompressionFormat.NPZ:
+                assert self.depths_format is not None
+
+    def _adjust_frame_count(self, n_frames: int) -> None:
+        from gen3c_tpu.serving.encoding import pad_or_trim_encoded_buffers
+
+        super()._adjust_frame_count(n_frames)
+        self.images_compressed = pad_or_trim_encoded_buffers(
+            self.images_compressed, self.images_format, n_frames
+        )
+        self.depths_compressed = pad_or_trim_encoded_buffers(
+            self.depths_compressed, self.depths_format, n_frames
+        )
+
+    def decompress(self) -> None:
+        from gen3c_tpu.serving.encoding import decompress_buffer
+
+        self.images = decompress_buffer(
+            self.images_compressed, self.images_format
+        )
+        self.depths = decompress_buffer(
+            self.depths_compressed, self.depths_format, is_depth=True
+        )
+
+    def save_images(self, directory: str) -> None:
+        """Write the compressed buffers directly (api_types.py:432-455)."""
+        import os
+
+        os.makedirs(directory, exist_ok=True)
+        ext = self.images_format.value
+        for i, buf in enumerate(self.images_compressed):
+            with open(os.path.join(directory, f"{i:05d}.{ext}"), "wb") as f:
+                f.write(buf)

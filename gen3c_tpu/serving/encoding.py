@@ -1,0 +1,139 @@
+"""Per-buffer image compression for the serving wire format.
+
+Parity: gui/api/encoding.py:23-200 — CompressionFormat, compress_images /
+decompress_buffer (float 0..1 images as per-frame JPG/PNG, depth and bool
+masks as lossless NPZ), pad_or_trim_array / pad_or_trim_encoded_buffers.
+
+Codec substitutions for this environment (no cv2 / OpenEXR / ffmpeg):
+JPG/PNG ride PIL (JPEG quality 100 like the reference's
+IMWRITE_JPEG_QUALITY 100); the reference's EXR float path is carried by
+NPZ (same lossless-float contract, encoding.py:55 allows either); MP4 is
+not provided (no ffmpeg in the image — the uncompressed / PNG paths and
+the serialization-level zlib remain available).
+"""
+
+from __future__ import annotations
+
+import io
+from enum import Enum
+from typing import List, Optional
+
+import numpy as np
+
+
+class CompressionFormat(Enum):
+    JPG = "jpg"
+    PNG = "png"
+    NPZ = "npz"
+
+
+IMAGE_COMPRESSION_FORMATS = (CompressionFormat.JPG, CompressionFormat.PNG)
+
+
+def compress_images(
+    images: Optional[np.ndarray],
+    format: CompressionFormat,
+    is_depth: bool = False,
+    is_bool: bool = False,
+) -> Optional[List[bytes]]:
+    """Compress image(s); depth/bool must use NPZ (lossless)."""
+    if images is None:
+        return None
+    if is_depth or is_bool:
+        assert images.ndim == 3, images.shape
+    else:
+        assert images.ndim == 4 and images.shape[-1] == 3, images.shape
+
+    if is_depth:
+        assert format == CompressionFormat.NPZ, (
+            "Depth images must be encoded losslessly (NPZ)"
+        )
+        images = images.astype(np.float32)
+    elif is_bool:
+        assert format == CompressionFormat.NPZ, (
+            "Bool images (e.g. masks) must be encoded as NPZ"
+        )
+        images = images.astype(bool)
+    else:
+        images = (images * 255.0).astype(np.uint8)
+
+    if format == CompressionFormat.NPZ:
+        with io.BytesIO() as f:
+            np.savez_compressed(f, images)
+            return [f.getvalue()]
+
+    assert format in IMAGE_COMPRESSION_FORMATS, (
+        f"Unsupported image compression format: {format}"
+    )
+    from PIL import Image
+
+    result = []
+    for frame in images:
+        with io.BytesIO() as f:
+            if format == CompressionFormat.JPG:
+                Image.fromarray(frame).save(f, "JPEG", quality=100)
+            else:
+                Image.fromarray(frame).save(f, "PNG")
+            result.append(f.getvalue())
+    return result
+
+
+def decompress_buffer(
+    buffers: Optional[List[bytes]],
+    format: CompressionFormat,
+    is_depth: bool = False,
+    is_bool: bool = False,
+) -> Optional[np.ndarray]:
+    """Decode to 0..1 float images (or raw float depth / bool masks)."""
+    if buffers is None:
+        return None
+    assert not (is_depth and is_bool), (
+        "Cannot be both a depth and a bool buffer."
+    )
+    images = []
+    for buf in buffers:
+        if format == CompressionFormat.NPZ:
+            arr = np.load(io.BytesIO(buf), allow_pickle=False)
+            if hasattr(arr, "files"):
+                assert len(arr.files) == 1, arr.files
+                arr = arr[arr.files[0]]
+            images.append(arr)
+        else:
+            from PIL import Image
+
+            img = np.asarray(Image.open(io.BytesIO(buf)))
+            if is_bool:
+                img = img.astype(bool)
+            elif img.dtype == np.uint8:
+                img = img.astype(np.float32) / 255.0
+            images.append(img[None, ...])
+    return np.concatenate(images, axis=0)
+
+
+def pad_or_trim_encoded_buffers(
+    buffers: Optional[List[bytes]],
+    format: Optional[CompressionFormat],
+    target_size: int,
+) -> Optional[List[bytes]]:
+    """Pad (repeat last) or trim encoded buffers to target_size frames."""
+    if buffers is None:
+        return None
+    if format in IMAGE_COMPRESSION_FORMATS:
+        n = len(buffers)
+        if n == target_size:
+            return buffers
+        if n > target_size:
+            return buffers[:target_size]
+        return buffers + [buffers[-1]] * (target_size - n)
+    assert format == CompressionFormat.NPZ, f"unsupported format {format}"
+    assert len(buffers) == 1, "NPZ buffers should be a single buffer"
+    arr = np.load(io.BytesIO(buffers[0]), allow_pickle=False)
+    if hasattr(arr, "files"):
+        assert len(arr.files) == 1, arr.files
+        arr = arr[arr.files[0]]
+    from gen3c_tpu.serving.api_types import pad_or_trim_array
+
+    arr = pad_or_trim_array(arr, target_size)
+    with io.BytesIO() as f:
+        np.savez_compressed(f, arr)
+        return [f.getvalue()]

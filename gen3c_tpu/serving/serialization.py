@@ -27,6 +27,8 @@ ALLOWED_TYPES: Dict[str, Type] = {
         api_types.SeedingResult,
         api_types.InferenceRequest,
         api_types.InferenceResult,
+        api_types.CompressedSeedingRequest,
+        api_types.CompressedInferenceResult,
     )
 }
 
@@ -36,6 +38,17 @@ class APIMessageError(ValueError):
 
 
 def _encode_value(v: Any, compress: bool) -> Any:
+    from gen3c_tpu.serving.encoding import CompressionFormat
+
+    if isinstance(v, CompressionFormat):
+        return {"__format__": v.value}
+    if isinstance(v, (bytes, bytearray)):
+        return {"__bytes__": base64.b64encode(bytes(v)).decode("ascii")}
+    if isinstance(v, list) and v and isinstance(v[0], (bytes, bytearray)):
+        return [
+            {"__bytes__": base64.b64encode(bytes(b)).decode("ascii")}
+            for b in v
+        ]
     if isinstance(v, np.ndarray):
         raw = np.ascontiguousarray(v).tobytes()
         if compress:
@@ -54,6 +67,14 @@ def _encode_value(v: Any, compress: bool) -> Any:
 
 
 def _decode_value(v: Any) -> Any:
+    if isinstance(v, dict) and "__format__" in v:
+        from gen3c_tpu.serving.encoding import CompressionFormat
+
+        return CompressionFormat(v["__format__"])
+    if isinstance(v, dict) and "__bytes__" in v:
+        return base64.b64decode(v["__bytes__"])
+    if isinstance(v, list):
+        return [_decode_value(x) for x in v]
     if isinstance(v, dict) and "__ndarray__" in v:
         raw = base64.b64decode(v["__ndarray__"])
         if v.get("zlib"):
@@ -83,7 +104,9 @@ def loads_api_message(data: bytes, allowed_types=None) -> Any:
     if tname not in ALLOWED_TYPES:
         raise APIMessageError(f"Unknown message type: {tname}")
     cls = ALLOWED_TYPES[tname]
-    if allowed_types is not None and cls not in tuple(allowed_types):
+    if allowed_types is not None and not issubclass(
+        cls, tuple(allowed_types)
+    ):
         raise APIMessageError(f"Type {tname} not allowed here")
     kwargs = {k: _decode_value(v) for k, v in payload.items()}
     field_names = {f.name for f in dataclasses.fields(cls)}

@@ -407,6 +407,11 @@ def make_handler(service: InferenceService):
                     self._send(400, str(e).encode())
                     return
                 try:
+                    # compressed variant: restore raw buffers first
+                    # (server_base.py handles CompressedSeedingRequest
+                    # the same way)
+                    if hasattr(req, "decompress"):
+                        req.decompress()
                     result = service.model.seed_model(req)
                 except Exception as e:  # noqa: BLE001
                     log.error(f"seeding failed: {e}\n{traceback.format_exc()}")

@@ -1,0 +1,160 @@
+"""Per-buffer compression wire format (gui/api/encoding.py +
+api_types.py:176-250,377-430 parity): compress/decompress round-trips,
+pad/trim of encoded buffers, the Compressed* dataclasses, their
+serialization, and the server accepting a CompressedSeedingRequest."""
+
+import threading
+
+import numpy as np
+import pytest
+
+from gen3c_tpu.serving.api_types import (
+    CompressedInferenceResult,
+    CompressedSeedingRequest,
+    InferenceResult,
+    SeedingRequest,
+)
+from gen3c_tpu.serving.encoding import (
+    CompressionFormat,
+    compress_images,
+    decompress_buffer,
+    pad_or_trim_encoded_buffers,
+)
+from gen3c_tpu.serving.serialization import dumps_api_message, loads_api_message
+
+
+def _rgb(n=3, h=16, w=24, seed=0):
+    return np.random.RandomState(seed).rand(n, h, w, 3).astype(np.float32)
+
+
+def test_png_roundtrip_lossless():
+    imgs = _rgb()
+    bufs = compress_images(imgs, CompressionFormat.PNG)
+    assert len(bufs) == 3
+    out = decompress_buffer(bufs, CompressionFormat.PNG)
+    # PNG is lossless over the uint8 quantization
+    np.testing.assert_allclose(out, (imgs * 255).astype(np.uint8) / 255.0)
+
+
+def test_jpg_roundtrip_approximate():
+    # smooth content (JPEG's operating regime — random noise is its
+    # worst case and would make any tolerance meaningless)
+    yy, xx = np.meshgrid(np.linspace(0, 1, 16), np.linspace(0, 1, 24),
+                         indexing="ij")
+    imgs = np.stack([yy, xx, 0.5 * (yy + xx)], -1)[None].astype(np.float32)
+    imgs = np.tile(imgs, (3, 1, 1, 1))
+    bufs = compress_images(imgs, CompressionFormat.JPG)
+    out = decompress_buffer(bufs, CompressionFormat.JPG)
+    assert out.shape == imgs.shape
+    assert np.abs(out - imgs).mean() < 0.02  # quality-100 JPEG
+
+
+def test_npz_depth_and_mask_lossless():
+    depth = np.random.RandomState(1).rand(3, 16, 24).astype(np.float32) * 5
+    bufs = compress_images(depth, CompressionFormat.NPZ, is_depth=True)
+    assert len(bufs) == 1
+    np.testing.assert_array_equal(
+        decompress_buffer(bufs, CompressionFormat.NPZ, is_depth=True), depth
+    )
+    mask = depth > 2.5
+    mbufs = compress_images(mask, CompressionFormat.NPZ, is_bool=True)
+    np.testing.assert_array_equal(
+        decompress_buffer(mbufs, CompressionFormat.NPZ, is_bool=True), mask
+    )
+
+
+def test_depth_requires_lossless_format():
+    depth = np.zeros((2, 4, 4), np.float32)
+    with pytest.raises(AssertionError, match="lossless"):
+        compress_images(depth, CompressionFormat.JPG, is_depth=True)
+
+
+def test_pad_or_trim_encoded_buffers():
+    imgs = _rgb(4)
+    bufs = compress_images(imgs, CompressionFormat.PNG)
+    assert len(pad_or_trim_encoded_buffers(bufs, CompressionFormat.PNG, 2)) == 2
+    padded = pad_or_trim_encoded_buffers(bufs, CompressionFormat.PNG, 6)
+    assert len(padded) == 6 and padded[-1] == bufs[-1]
+    depth = np.arange(3 * 4 * 4, dtype=np.float32).reshape(3, 4, 4)
+    dbufs = compress_images(depth, CompressionFormat.NPZ, is_depth=True)
+    out = decompress_buffer(
+        pad_or_trim_encoded_buffers(dbufs, CompressionFormat.NPZ, 5),
+        CompressionFormat.NPZ, is_depth=True,
+    )
+    assert out.shape[0] == 5
+    np.testing.assert_array_equal(out[3], depth[-1])  # repeat-last pad
+
+
+def _seeding_request(n=2, h=16, w=24):
+    return SeedingRequest(
+        request_id="r1",
+        cameras_to_world=np.tile(np.eye(4, dtype=np.float32)[:3][None],
+                                 (n, 1, 1)),
+        focal_lengths=np.full((n, 2), 0.8 * w, np.float32),
+        principal_points=np.full((n, 2), 0.5, np.float32),
+        images=_rgb(n, h, w),
+        depths=np.random.RandomState(2).rand(n, h, w).astype(np.float32),
+        masks=np.random.RandomState(3).rand(n, h, w) > 0.5,
+    )
+
+
+def test_compressed_seeding_request_roundtrip():
+    req = _seeding_request()
+    comp = req.compress(format_rgb=CompressionFormat.PNG)
+    assert isinstance(comp, CompressedSeedingRequest)
+    assert comp.images.shape[0] == 0  # placeholder only
+    # wire size advantage over raw serialization should exist for PNG of
+    # structured data; here just check it serializes and round-trips
+    wire = dumps_api_message(comp)
+    back = loads_api_message(wire)
+    assert isinstance(back, CompressedSeedingRequest)
+    back.decompress()
+    np.testing.assert_allclose(
+        back.images, (req.images * 255).astype(np.uint8) / 255.0
+    )
+    np.testing.assert_array_equal(back.depths, req.depths)
+    np.testing.assert_array_equal(back.masks, req.masks)
+
+
+def test_compressed_inference_result_pad_trim():
+    n, h, w = 3, 16, 24
+    res = InferenceResult(
+        request_id="r2",
+        cameras_to_world=np.tile(np.eye(4, dtype=np.float32)[:3][None],
+                                 (n, 1, 1)),
+        focal_lengths=np.full((n, 2), 0.8 * w, np.float32),
+        principal_points=np.full((n, 2), 0.5, np.float32),
+        images=(_rgb(n, h, w) * 255).astype(np.uint8),
+    )
+    comp = res.compress(format_rgb=CompressionFormat.PNG)
+    assert isinstance(comp, CompressedInferenceResult)
+    comp.pad_to_frame_count(5)
+    assert len(comp.images_compressed) == 5
+    comp.trim_to_original_frame_count()
+    assert len(comp.images_compressed) == 3
+    comp.decompress()
+    np.testing.assert_allclose(comp.images, res.images / 255.0)
+
+
+def test_server_accepts_compressed_seeding():
+    from gen3c_tpu.serving.models import DebugInferenceModel
+    from gen3c_tpu.serving.server import serve
+    import urllib.request
+
+    server, _ = serve(host="127.0.0.1", port=0, model=DebugInferenceModel())
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    try:
+        url = f"http://127.0.0.1:{server.server_address[1]}"
+        comp = _seeding_request().compress()
+        r = urllib.request.urlopen(
+            urllib.request.Request(
+                url + "/seed-model", data=dumps_api_message(comp),
+                method="POST",
+            )
+        )
+        assert r.status == 200
+        result = loads_api_message(r.read())
+        assert result.request_id == "r1"
+    finally:
+        server.shutdown()
