@@ -129,18 +129,31 @@ class Gen3cClient:
         poll_s: float = 1.0,
         timeout_s: float = 3600.0,
         on_progress=None,  # callback(status_dict) per poll
+        wire_format: Optional[str] = None,  # "jpg"/"png": compressed wire
     ) -> InferenceResult:
         t0 = time.monotonic()
+        params = {"request_id": request_id}
+        if wire_format:
+            params["format"] = wire_format
         while True:
             if on_progress is not None:
                 st = self.job_status(request_id)
                 if st is not None:
                     on_progress(st)
-            r = self.http.get(
-                "/inference-result", params={"request_id": request_id}
-            )
+            r = self.http.get("/inference-result", params=params)
             if r.status_code == 200:
-                return loads_api_message(r.content)
+                result = loads_api_message(r.content)
+                if hasattr(result, "decompress"):
+                    result.decompress()
+                    if result.images is not None and (
+                        result.images.dtype != np.uint8
+                    ):
+                        # keep the client contract (uint8 frames) across
+                        # raw and compressed wire formats
+                        result.images = (
+                            result.images * 255.0 + 0.5
+                        ).astype(np.uint8)
+                return result
             if r.status_code != 503:
                 r.raise_for_status()
             if time.monotonic() - t0 > timeout_s:

@@ -341,20 +341,44 @@ def make_handler(service: InferenceService):
             elif url.path == "/inference-result":
                 request_id = qs.get("request_id", [""])[0]
                 partial_ok = qs.get("partial", ["0"])[0] in ("1", "true")
+                # ?format=jpg|png: per-frame compressed result payload
+                # (CompressedInferenceResult — much smaller than raw
+                # base64 frames for browser/remote clients)
+                fmt = qs.get("format", [None])[0]
+
+                def _maybe_compress(res):
+                    if fmt is None:
+                        return res
+                    from gen3c_tpu.serving.encoding import CompressionFormat
+
+                    return res.compress(format_rgb=CompressionFormat(fmt))
+
+                if fmt is not None:
+                    from gen3c_tpu.serving.encoding import CompressionFormat
+
+                    try:
+                        CompressionFormat(fmt)
+                    except ValueError:
+                        self._send(400, f"unknown format {fmt}".encode())
+                        return
                 try:
                     result = service.result_or_none(request_id)
                 except Exception as e:  # noqa: BLE001
                     self._send(500, str(e).encode())
                     return
                 if result is not None:
-                    self._send(200, dumps_api_message(result), API_MEDIA_TYPE)
+                    self._send(
+                        200, dumps_api_message(_maybe_compress(result)),
+                        API_MEDIA_TYPE,
+                    )
                     return
                 if partial_ok:
                     part = service.partial_or_none(request_id)
                     if part is not None:
                         # 206 Partial Content: frames of completed chunks
                         self._send(
-                            206, dumps_api_message(part), API_MEDIA_TYPE
+                            206, dumps_api_message(_maybe_compress(part)),
+                            API_MEDIA_TYPE,
                         )
                         return
                 self._send(503, b"Result not ready")

@@ -136,6 +136,43 @@ def test_compressed_inference_result_pad_trim():
     np.testing.assert_allclose(comp.images, res.images / 255.0)
 
 
+def test_client_compressed_result_wire():
+    """?format=png result wire: CompressedInferenceResult over HTTP, the
+    client decompresses transparently and keeps the uint8 contract —
+    frames identical to the raw wire (PNG is lossless)."""
+    from gen3c_tpu.serving.client import Gen3cClient
+    from gen3c_tpu.serving.models import DebugInferenceModel
+    from gen3c_tpu.serving.server import serve
+
+    server, _ = serve(host="127.0.0.1", port=0, model=DebugInferenceModel())
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    try:
+        client = Gen3cClient(
+            f"http://127.0.0.1:{server.server_address[1]}", timeout=60.0
+        )
+        img = (np.random.RandomState(5).rand(32, 48, 3) * 255).astype(
+            np.uint8
+        )
+        client.seed_from_image(img)
+        c2ws = np.tile(np.eye(4, dtype=np.float32)[:3][None], (4, 1, 1))
+        rid = client.request_inference(c2ws, (48, 32))
+        raw = client.wait_for_result(rid, poll_s=0.2, timeout_s=60)
+        comp = client.wait_for_result(
+            rid, poll_s=0.2, timeout_s=60, wire_format="png"
+        )
+        assert comp.images.dtype == np.uint8
+        np.testing.assert_array_equal(comp.images, raw.images)
+        # bad format is a clean 400
+        r = client.http.get(
+            "/inference-result",
+            params={"request_id": rid, "format": "exr"},
+        )
+        assert r.status_code == 400
+    finally:
+        server.shutdown()
+
+
 def test_server_accepts_compressed_seeding():
     from gen3c_tpu.serving.models import DebugInferenceModel
     from gen3c_tpu.serving.server import serve
