@@ -80,6 +80,7 @@ def approximation_quality_curve(
     windows: Sequence[int] = (4, 2, 1),
     intervals: Sequence[int] = (2, 3),
     thresholds: Sequence[float] = (0.1,),
+    guidance_quantiles: Sequence[float] = (0.75, 0.5),
     seed: int = 0,
     lat_t: int = 16,
     lat_hw: int = 16,
@@ -87,8 +88,13 @@ def approximation_quality_curve(
     """Error-vs-exact for each approximation knob at toy scale.
 
     Returns {"band_w4": {"rel_l2":…, "psnr_db":…}, "cache_i2": …,
-    "cache_adaptive_t0.1": …} — all measured against the exact
-    35-step loop with the same weights and noise.
+    "cache_adaptive_t0.1": …, "guidance_q0.75": …} — all measured
+    against the exact 35-step loop with the same weights and noise.
+
+    guidance_quantiles: each q keeps CFG active on the first
+    round(q*num_steps) steps (the highest sigmas — where guidance
+    shapes the trajectory most, arXiv:2404.07724) and runs cond-only
+    forwards on the rest, i.e. a ~(1-q)/2 compute saving.
     """
     from gen3c_tpu.models.dit import init_dit_params
 
@@ -147,5 +153,14 @@ def approximation_quality_curve(
     for thr in thresholds:
         curve[f"cache_adaptive_t{thr}"] = _metrics(
             exact, _sample(params, cfg, args, step_cache_threshold=thr)
+        )
+    from gen3c_tpu.diffusion.scheduler import EDMEulerSchedule
+
+    sig = np.asarray(EDMEulerSchedule().sigmas(num_steps))[:num_steps]
+    for q in guidance_quantiles:
+        n_active = max(1, int(round(q * num_steps)))
+        gi = (float(sig[n_active - 1]), float(sig[0]) + 1.0)
+        curve[f"guidance_q{q}"] = _metrics(
+            exact, _sample(params, cfg, args, guidance_interval=gi)
         )
     return curve

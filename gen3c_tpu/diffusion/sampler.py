@@ -37,6 +37,37 @@ def arch_invariant_randn(shape, seed: Optional[int] = None) -> np.ndarray:
     return rng.standard_normal(shape).astype(np.float32)
 
 
+def guidance_interval_steps(
+    schedule: EDMEulerSchedule, num_steps: int, guidance_interval
+) -> tuple:
+    """Static per-step CFG activity from a sigma interval.
+
+    Returns ``(i0, i1)``: the unconditional forward (CFG) runs on steps
+    ``i0 <= i < i1``; steps outside run a condition-only forward with
+    the guidance term dropped — the limited-interval guidance of
+    Kynkäänniemi et al. (arXiv:2404.07724), which both improves sample
+    quality at high guidance scales and skips ~half the network compute
+    on the inactive steps. The EDM sigma schedule is strictly
+    decreasing, so the active set is contiguous by construction and the
+    split is fully static (no traced control flow).
+
+    The reference pipeline has no such knob (it runs the CFG pair every
+    step — model_v2w.py:130-149); this is a TPU-side extra, quality-
+    gated at toy scale by diffusion/quality.py.
+    """
+    lo, hi = float(guidance_interval[0]), float(guidance_interval[1])
+    if not (0.0 <= lo <= hi):
+        raise ValueError(
+            f"guidance_interval must satisfy 0 <= lo <= hi, got ({lo}, {hi})"
+        )
+    sig = np.asarray(schedule.sigmas(num_steps), np.float64)[:num_steps]
+    active = (sig >= lo) & (sig <= hi)
+    idx = np.nonzero(active)[0]
+    if idx.size == 0:
+        return 0, 0
+    return int(idx[0]), int(idx[-1]) + 1
+
+
 def _net_inputs(x_scaled: Array, condition: VideoExtendCondition) -> Array:
     """Channel-concat [x, condition_video_input_mask, condition_video_pose]
     (VideoExtendGeneralDIT.forward, general_dit_video_conditioned.py:97-118).
@@ -62,6 +93,7 @@ def _net_inputs(x_scaled: Array, condition: VideoExtendCondition) -> Array:
         "drift_axis",
         "cfg_sequential",
         "solver",
+        "guidance_interval",
     ),
 )
 def generate_samples(
@@ -87,8 +119,21 @@ def generate_samples(
     drift_axis: Optional[str] = None,
     cfg_sequential: bool = False,
     solver: str = "euler",
+    guidance_interval: Optional[tuple] = None,
 ) -> Array:
     """Run the full denoising loop; returns the final latent (B,C,T,H,W).
+
+    guidance_interval=(sigma_lo, sigma_hi) restricts CFG to the steps
+    whose sigma lies inside the interval (Kynkäänniemi et al.,
+    arXiv:2404.07724): outside it, only the CONDITIONED forward runs
+    (batch B instead of 2B — about half the step cost) and the guidance
+    term is dropped. Because the sigma schedule is strictly decreasing,
+    the active steps form one static contiguous range, and the loop
+    compiles as up to three fori_loop segments with static shapes.
+    Composable with the fixed-interval step cache (the cache's uncond
+    half is refreshed on re-entry into the CFG range); NOT composable
+    with adaptive/span caching. None (default) = reference CFG on every
+    step.
 
     solver: integration rule for the denoise trajectory at EQUAL network
     cost (one CFG forward per step): "euler" (default, reference v2w
@@ -180,9 +225,9 @@ def generate_samples(
     # stays fp32 regardless.
     in_dtype = jnp.float32 if net_in_dtype is None else net_in_dtype
 
-    def _step_inputs(i, xt):
+    def _step_parts(i, xt):
         """Shared per-step construction: conditioned-region re-noise and
-        the batched [cond | uncond] CFG network input."""
+        the cond / uncond network inputs (not yet batched)."""
         sigma = sigmas[i]
         t = c_noises[i]
         indicator = jnp.where(aug >= sigma, jnp.zeros_like(indicator_base),
@@ -200,17 +245,25 @@ def generate_samples(
         if pose_latent_cond is not None:
             cond_parts.append(pose_latent_cond.astype(in_dtype))
             uncond_parts.append(pose_latent_uncond.astype(in_dtype))
-        x_in = jnp.concatenate(
-            [jnp.concatenate(cond_parts, axis=1),
-             jnp.concatenate(uncond_parts, axis=1)], axis=0,
-        )
+        x_cond = jnp.concatenate(cond_parts, axis=1)
+        x_uncond = jnp.concatenate(uncond_parts, axis=1)
+        return sigma, t, indicator, new_xt, x_cond, x_uncond
+
+    def _step_inputs(i, xt):
+        """Shared per-step construction: conditioned-region re-noise and
+        the batched [cond | uncond] CFG network input."""
+        sigma, t, indicator, new_xt, x_cond, x_uncond = _step_parts(i, xt)
+        x_in = jnp.concatenate([x_cond, x_uncond], axis=0)
         t_in = jnp.broadcast_to(t[None], (2 * B,))
         return sigma, indicator, new_xt, x_in, t_in
 
-    def _step_outputs(i, sigma, indicator, new_xt, net_out):
-        """Shared CFG combine + conditioned-region replacement + Euler."""
-        out_cond, out_uncond = net_out[:B], net_out[B:]
-        net_output = out_cond + guidance * (out_cond - out_uncond)
+    def _net_call_cond(x_cond: Array, t: Array) -> Array:
+        """Condition-only forward (batch B) for guidance-interval steps."""
+        t_in = jnp.broadcast_to(t[None], (B,))
+        return net_fn(net_params, x_cond, t_in, crossattn_cond)
+
+    def _finish(i, sigma, indicator, new_xt, net_output):
+        """Conditioned-region replacement + Euler step."""
         latent_unscaled = schedule.reverse_precondition_output(
             gt, new_xt, sigma
         )
@@ -219,10 +272,34 @@ def generate_samples(
         )
         return schedule.step(new_output, new_xt, sigma, sigmas[i + 1])
 
+    def _step_outputs(i, sigma, indicator, new_xt, net_out):
+        """Shared CFG combine + conditioned-region replacement + Euler."""
+        out_cond, out_uncond = net_out[:B], net_out[B:]
+        net_output = out_cond + guidance * (out_cond - out_uncond)
+        return _finish(i, sigma, indicator, new_xt, net_output)
+
     def body(i, xt):
         sigma, indicator, new_xt, x_in, t_in = _step_inputs(i, xt)
         net_out = _net_call(x_in, t_in).astype(jnp.float32)
         return _step_outputs(i, sigma, indicator, new_xt, net_out)
+
+    def body_cond(i, xt):
+        """Guidance-interval inactive step: condition-only forward."""
+        sigma, t, indicator, new_xt, x_cond, _ = _step_parts(i, xt)
+        out_c = _net_call_cond(x_cond, t).astype(jnp.float32)
+        return _finish(i, sigma, indicator, new_xt, out_c)
+
+    # guidance interval -> static contiguous CFG-active range [gi0, gi1)
+    gi = None
+    if guidance_interval is not None:
+        gi = guidance_interval_steps(schedule, num_steps, guidance_interval)
+        if gi == (0, num_steps):
+            gi = None  # full interval: keep the single-loop program
+        elif step_cache_threshold > 0 or net_fn_skip is not None:
+            raise ValueError(
+                "guidance_interval composes with the plain and fixed-"
+                "interval-cached loops only (not adaptive/span caching)"
+            )
 
     if solver != "euler":
         # higher-order integration at EQUAL network cost: carry the
@@ -241,12 +318,7 @@ def generate_samples(
             res_x0_rk2_step,
         )
 
-        def body_ms(i, carry):
-            xt, prev_x0 = carry
-            sigma, indicator, new_xt, x_in, t_in = _step_inputs(i, xt)
-            net_out = _net_call(x_in, t_in).astype(jnp.float32)
-            out_cond, out_uncond = net_out[:B], net_out[B:]
-            net_output = out_cond + guidance * (out_cond - out_uncond)
+        def _ms_finish(i, sigma, indicator, new_xt, net_output, prev_x0):
             latent_unscaled = schedule.reverse_precondition_output(
                 gt, new_xt, sigma
             )
@@ -267,12 +339,47 @@ def generate_samples(
             x_next = jax.lax.cond(use_multi, multi, euler_step, None)
             return (x_next, x0)
 
-        out, _ = jax.lax.fori_loop(0, num_steps, body_ms, (xt0, xt0))
-        return out
+        def body_ms(i, carry):
+            xt, prev_x0 = carry
+            sigma, indicator, new_xt, x_in, t_in = _step_inputs(i, xt)
+            net_out = _net_call(x_in, t_in).astype(jnp.float32)
+            out_cond, out_uncond = net_out[:B], net_out[B:]
+            net_output = out_cond + guidance * (out_cond - out_uncond)
+            return _ms_finish(i, sigma, indicator, new_xt, net_output,
+                              prev_x0)
+
+        def body_ms_cond(i, carry):
+            xt, prev_x0 = carry
+            sigma, t, indicator, new_xt, x_cond, _ = _step_parts(i, xt)
+            out_c = _net_call_cond(x_cond, t).astype(jnp.float32)
+            return _ms_finish(i, sigma, indicator, new_xt, out_c, prev_x0)
+
+        if gi is None:
+            out, _ = jax.lax.fori_loop(0, num_steps, body_ms, (xt0, xt0))
+            return out
+        gi0, gi1 = gi
+        carry = (xt0, xt0)
+        if gi0 > 0:
+            carry = jax.lax.fori_loop(0, gi0, body_ms_cond, carry)
+        if gi1 > gi0:
+            carry = jax.lax.fori_loop(gi0, gi1, body_ms, carry)
+        if gi1 < num_steps:
+            carry = jax.lax.fori_loop(gi1, num_steps, body_ms_cond, carry)
+        return carry[0]
 
     if (step_cache_interval <= 1 and step_cache_threshold <= 0
             and net_fn_skip is None):
-        return jax.lax.fori_loop(0, num_steps, body, xt0)
+        if gi is None:
+            return jax.lax.fori_loop(0, num_steps, body, xt0)
+        gi0, gi1 = gi
+        xt = xt0
+        if gi0 > 0:
+            xt = jax.lax.fori_loop(0, gi0, body_cond, xt)
+        if gi1 > gi0:
+            xt = jax.lax.fori_loop(gi0, gi1, body, xt)
+        if gi1 < num_steps:
+            xt = jax.lax.fori_loop(gi1, num_steps, body_cond, xt)
+        return xt
 
     # --- step-cached variants: carry the last raw [cond|uncond] output ---
     warmup, tail = 2, 2
@@ -382,6 +489,8 @@ def generate_samples(
         )
         return final
 
+    gi0_cfg = 0 if gi is None else gi[0]
+
     def cached_body(i, carry):
         xt, cached = carry
         sigma, indicator, new_xt, x_in, t_in = _step_inputs(i, xt)
@@ -389,6 +498,9 @@ def generate_samples(
             (i < warmup)
             | (i >= num_steps - tail)
             | ((i - warmup) % step_cache_interval == 0)
+            # on re-entry into the CFG range the cache's uncond half is
+            # stale (cond-only segments never refresh it) — force one
+            | (i == gi0_cfg)
         )
         net_out = jax.lax.cond(
             refresh,
@@ -398,12 +510,41 @@ def generate_samples(
         return (_step_outputs(i, sigma, indicator, new_xt, net_out),
                 net_out)
 
+    def cached_body_cond(i, carry):
+        """Guidance-interval inactive step under the fixed-interval
+        cache: condition-only forward; only the cache's cond half is
+        read or refreshed."""
+        xt, cached = carry
+        sigma, t, indicator, new_xt, x_cond, _ = _step_parts(i, xt)
+        refresh = (
+            (i < warmup)
+            | (i >= num_steps - tail)
+            | ((i - warmup) % step_cache_interval == 0)
+        )
+        out_c = jax.lax.cond(
+            refresh,
+            lambda: _net_call_cond(x_cond, t).astype(jnp.float32),
+            lambda: cached[:B],
+        )
+        new_cached = jnp.concatenate([out_c, cached[B:]], axis=0)
+        return (_finish(i, sigma, indicator, new_xt, out_c), new_cached)
+
     C_out = gt.shape[1]
     cache0 = jnp.zeros((2 * B, C_out) + gt.shape[2:], jnp.float32)
-    final, _ = jax.lax.fori_loop(
-        0, num_steps, cached_body, (xt0, cache0)
-    )
-    return final
+    if gi is None:
+        final, _ = jax.lax.fori_loop(
+            0, num_steps, cached_body, (xt0, cache0)
+        )
+        return final
+    gi0, gi1 = gi
+    carry = (xt0, cache0)
+    if gi0 > 0:
+        carry = jax.lax.fori_loop(0, gi0, cached_body_cond, carry)
+    if gi1 > gi0:
+        carry = jax.lax.fori_loop(gi0, gi1, cached_body, carry)
+    if gi1 < num_steps:
+        carry = jax.lax.fori_loop(gi1, num_steps, cached_body_cond, carry)
+    return carry[0]
 
 
 @partial(
@@ -417,6 +558,7 @@ def generate_samples(
         "refresh",
         "cfg_sequential",
         "solver",
+        "use_cfg",
     ),
     # the carries (xt, cached_out, prev_x0) die each iteration — donate
     # so XLA aliases the step's outputs onto them. Without this the 7B
@@ -450,13 +592,21 @@ def _host_loop_step(
     refresh: bool,
     cfg_sequential: bool,
     solver: str = "euler",
+    use_cfg: bool = True,
 ):
     """One denoise step for the host-driven loop (same math as the
     fori_loop body in generate_samples). Returns
     (xt_next, net_out, x0). Multistep solvers stay ONE compiled
     program: the first/last-step fallbacks are a runtime lax.cond on
     (prev_sigma > 0, sigma_next > 0), not static branches — the 7B step
-    compile is minutes, so variants matter."""
+    compile is minutes, so variants matter.
+
+    use_cfg=False (guidance-interval inactive step) runs the condition-
+    only forward at batch B — about half the step's compute and temp
+    memory — and drops the guidance term; the returned net_out keeps the
+    2B cache layout (uncond half carried through stale-but-unused).
+    NOTE: mixing use_cfg values within one denoise compiles a SECOND
+    big single-step program (the B-sized forward)."""
     B = xt.shape[0]
     indicator = jnp.where(aug >= sigma, jnp.zeros_like(indicator_base),
                           indicator_base)
@@ -478,7 +628,12 @@ def _host_loop_step(
     t_in = jnp.broadcast_to(c_noise[None], (B,))
 
     if refresh:
-        if cfg_sequential:
+        if not use_cfg:
+            out_c = net_fn(net_params, x_cond, t_in, crossattn_cond)
+            net_out = jnp.concatenate(
+                [out_c.astype(jnp.float32), cached_out[B:]], axis=0
+            )
+        elif cfg_sequential:
             out_c = net_fn(net_params, x_cond, t_in, crossattn_cond)
             out_u = net_fn(net_params, x_uncond, t_in, crossattn_uncond)
             net_out = jnp.concatenate([out_c, out_u], axis=0).astype(
@@ -496,7 +651,10 @@ def _host_loop_step(
         net_out = cached_out
 
     out_cond, out_uncond = net_out[:B], net_out[B:]
-    net_output = out_cond + guidance * (out_cond - out_uncond)
+    if use_cfg:
+        net_output = out_cond + guidance * (out_cond - out_uncond)
+    else:
+        net_output = out_cond
     latent_unscaled = schedule.reverse_precondition_output(gt, new_xt, sigma)
     new_output = indicator * latent_unscaled + (1 - indicator) * net_output
     x0 = schedule.precondition_outputs(new_xt, new_output, sigma)
@@ -557,6 +715,7 @@ def generate_samples_host_loop(
     net_in_dtype=None,
     solver: str = "euler",
     dispatch_async: bool = False,
+    guidance_interval: Optional[tuple] = None,
 ):
     """Memory-lean sampler: a HOST python loop over a jitted single-step
     program, instead of one jit holding the whole `num_steps` fori_loop.
@@ -615,6 +774,13 @@ def generate_samples_host_loop(
         )
     )  # (num_steps, 4)
     warmup, tail = 2, 2
+    if guidance_interval is None:
+        cfg_active = [True] * num_steps
+    else:
+        gi0, gi1 = guidance_interval_steps(
+            schedule, num_steps, guidance_interval
+        )
+        cfg_active = [gi0 <= i < gi1 for i in range(num_steps)]
     box: dict = {}
 
     def _drive():
@@ -630,6 +796,9 @@ def generate_samples_host_loop(
                     or i < warmup
                     or i >= num_steps - tail
                     or (i - warmup) % step_cache_interval == 0
+                    # re-entry into the CFG range: the cache's uncond
+                    # half is stale — force one full refresh
+                    or (cfg_active[i] and i > 0 and not cfg_active[i - 1])
                 )
                 row = scalar_table[i]  # device slice, no h2d transfer
                 xt_c, net_out, prev_x0 = _host_loop_step(
@@ -660,6 +829,7 @@ def generate_samples_host_loop(
                     refresh=bool(refresh),
                     cfg_sequential=cfg_sequential,
                     solver=solver,
+                    use_cfg=bool(cfg_active[i]),
                 )
             box["xt"] = xt_c
         except BaseException as e:  # noqa: BLE001 — re-raised in result()
@@ -769,7 +939,8 @@ def generate_samples_auto(
     return out
 
 
-@partial(jax.jit, static_argnames=("aug", "schedule", "net_in_dtype"))
+@partial(jax.jit, static_argnames=("aug", "schedule", "net_in_dtype",
+                                   "cfg"))
 def _stream_step_pre(
     xt,
     sigma,
@@ -781,9 +952,11 @@ def _stream_step_pre(
     aug: float,
     schedule: EDMEulerSchedule,
     net_in_dtype,
+    cfg: bool = True,
 ):
     """Per-step input assembly for the streaming sampler (same math as
-    _host_loop_step's preamble). Returns (new_xt, indicator, x_in(2B))."""
+    _host_loop_step's preamble). Returns (new_xt, indicator, x_in(2B)),
+    or x_in(B) cond-only when cfg=False (guidance-interval step)."""
     indicator = jnp.where(aug >= sigma, jnp.zeros_like(indicator_base),
                           indicator_base)
     augment_latent_unscaled = augment_latent / schedule.c_in(sigma)
@@ -799,6 +972,8 @@ def _stream_step_pre(
     if pose_latent_cond is not None:
         cond_parts.append(pose_latent_cond.astype(net_in_dtype))
         uncond_parts.append(pose_latent_uncond.astype(net_in_dtype))
+    if not cfg:
+        return new_xt, indicator, jnp.concatenate(cond_parts, axis=1)
     x_in = jnp.concatenate(
         [jnp.concatenate(cond_parts, axis=1),
          jnp.concatenate(uncond_parts, axis=1)], axis=0,
@@ -806,7 +981,8 @@ def _stream_step_pre(
     return new_xt, indicator, x_in
 
 
-@partial(jax.jit, static_argnames=("guidance", "schedule", "solver"))
+@partial(jax.jit, static_argnames=("guidance", "schedule", "solver",
+                                   "use_cfg"))
 def _stream_step_post(
     net_out,
     new_xt,
@@ -819,14 +995,20 @@ def _stream_step_post(
     guidance: float,
     schedule: EDMEulerSchedule,
     solver: str = "euler",
+    use_cfg: bool = True,
 ):
     """CFG combine + conditioned-region replacement + solver step.
     Returns (xt_next, x0). Multistep solvers use the same runtime
-    lax.cond trick as _host_loop_step (one compiled program)."""
+    lax.cond trick as _host_loop_step (one compiled program).
+    use_cfg=False (guidance-interval step): net_out keeps the 2B cache
+    layout, but only the cond half is used and guidance is dropped."""
     B = new_xt.shape[0]
     net_out = net_out.astype(jnp.float32)
     out_cond, out_uncond = net_out[:B], net_out[B:]
-    net_output = out_cond + guidance * (out_cond - out_uncond)
+    if use_cfg:
+        net_output = out_cond + guidance * (out_cond - out_uncond)
+    else:
+        net_output = out_cond
     latent_unscaled = schedule.reverse_precondition_output(gt, new_xt, sigma)
     new_output = indicator * latent_unscaled + (1 - indicator) * net_output
     x0 = schedule.precondition_outputs(new_xt, new_output, sigma)
@@ -864,6 +1046,7 @@ def generate_samples_streaming(
     step_cache_interval: int = 1,
     net_in_dtype=None,
     solver: str = "euler",
+    guidance_interval: Optional[tuple] = None,
 ) -> Array:
     """Sampler for PYTHON-level networks (models/dit_streaming.py): the
     per-step Euler math runs in two small jits around a python net call
@@ -892,32 +1075,56 @@ def generate_samples_streaming(
             "multistep solvers are not supported with step caching"
         )
     warmup, tail = 2, 2
-    cached = None
+    if guidance_interval is None:
+        cfg_active = [True] * num_steps
+        cached = None
+    else:
+        gi0, gi1 = guidance_interval_steps(
+            schedule, num_steps, guidance_interval
+        )
+        cfg_active = [gi0 <= i < gi1 for i in range(num_steps)]
+        # cond-only refreshes write only the cache's cond half — start
+        # from a full-shaped zero cache so the uncond half exists
+        cached = jnp.zeros((2 * B, gt.shape[1]) + gt.shape[2:],
+                           jnp.float32)
     prev_x0 = jnp.zeros_like(xt)
     prev_sigma = 0.0
     for i in range(num_steps):
         sigma = jnp.float32(sig[i])
+        use_cfg = cfg_active[i]
         new_xt, indicator, x_in = _stream_step_pre(
             xt, sigma, augment_latent, indicator_base,
             condition_video_input_mask, pose_latent_cond,
             pose_latent_uncond, aug=aug, schedule=schedule,
-            net_in_dtype=in_dtype,
+            net_in_dtype=in_dtype, cfg=use_cfg,
         )
         refresh = (
             step_cache_interval <= 1
             or i < warmup
             or i >= num_steps - tail
             or (i - warmup) % step_cache_interval == 0
+            # CFG-range re-entry: the cache's uncond half is stale
+            or (use_cfg and i > 0 and not cfg_active[i - 1])
         )
         if refresh or cached is None:
-            t_in = jnp.broadcast_to(
-                jnp.float32(c_noises[i])[None], (2 * B,)
-            )
-            cached = net_py(x_in, t_in, crossattn_both)
+            if use_cfg:
+                t_in = jnp.broadcast_to(
+                    jnp.float32(c_noises[i])[None], (2 * B,)
+                )
+                cached = net_py(x_in, t_in, crossattn_both)
+            else:
+                t_in = jnp.broadcast_to(
+                    jnp.float32(c_noises[i])[None], (B,)
+                )
+                out_c = net_py(x_in, t_in, crossattn_cond)
+                cached = jnp.concatenate(
+                    [out_c.astype(jnp.float32), cached[B:]], axis=0
+                )
         xt, prev_x0 = _stream_step_post(
             cached, new_xt, indicator, gt, sigma,
             jnp.float32(sig[i + 1]), prev_x0, jnp.float32(prev_sigma),
             guidance=guidance, schedule=schedule, solver=solver,
+            use_cfg=use_cfg,
         )
         prev_sigma = float(sig[i])
         # throttle: force this step's chain to finish before dispatching

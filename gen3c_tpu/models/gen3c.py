@@ -177,13 +177,23 @@ class Gen3CModel:
         step_cache_threshold: float = 0.0,
         cfg_sequential: Optional[bool] = None,
         solver: str = "euler",
+        guidance_interval=None,
     ) -> Array:
         """Run the full GEN3C denoise; returns latent (B, 16, T, H', W').
 
         Callers may pass pre-encoded `pose_latent` instead of the
         pixel-space condition_state(+mask) — the pipeline does this so
         the ~1.7 GB warp buffers can be freed before the denoise phase
-        (see utils/offload.py memory budget)."""
+        (see utils/offload.py memory budget).
+
+        guidance_interval=(sigma_lo, sigma_hi) restricts CFG to steps
+        whose sigma lies in the interval (arXiv:2404.07724); outside it
+        only the conditioned forward runs (~half the step cost). The
+        reference runs CFG every step (model_v2w.py:130-149)."""
+        if guidance_interval is not None:
+            guidance_interval = tuple(
+                float(v) for v in guidance_interval
+            )
         from gen3c_tpu.models.conditioner import make_condition_pair
 
         if pose_latent is None:
@@ -257,6 +267,7 @@ class Gen3CModel:
                 net_in_dtype=self.dit_cfg.dtype,
                 solver=solver,
                 sequence_parallel=self.sequence_parallel,
+                guidance_interval=guidance_interval,
             )
 
         if (self.dit_cfg.cache_block_span is not None
@@ -314,4 +325,5 @@ class Gen3CModel:
             net_in_dtype=self.dit_cfg.dtype,
             cfg_sequential=bool(cfg_sequential),
             solver=solver,
+            guidance_interval=guidance_interval,
         )

@@ -113,6 +113,7 @@ def cp_generate_samples(
     net_in_dtype=None,
     sequence_parallel: bool = False,
     solver: str = "euler",
+    guidance_interval=None,
 ) -> Array:
     """Context-parallel version of sampler.generate_samples.
 
@@ -198,6 +199,7 @@ def cp_generate_samples(
             net_in_dtype=net_in_dtype,
             drift_axis="cp",
             solver=solver,
+            guidance_interval=guidance_interval,
         )
 
     mapped = jax.shard_map(

@@ -383,6 +383,11 @@ def add_perf_flags(p) -> None:
     p.add_argument("--attn_temporal_window", type=int, default=None,
                    help="temporal-band sparse attention (opt-in; "
                         "measured 1.57x the 7B step at window 2)")
+    p.add_argument("--guidance_interval", type=float, nargs=2,
+                   default=None, metavar=("SIGMA_LO", "SIGMA_HI"),
+                   help="restrict CFG to steps with sigma in [LO, HI] "
+                        "(arXiv:2404.07724); cond-only forwards "
+                        "(~half cost) outside the interval")
     p.add_argument("--cp_attn", type=str, default=None,
                    choices=["allgather", "ring", "ulysses"])
     p.add_argument("--parallel", type=str, default="cp")

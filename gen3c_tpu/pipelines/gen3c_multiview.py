@@ -79,6 +79,9 @@ def demo(args) -> str:
         model=model,
         text_encoder=text_encoder,
         guidance=args.guidance,
+        guidance_interval=(tuple(args.guidance_interval)
+                           if getattr(args, "guidance_interval", None)
+                           else None),
         num_steps=args.num_steps,
         solver=args.solver,
         step_cache_interval=args.step_cache_interval,

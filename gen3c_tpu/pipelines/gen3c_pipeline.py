@@ -51,6 +51,9 @@ class Gen3cPipeline:
     num_steps: int = 35
     step_cache_interval: int = 1
     step_cache_threshold: float = 0.0
+    # (sigma_lo, sigma_hi): CFG only on steps inside the interval
+    # (arXiv:2404.07724); cond-only forwards (~half cost) outside
+    guidance_interval: Optional[tuple] = None
     solver: str = "euler"
     height: int = 704
     width: int = 1280
@@ -143,6 +146,7 @@ class Gen3cPipeline:
             num_steps=self.num_steps,
             step_cache_interval=self.step_cache_interval,
             step_cache_threshold=self.step_cache_threshold,
+            guidance_interval=self.guidance_interval,
             solver=self.solver,
             seed=self.seed if seed is None else seed,
             neg_t5_embeddings=neg_emb,

@@ -45,6 +45,14 @@ def create_parser() -> argparse.ArgumentParser:
     p.add_argument("--video_save_name", type=str, default="output")
     p.add_argument("--video_save_folder", type=str, default="outputs/")
     p.add_argument("--guidance", type=float, default=1.0)
+    p.add_argument("--guidance_interval", type=float, nargs=2,
+                   default=None, metavar=("SIGMA_LO", "SIGMA_HI"),
+                   help="restrict CFG to steps whose sigma lies inside "
+                        "[LO, HI] (Kynkaanniemi et al., arXiv:"
+                        "2404.07724); outside the interval only the "
+                        "conditioned forward runs (~half the step "
+                        "cost). Default: CFG on every step "
+                        "(reference behavior)")
     p.add_argument("--num_steps", type=int, default=35)
     p.add_argument("--solver", default="euler",
                    choices=("euler", "dpm2m", "res2ab"),
@@ -204,6 +212,8 @@ def demo(args) -> str:
         model=model,
         text_encoder=text_encoder,
         guidance=args.guidance,
+        guidance_interval=(tuple(args.guidance_interval)
+                           if args.guidance_interval else None),
         num_steps=args.num_steps,
         step_cache_interval=args.step_cache_interval,
         step_cache_threshold=args.step_cache_threshold,

@@ -90,6 +90,7 @@ def generate_world(
     step_cache_interval: int = 1,
     step_cache_threshold: float = 0.0,
     solver: str = "euler",
+    guidance_interval=None,
 ) -> np.ndarray:
     """Run the t2w/v2w denoise + decode; returns (T, H, W, 3) uint8."""
     state_shape = preset.state_shape
@@ -141,6 +142,8 @@ def generate_world(
         guidance=guidance,
         step_cache_interval=step_cache_interval,
         solver=solver,
+        guidance_interval=(tuple(float(v) for v in guidance_interval)
+                           if guidance_interval else None),
     )
     from gen3c_tpu.diffusion.sampler import generate_samples_auto
 
@@ -263,6 +266,7 @@ def demo(args) -> str:
         preset,
         emb,
         guidance=args.guidance,
+        guidance_interval=getattr(args, "guidance_interval", None),
         num_steps=args.num_steps,
         seed=args.seed,
         neg_t5_embeddings=neg,

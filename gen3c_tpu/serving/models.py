@@ -174,6 +174,7 @@ class Gen3cPersistentModel(InferenceModel):
         offload_dit: Optional[bool] = None,
         attn_temporal_window: Optional[int] = None,
         cp_attn: Optional[str] = None,
+        guidance_interval: Optional[tuple] = None,
     ):
         from gen3c_tpu.pipelines.depth import make_depth_estimator
         from gen3c_tpu.pipelines.factory import build_gen3c_model
@@ -205,6 +206,8 @@ class Gen3cPersistentModel(InferenceModel):
         self.pipeline = Gen3cPipeline(
             model=self.model,
             guidance=guidance,
+            guidance_interval=(tuple(float(v) for v in guidance_interval)
+                               if guidance_interval else None),
             num_steps=num_steps,
             step_cache_interval=step_cache_interval,
             step_cache_threshold=step_cache_threshold,
@@ -494,6 +497,10 @@ class Gen3cPersistentModel(InferenceModel):
                 "cp_attn_impl": cfg.cp_attn_impl,
                 "step_cache_interval": self.pipeline.step_cache_interval,
                 "step_cache_threshold": self.pipeline.step_cache_threshold,
+                "guidance_interval": (
+                    list(self.pipeline.guidance_interval)
+                    if self.pipeline.guidance_interval else None
+                ),
                 "solver": self.pipeline.solver,
             },
         }

@@ -260,6 +260,17 @@ def build_model_from_env():
             if os.environ.get("GEN3C_ATTN_WINDOW", "").strip() else None
         ),
         cp_attn=os.environ.get("GEN3C_CP_ATTN") or None,
+        # GEN3C_GUIDANCE_INTERVAL="lo,hi": CFG only on steps with sigma
+        # inside [lo, hi] (arXiv:2404.07724) — cond-only (~half cost)
+        # forwards outside
+        guidance_interval=(
+            tuple(
+                float(v)
+                for v in os.environ["GEN3C_GUIDANCE_INTERVAL"].split(",")
+            )
+            if os.environ.get("GEN3C_GUIDANCE_INTERVAL", "").strip()
+            else None
+        ),
         parallel=os.environ.get("GEN3C_PARALLEL", "cp"),
         # GEN3C_OFFLOAD_DIT=1/0 overrides the single-chip-7B auto-enable
         offload_dit=(

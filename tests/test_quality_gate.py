@@ -29,6 +29,15 @@ def test_cache_error_monotone_in_interval(curve):
     assert 0 < curve["cache_i2"]["rel_l2"] <= curve["cache_i3"]["rel_l2"]
 
 
+def test_guidance_interval_error_monotone_in_coverage(curve):
+    """More CFG-active steps => closer to the full-CFG loop."""
+    assert (
+        0
+        < curve["guidance_q0.75"]["rel_l2"]
+        <= curve["guidance_q0.5"]["rel_l2"]
+    )
+
+
 def test_all_knobs_bounded(curve):
     """Every knob produces a nonzero but bounded deviation."""
     for name, m in curve.items():
