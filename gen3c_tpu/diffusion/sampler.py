@@ -94,6 +94,7 @@ def _net_inputs(x_scaled: Array, condition: VideoExtendCondition) -> Array:
         "cfg_sequential",
         "solver",
         "guidance_interval",
+        "cfg_axis",
     ),
 )
 def generate_samples(
@@ -120,6 +121,7 @@ def generate_samples(
     cfg_sequential: bool = False,
     solver: str = "euler",
     guidance_interval: Optional[tuple] = None,
+    cfg_axis: Optional[str] = None,
 ) -> Array:
     """Run the full denoising loop; returns the final latent (B,C,T,H,W).
 
@@ -167,6 +169,18 @@ def generate_samples(
     program's temp in generate_samples_host_loop, which is where the
     memory-constrained path uses it if the batched step ever regresses.
     Incompatible with span caching (net_fn_skip).
+
+    cfg_axis names a 2-rank mesh axis that CFG-PARALLELIZES the pair:
+    inside a shard_map over that axis, rank 0 runs the conditioned
+    forward and rank 1 the unconditioned one (batch B each instead of
+    the 2B batched pair), and the guidance combine is ONE psum of the
+    weighted outputs ((1+g)*cond - g*uncond) — ~22 MB of latent per
+    step riding ICI, vs per-layer collectives for context parallelism.
+    The reference has no CFG parallelism (it batches the pair on every
+    GPU). Composes with guidance_interval (inactive steps compute the
+    cond forward replicated on both ranks, zero communication) and
+    fixed-interval step caching (the cache holds the COMBINED B-sized
+    net_output); not with adaptive/span caching or cfg_sequential.
 
     step_cache_threshold > 0 switches to ADAPTIVE caching (TeaCache
     family, arXiv:2411.19108): the relative L1 drift of the scaled
@@ -300,6 +314,159 @@ def generate_samples(
                 "guidance_interval composes with the plain and fixed-"
                 "interval-cached loops only (not adaptive/span caching)"
             )
+
+    if cfg_axis is not None:
+        if step_cache_threshold > 0 or net_fn_skip is not None:
+            raise ValueError(
+                "cfg_axis composes with the plain and fixed-interval-"
+                "cached loops only (not adaptive/span caching)"
+            )
+        if cfg_sequential:
+            raise ValueError(
+                "cfg_sequential is meaningless under cfg_axis (the pair "
+                "is already split across ranks)"
+            )
+
+        def _cfg_axis_output(x_cond, x_uncond, t):
+            """Per-rank forward + ONE psum: rank 0 computes the cond
+            branch, rank 1 the uncond branch; the guidance combine
+            (1+g)*cond - g*uncond is the psum of w_r * out_r."""
+            is_c = jax.lax.axis_index(cfg_axis) == 0
+            x_r = jnp.where(is_c, x_cond, x_uncond)
+            ctx_r = jnp.where(is_c, crossattn_cond, crossattn_uncond)
+            t_b = jnp.broadcast_to(t[None], (B,))
+            out = net_fn(net_params, x_r, t_b, ctx_r).astype(jnp.float32)
+            w = jnp.where(is_c, 1.0 + guidance, -guidance)
+            return jax.lax.psum(w * out, cfg_axis)
+
+        gi0a, gi1a = (0, num_steps) if gi is None else gi
+
+        def _segments(body_cfg_steps, body_cond_steps, carry):
+            if gi0a > 0:
+                carry = jax.lax.fori_loop(0, gi0a, body_cond_steps, carry)
+            if gi1a > gi0a:
+                carry = jax.lax.fori_loop(
+                    gi0a, gi1a, body_cfg_steps, carry
+                )
+            if gi1a < num_steps:
+                carry = jax.lax.fori_loop(
+                    gi1a, num_steps, body_cond_steps, carry
+                )
+            return carry
+
+        if solver != "euler":
+            if solver not in ("dpm2m", "res2ab"):
+                raise ValueError(
+                    f"unknown solver {solver!r}; expected "
+                    "euler/dpm2m/res2ab"
+                )
+            if step_cache_interval > 1:
+                raise ValueError(
+                    "multistep solvers are not supported with step "
+                    "caching"
+                )
+            from gen3c_tpu.diffusion.solvers import (
+                dpm2m_x0_step,
+                res_x0_rk2_step,
+            )
+
+            def _ms_finish_ax(i, sigma, indicator, new_xt, net_output,
+                              prev_x0):
+                latent_unscaled = schedule.reverse_precondition_output(
+                    gt, new_xt, sigma
+                )
+                raw = (indicator * latent_unscaled
+                       + (1 - indicator) * net_output)
+                x0 = schedule.precondition_outputs(new_xt, raw, sigma)
+                s1n = sigmas[i + 1]
+
+                def euler_step(_):
+                    return schedule.step(raw, new_xt, sigma, s1n)
+
+                def multi(_):
+                    prev_s = sigmas[jnp.maximum(i - 1, 0)]
+                    step_fn = (res_x0_rk2_step if solver == "res2ab"
+                               else dpm2m_x0_step)
+                    return step_fn(new_xt, s1n, sigma, x0, prev_s,
+                                   prev_x0)
+
+                use_multi = jnp.logical_and(i > 0, s1n > 0)
+                return (jax.lax.cond(use_multi, multi, euler_step, None),
+                        x0)
+
+            def ms_body_ax(i, carry):
+                xt, prev_x0 = carry
+                (sigma, t, indicator, new_xt,
+                 x_cond, x_uncond) = _step_parts(i, xt)
+                net_output = _cfg_axis_output(x_cond, x_uncond, t)
+                return _ms_finish_ax(i, sigma, indicator, new_xt,
+                                     net_output, prev_x0)
+
+            def ms_body_ax_cond(i, carry):
+                xt, prev_x0 = carry
+                (sigma, t, indicator, new_xt,
+                 x_cond, _) = _step_parts(i, xt)
+                out_c = _net_call_cond(x_cond, t).astype(jnp.float32)
+                return _ms_finish_ax(i, sigma, indicator, new_xt, out_c,
+                                     prev_x0)
+
+            out, _ = _segments(ms_body_ax, ms_body_ax_cond, (xt0, xt0))
+            return out
+
+        if step_cache_interval <= 1:
+
+            def body_ax(i, xt):
+                (sigma, t, indicator, new_xt,
+                 x_cond, x_uncond) = _step_parts(i, xt)
+                net_output = _cfg_axis_output(x_cond, x_uncond, t)
+                return _finish(i, sigma, indicator, new_xt, net_output)
+
+            return _segments(body_ax, body_cond, xt0)
+
+        # fixed-interval caching: the cache holds the COMBINED B-sized
+        # net_output (cond-only output in the inactive segments), so
+        # skipped steps need no psum at all
+        warmup_ax, tail_ax = 2, 2
+
+        def _refresh_pred(i):
+            return (
+                (i < warmup_ax)
+                | (i >= num_steps - tail_ax)
+                | ((i - warmup_ax) % step_cache_interval == 0)
+            )
+
+        def cached_body_ax(i, carry):
+            xt, cached = carry
+            (sigma, t, indicator, new_xt,
+             x_cond, x_uncond) = _step_parts(i, xt)
+            # re-entry into the CFG range: the cached combined output
+            # came from a cond-only step — force one refresh
+            refresh = _refresh_pred(i) | (i == gi0a)
+            net_output = jax.lax.cond(
+                refresh,
+                lambda: _cfg_axis_output(x_cond, x_uncond, t),
+                lambda: cached,
+            )
+            return (_finish(i, sigma, indicator, new_xt, net_output),
+                    net_output)
+
+        def cached_body_ax_cond(i, carry):
+            xt, cached = carry
+            (sigma, t, indicator, new_xt,
+             x_cond, _) = _step_parts(i, xt)
+            out_c = jax.lax.cond(
+                _refresh_pred(i),
+                lambda: _net_call_cond(x_cond, t).astype(jnp.float32),
+                lambda: cached,
+            )
+            return (_finish(i, sigma, indicator, new_xt, out_c), out_c)
+
+        cache0_ax = jnp.zeros((B, gt.shape[1]) + gt.shape[2:],
+                              jnp.float32)
+        out, _ = _segments(
+            cached_body_ax, cached_body_ax_cond, (xt0, cache0_ax)
+        )
+        return out
 
     if solver != "euler":
         # higher-order integration at EQUAL network cost: carry the

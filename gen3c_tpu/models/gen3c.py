@@ -240,6 +240,7 @@ class Gen3CModel:
         if self.mesh is not None and (
     self.mesh.shape.get("cp", 1) > 1
     or self.mesh.shape.get("tp", 1) > 1
+    or self.mesh.shape.get("cfg", 1) > 1
 ):
             # context-parallel denoise over the mesh (torchrun --num_gpus
             # parity; gen3c_tpu.parallel.cp — bit-exact vs single device)

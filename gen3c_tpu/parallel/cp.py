@@ -132,6 +132,8 @@ def cp_generate_samples(
     T = init_noise.shape[2]
     cp = mesh.shape["cp"]
     tp = mesh.shape.get("tp", 1)
+    cfg_n = mesh.shape.get("cfg", 1)
+    cfg_axis = "cfg" if cfg_n > 1 else None
     assert T % cp == 0, f"latent T={T} must divide cp={cp}"
     use_span = (
         dit_cfg.cache_block_span is not None and step_cache_interval > 1
@@ -200,6 +202,7 @@ def cp_generate_samples(
             drift_axis="cp",
             solver=solver,
             guidance_interval=guidance_interval,
+            cfg_axis=cfg_axis,
         )
 
     mapped = jax.shard_map(

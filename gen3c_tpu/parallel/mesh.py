@@ -6,6 +6,10 @@ parallel_state.initialize_model_parallel(tp, pp, cp) — here a single
 jax.sharding.Mesh over ICI/DCN carries every parallelism axis:
 
   dp — data parallel (batch sharding)
+  cfg — CFG parallel (size 2: the classifier-free-guidance cond /
+        uncond forwards run on different ranks; one psum per denoise
+        step combines them — gen3c_tpu-only, the reference batches
+        the pair on every GPU)
   cp — context parallel (latent-T / token sharding in the denoiser,
        reference's torchrun --nproc_per_node=N mode)
   tp — tensor parallel (Megatron-style column/row param sharding)
@@ -27,18 +31,24 @@ def make_mesh(
     dp: int = 1,
     cp: Optional[int] = None,
     tp: int = 1,
+    cfg: int = 1,
     devices: Optional[Sequence] = None,
 ) -> Mesh:
-    """Build a (dp, cp, tp) mesh. cp defaults to all remaining devices."""
+    """Build a (dp, cfg, cp, tp) mesh. cp defaults to all remaining
+    devices. cfg (CFG parallelism) must be 1 or 2."""
     if devices is None:
         devices = jax.devices()
+    if cfg not in (1, 2):
+        raise ValueError(f"cfg axis must be 1 or 2, got {cfg}")
     n = len(devices)
     if cp is None:
-        assert n % (dp * tp) == 0, (n, dp, tp)
-        cp = n // (dp * tp)
-    assert dp * cp * tp == n, f"dp*cp*tp={dp*cp*tp} != {n} devices"
-    arr = np.asarray(devices).reshape(dp, cp, tp)
-    return Mesh(arr, ("dp", "cp", "tp"))
+        assert n % (dp * tp * cfg) == 0, (n, dp, tp, cfg)
+        cp = n // (dp * tp * cfg)
+    assert dp * cfg * cp * tp == n, (
+        f"dp*cfg*cp*tp={dp * cfg * cp * tp} != {n} devices"
+    )
+    arr = np.asarray(devices).reshape(dp, cfg, cp, tp)
+    return Mesh(arr, ("dp", "cfg", "cp", "tp"))
 
 
 def maybe_distributed_init(

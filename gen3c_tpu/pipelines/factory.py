@@ -276,7 +276,8 @@ def build_gen3c_model(
     mesh = None
     use_sp = False
     cp_tp_match = re.fullmatch(r"cp(\d+)tp(\d+)(sp)?", parallel)
-    if parallel not in ("cp", "tp") and not cp_tp_match:
+    cfg_match = re.fullmatch(r"cfg2(?:cp(\d+))?(?:tp(\d+))?", parallel)
+    if parallel not in ("cp", "tp") and not cp_tp_match and not cfg_match:
         # validate even when num_devices==1 so a typo'd strategy (or a
         # forgotten --num_devices) fails loudly instead of silently
         # running single-device
@@ -284,7 +285,26 @@ def build_gen3c_model(
     if num_devices > 1:
         from gen3c_tpu.parallel.mesh import make_mesh
 
-        if parallel == "tp":
+        if cfg_match:
+            # CFG parallelism: cond/uncond forwards on different ranks,
+            # combined by one psum per denoise step (parallel/cp.py +
+            # sampler cfg_axis) — optionally x cp / tp on more chips,
+            # e.g. "cfg2" on 2 chips, "cfg2cp2" on 4, "cfg2cp2tp2" on 8
+            cp_n = int(cfg_match.group(1) or 1)
+            tp_n = int(cfg_match.group(2) or 1)
+            if 2 * cp_n * tp_n != num_devices:
+                raise ValueError(
+                    f"parallel={parallel!r} needs {2 * cp_n * tp_n} "
+                    f"devices, got num_devices={num_devices}"
+                )
+            mesh = make_mesh(dp=1, cfg=2, cp=cp_n, tp=tp_n,
+                             devices=jax.devices()[:num_devices])
+            log.info(
+                f"CFG-parallel denoising (cond/uncond split): cfg=2"
+                + (f" x cp={cp_n}" if cp_n > 1 else "")
+                + (f" x tp={tp_n}" if tp_n > 1 else "")
+            )
+        elif parallel == "tp":
             # tensor-parallel serving: params sharded Megatron-style over
             # the devices (declarative PartitionSpecs, XLA inserts the
             # collectives); bf16 7B fits on >=2 chips without int8

@@ -102,6 +102,82 @@ def test_cp_sampler_guidance_interval_matches_single_device():
     assert np.abs(np.asarray(full) - np.asarray(ref)).mean() > 1e-7
 
 
+def _randomize_zero_leaves(params, seed=1):
+    leaves, treedef = jax.tree_util.tree_flatten(params)
+    keys = jax.random.split(jax.random.PRNGKey(seed), len(leaves))
+    leaves = [
+        jax.random.normal(k, leaf.shape, leaf.dtype) * 0.02
+        if float(jnp.sum(jnp.abs(leaf))) == 0 else leaf
+        for k, leaf in zip(keys, leaves)
+    ]
+    return jax.tree_util.tree_unflatten(treedef, leaves)
+
+
+def test_cfg_parallel_matches_single_device():
+    """CFG parallelism (cond/uncond on different ranks + one psum per
+    step) == the single-device batched-pair sampler."""
+    mesh = make_mesh(dp=1, cfg=2, cp=1, tp=1, devices=jax.devices()[:2])
+    params = _randomize_zero_leaves(
+        init_dit_params(jax.random.PRNGKey(0), CFG, jnp.float32)
+    )
+    rng = np.random.RandomState(0)
+    args = _sample_args(rng)
+    ref = generate_samples(
+        net_fn=_net_fn, net_params=(params, CFG), num_steps=3,
+        guidance=1.5, **args
+    )
+    out = cp_generate_samples(
+        mesh, params, CFG, num_steps=3, guidance=1.5, **args
+    )
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-4
+    )
+
+
+def test_cfg_parallel_composes_with_cp_interval_cache_solver():
+    """cfg2 x cp2 mesh + guidance_interval + step caching + multistep
+    solver all compose and match single-device."""
+    from gen3c_tpu.diffusion.scheduler import EDMEulerSchedule
+
+    mesh = make_mesh(dp=1, cfg=2, cp=2, tp=1, devices=jax.devices()[:4])
+    params = _randomize_zero_leaves(
+        init_dit_params(jax.random.PRNGKey(0), CFG, jnp.float32)
+    )
+    rng = np.random.RandomState(0)
+    args = _sample_args(rng)
+    sig = np.asarray(EDMEulerSchedule().sigmas(6))
+    gi = (float(sig[3]), float(sig[0]) + 1.0)
+    for extra in (
+        dict(guidance_interval=gi),
+        dict(guidance_interval=gi, step_cache_interval=2),
+        dict(step_cache_interval=2),
+        dict(solver="res2ab"),
+    ):
+        ref = generate_samples(
+            net_fn=_net_fn, net_params=(params, CFG), num_steps=6,
+            guidance=1.5, **extra, **args
+        )
+        out = cp_generate_samples(
+            mesh, params, CFG, num_steps=6, guidance=1.5, **extra, **args
+        )
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-4,
+            err_msg=str(extra),
+        )
+
+
+def test_cfg_parallel_rejects_adaptive():
+    mesh = make_mesh(dp=1, cfg=2, cp=1, tp=1, devices=jax.devices()[:2])
+    params = init_dit_params(jax.random.PRNGKey(0), CFG, jnp.float32)
+    rng = np.random.RandomState(0)
+    args = _sample_args(rng)
+    with pytest.raises(ValueError, match="cfg_axis"):
+        cp_generate_samples(
+            mesh, params, CFG, num_steps=3, step_cache_threshold=0.05,
+            **args
+        )
+
+
 def test_tp_forward_matches_replicated():
     """Megatron-style TP param sharding changes nothing numerically."""
     mesh = make_mesh(dp=1, cp=1, tp=4, devices=jax.devices()[:4])
