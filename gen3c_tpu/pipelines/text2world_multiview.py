@@ -130,6 +130,7 @@ def generate_multiview_world(
     preset: MultiviewPreset,
     t5_embeddings: np.ndarray,  # (1, V*M, 1024) per-view concat
     guidance: float = 7.0,
+    guidance_interval=None,
     num_steps: int = 35,
     seed: int = 1,
     frame_repeat_negative_condition: float = 10.0,
@@ -198,6 +199,8 @@ def generate_multiview_world(
         condition_video_input_mask=in_mask,
         num_steps=num_steps,
         guidance=guidance,
+        guidance_interval=(tuple(float(v) for v in guidance_interval)
+                           if guidance_interval else None),
         step_cache_interval=step_cache_interval,
         step_cache_threshold=step_cache_threshold,
     )
@@ -225,6 +228,11 @@ def create_parser() -> argparse.ArgumentParser:
     p.add_argument("--input_image_path", type=str, default=None,
                    help="video2world: seed image for every view's frame 0")
     p.add_argument("--guidance", type=float, default=7.0)
+    p.add_argument("--guidance_interval", type=float, nargs=2,
+                   default=None, metavar=("SIGMA_LO", "SIGMA_HI"),
+                   help="restrict CFG to steps with sigma in [LO, HI] "
+                        "(arXiv:2404.07724); cond-only forwards "
+                        "(~half cost) outside the interval")
     p.add_argument("--num_steps", type=int, default=35)
     p.add_argument("--frame_repeat_negative_condition", type=float,
                    default=10.0)
@@ -315,6 +323,7 @@ def demo(args) -> list:
         preset,
         t5,
         guidance=args.guidance,
+        guidance_interval=args.guidance_interval,
         num_steps=args.num_steps,
         seed=args.seed,
         frame_repeat_negative_condition=args.frame_repeat_negative_condition,

@@ -50,6 +50,11 @@ def create_parser() -> argparse.ArgumentParser:
     p.add_argument("--checkpoint_dir", type=str, default="checkpoints")
     p.add_argument("--prompt", type=str, default="")
     p.add_argument("--guidance", type=float, default=7.0)
+    p.add_argument("--guidance_interval", type=float, nargs=2,
+                   default=None, metavar=("SIGMA_LO", "SIGMA_HI"),
+                   help="restrict CFG to steps with sigma in [LO, HI] "
+                        "(arXiv:2404.07724); cond-only forwards "
+                        "(~half cost) outside the interval")
     p.add_argument("--num_steps", type=int, default=35)
     p.add_argument("--solver", default="res2ab",
                    choices=("euler", "dpm2m", "res2ab"),
@@ -173,6 +178,8 @@ def _interpolate_pair(model, preset, first, last, args, seed: int):
         condition_video_input_mask=cond.condition_video_input_mask,
         num_steps=args.num_steps,
         guidance=args.guidance,
+        guidance_interval=(tuple(args.guidance_interval)
+                           if args.guidance_interval else None),
         solver=args.solver,
     )
     video = model.decode(samples)
