@@ -34,6 +34,10 @@ def main():
                          "sampler dispatches (generate_samples_host_loop)")
     ap.add_argument("--attn_temporal_window", type=int, default=None,
                     help="analyze with temporal-band sparse attention")
+    ap.add_argument("--cond_only", action="store_true",
+                    help="with --host_step: analyze the condition-only "
+                         "(guidance-interval inactive, use_cfg=False) "
+                         "step program")
     args = ap.parse_args()
 
     import jax
@@ -123,6 +127,7 @@ def main():
             net_in_dtype=jnp.bfloat16,
             refresh=True,
             cfg_sequential=args.cfg_sequential,
+            use_cfg=not args.cond_only,
         )
         del f1
         print("lowering + compiling the host-loop STEP program...",
