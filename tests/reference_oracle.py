@@ -280,17 +280,22 @@ def stub_diffusers():
     d.EDMEulerScheduler = EDMEulerScheduler
 
     # model_t2w imports LayerControlConfigParser, whose module imports
-    # omegaconf for isinstance checks only
-    if "omegaconf" not in sys.modules:
-        om = _stub("omegaconf")
+    # omegaconf for isinstance checks only. Ensure attributes
+    # per-attribute (not per-module): another test may have registered a
+    # leaner omegaconf stub first (test_ar_parity stubs only DictConfig/
+    # OmegaConf), and skipping wholesale left ListConfig missing — the
+    # full-suite-order-only failure of 2026-08-19.
+    om = sys.modules.get("omegaconf") or _stub("omegaconf")
 
-        class DictConfig(dict):
-            pass
+    class DictConfig(dict):
+        pass
 
-        class ListConfig(list):
-            pass
+    class ListConfig(list):
+        pass
 
+    if not hasattr(om, "DictConfig"):
         om.DictConfig = DictConfig
+    if not hasattr(om, "ListConfig"):
         om.ListConfig = ListConfig
 
 
