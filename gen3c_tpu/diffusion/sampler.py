@@ -68,6 +68,53 @@ def guidance_interval_steps(
     return int(idx[0]), int(idx[-1]) + 1
 
 
+def _per_sample_std(x: Array, shard_axis: Optional[str] = None) -> Array:
+    """Per-sample std over all non-batch dims — GLOBAL when the tensor
+    is sharded over a named mesh axis (psum'd moments), matching the
+    single-device value up to fp reduction order."""
+    axes = tuple(range(1, x.ndim))
+    if shard_axis is None:
+        return jnp.std(x, axis=axes, keepdims=True)
+    n_local = 1
+    for a in axes:
+        n_local *= x.shape[a]
+    s1 = jax.lax.psum(jnp.sum(x, axis=axes, keepdims=True), shard_axis)
+    s2 = jax.lax.psum(jnp.sum(x * x, axis=axes, keepdims=True),
+                      shard_axis)
+    n = n_local * jax.lax.axis_size(shard_axis)
+    mean = s1 / n
+    return jnp.sqrt(jnp.maximum(s2 / n - mean * mean, 0.0))
+
+
+def apply_cfg(
+    out_cond: Array,
+    out_uncond: Array,
+    guidance: float,
+    cfg_rescale: float = 0.0,
+    shard_axis: Optional[str] = None,
+) -> Array:
+    """CFG combine + optional rescale (Lin et al., arXiv:2305.08891).
+
+    net_output = cond + g*(cond - uncond) — the reference combine
+    (model_v2w.py:130-149). cfg_rescale=phi>0 additionally rescales the
+    combined output so its per-sample std matches the conditioned
+    branch's (the paper's fix for high-guidance oversaturation), then
+    blends: phi*rescaled + (1-phi)*combined. phi=0 (default) is exactly
+    the reference CFG; the reference has no such knob.
+
+    shard_axis: mesh axis name the tensors are token-sharded over
+    (context parallelism) — the stds are then computed globally so the
+    rescale matches the single-device value.
+    """
+    out = out_cond + guidance * (out_cond - out_uncond)
+    if cfg_rescale <= 0:
+        return out
+    std_c = _per_sample_std(out_cond, shard_axis)
+    std_o = _per_sample_std(out, shard_axis)
+    rescaled = out * (std_c / jnp.maximum(std_o, 1e-6))
+    return cfg_rescale * rescaled + (1.0 - cfg_rescale) * out
+
+
 def _net_inputs(x_scaled: Array, condition: VideoExtendCondition) -> Array:
     """Channel-concat [x, condition_video_input_mask, condition_video_pose]
     (VideoExtendGeneralDIT.forward, general_dit_video_conditioned.py:97-118).
@@ -95,6 +142,7 @@ def _net_inputs(x_scaled: Array, condition: VideoExtendCondition) -> Array:
         "solver",
         "guidance_interval",
         "cfg_axis",
+        "cfg_rescale",
     ),
 )
 def generate_samples(
@@ -122,6 +170,7 @@ def generate_samples(
     solver: str = "euler",
     guidance_interval: Optional[tuple] = None,
     cfg_axis: Optional[str] = None,
+    cfg_rescale: float = 0.0,
 ) -> Array:
     """Run the full denoising loop; returns the final latent (B,C,T,H,W).
 
@@ -289,7 +338,8 @@ def generate_samples(
     def _step_outputs(i, sigma, indicator, new_xt, net_out):
         """Shared CFG combine + conditioned-region replacement + Euler."""
         out_cond, out_uncond = net_out[:B], net_out[B:]
-        net_output = out_cond + guidance * (out_cond - out_uncond)
+        net_output = apply_cfg(out_cond, out_uncond, guidance, cfg_rescale,
+                               shard_axis=drift_axis)
         return _finish(i, sigma, indicator, new_xt, net_output)
 
     def body(i, xt):
@@ -335,9 +385,21 @@ def generate_samples(
             x_r = jnp.where(is_c, x_cond, x_uncond)
             ctx_r = jnp.where(is_c, crossattn_cond, crossattn_uncond)
             t_b = jnp.broadcast_to(t[None], (B,))
-            out = net_fn(net_params, x_r, t_b, ctx_r).astype(jnp.float32)
+            raw = net_fn(net_params, x_r, t_b, ctx_r).astype(jnp.float32)
             w = jnp.where(is_c, 1.0 + guidance, -guidance)
-            return jax.lax.psum(w * out, cfg_axis)
+            out = jax.lax.psum(w * raw, cfg_axis)
+            if cfg_rescale <= 0:
+                return out
+            # cfg-rescale (arXiv:2305.08891) under CFG parallelism: the
+            # cond branch's per-sample std lives on rank 0 — broadcast
+            # it with one scalar-sized psum-select
+            std_r = _per_sample_std(raw, drift_axis)
+            std_c = jax.lax.psum(
+                jnp.where(is_c, std_r, jnp.zeros_like(std_r)), cfg_axis
+            )
+            std_o = _per_sample_std(out, drift_axis)
+            rescaled = out * (std_c / jnp.maximum(std_o, 1e-6))
+            return cfg_rescale * rescaled + (1.0 - cfg_rescale) * out
 
         gi0a, gi1a = (0, num_steps) if gi is None else gi
 
@@ -511,7 +573,8 @@ def generate_samples(
             sigma, indicator, new_xt, x_in, t_in = _step_inputs(i, xt)
             net_out = _net_call(x_in, t_in).astype(jnp.float32)
             out_cond, out_uncond = net_out[:B], net_out[B:]
-            net_output = out_cond + guidance * (out_cond - out_uncond)
+            net_output = apply_cfg(out_cond, out_uncond, guidance,
+                                   cfg_rescale, shard_axis=drift_axis)
             return _ms_finish(i, sigma, indicator, new_xt, net_output,
                               prev_x0)
 
@@ -726,6 +789,7 @@ def generate_samples(
         "cfg_sequential",
         "solver",
         "use_cfg",
+        "cfg_rescale",
     ),
     # the carries (xt, cached_out, prev_x0) die each iteration — donate
     # so XLA aliases the step's outputs onto them. Without this the 7B
@@ -760,6 +824,7 @@ def _host_loop_step(
     cfg_sequential: bool,
     solver: str = "euler",
     use_cfg: bool = True,
+    cfg_rescale: float = 0.0,
 ):
     """One denoise step for the host-driven loop (same math as the
     fori_loop body in generate_samples). Returns
@@ -819,7 +884,7 @@ def _host_loop_step(
 
     out_cond, out_uncond = net_out[:B], net_out[B:]
     if use_cfg:
-        net_output = out_cond + guidance * (out_cond - out_uncond)
+        net_output = apply_cfg(out_cond, out_uncond, guidance, cfg_rescale)
     else:
         net_output = out_cond
     latent_unscaled = schedule.reverse_precondition_output(gt, new_xt, sigma)
@@ -883,6 +948,7 @@ def generate_samples_host_loop(
     solver: str = "euler",
     dispatch_async: bool = False,
     guidance_interval: Optional[tuple] = None,
+    cfg_rescale: float = 0.0,
 ):
     """Memory-lean sampler: a HOST python loop over a jitted single-step
     program, instead of one jit holding the whole `num_steps` fori_loop.
@@ -997,6 +1063,7 @@ def generate_samples_host_loop(
                     cfg_sequential=cfg_sequential,
                     solver=solver,
                     use_cfg=bool(cfg_active[i]),
+                    cfg_rescale=cfg_rescale,
                 )
             box["xt"] = xt_c
         except BaseException as e:  # noqa: BLE001 — re-raised in result()
@@ -1149,7 +1216,7 @@ def _stream_step_pre(
 
 
 @partial(jax.jit, static_argnames=("guidance", "schedule", "solver",
-                                   "use_cfg"))
+                                   "use_cfg", "cfg_rescale"))
 def _stream_step_post(
     net_out,
     new_xt,
@@ -1163,6 +1230,7 @@ def _stream_step_post(
     schedule: EDMEulerSchedule,
     solver: str = "euler",
     use_cfg: bool = True,
+    cfg_rescale: float = 0.0,
 ):
     """CFG combine + conditioned-region replacement + solver step.
     Returns (xt_next, x0). Multistep solvers use the same runtime
@@ -1173,7 +1241,7 @@ def _stream_step_post(
     net_out = net_out.astype(jnp.float32)
     out_cond, out_uncond = net_out[:B], net_out[B:]
     if use_cfg:
-        net_output = out_cond + guidance * (out_cond - out_uncond)
+        net_output = apply_cfg(out_cond, out_uncond, guidance, cfg_rescale)
     else:
         net_output = out_cond
     latent_unscaled = schedule.reverse_precondition_output(gt, new_xt, sigma)
@@ -1214,6 +1282,7 @@ def generate_samples_streaming(
     net_in_dtype=None,
     solver: str = "euler",
     guidance_interval: Optional[tuple] = None,
+    cfg_rescale: float = 0.0,
 ) -> Array:
     """Sampler for PYTHON-level networks (models/dit_streaming.py): the
     per-step Euler math runs in two small jits around a python net call
@@ -1291,7 +1360,7 @@ def generate_samples_streaming(
             cached, new_xt, indicator, gt, sigma,
             jnp.float32(sig[i + 1]), prev_x0, jnp.float32(prev_sigma),
             guidance=guidance, schedule=schedule, solver=solver,
-            use_cfg=use_cfg,
+            use_cfg=use_cfg, cfg_rescale=cfg_rescale,
         )
         prev_sigma = float(sig[i])
         # throttle: force this step's chain to finish before dispatching

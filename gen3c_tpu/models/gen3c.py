@@ -178,6 +178,7 @@ class Gen3CModel:
         cfg_sequential: Optional[bool] = None,
         solver: str = "euler",
         guidance_interval=None,
+        cfg_rescale: float = 0.0,
     ) -> Array:
         """Run the full GEN3C denoise; returns latent (B, 16, T, H', W').
 
@@ -269,6 +270,7 @@ class Gen3CModel:
                 solver=solver,
                 sequence_parallel=self.sequence_parallel,
                 guidance_interval=guidance_interval,
+                cfg_rescale=float(cfg_rescale),
             )
 
         if (self.dit_cfg.cache_block_span is not None
@@ -327,4 +329,5 @@ class Gen3CModel:
             cfg_sequential=bool(cfg_sequential),
             solver=solver,
             guidance_interval=guidance_interval,
+            cfg_rescale=float(cfg_rescale),
         )

@@ -114,6 +114,7 @@ def cp_generate_samples(
     sequence_parallel: bool = False,
     solver: str = "euler",
     guidance_interval=None,
+    cfg_rescale: float = 0.0,
 ) -> Array:
     """Context-parallel version of sampler.generate_samples.
 
@@ -203,6 +204,7 @@ def cp_generate_samples(
             solver=solver,
             guidance_interval=guidance_interval,
             cfg_axis=cfg_axis,
+            cfg_rescale=cfg_rescale,
         )
 
     mapped = jax.shard_map(

@@ -408,6 +408,8 @@ def add_perf_flags(p) -> None:
                    help="restrict CFG to steps with sigma in [LO, HI] "
                         "(arXiv:2404.07724); cond-only forwards "
                         "(~half cost) outside the interval")
+    p.add_argument("--cfg_rescale", type=float, default=0.0,
+                   help="phi>0: CFG-rescale (arXiv:2305.08891)")
     p.add_argument("--cp_attn", type=str, default=None,
                    choices=["allgather", "ring", "ulysses"])
     p.add_argument("--parallel", type=str, default="cp")

@@ -82,6 +82,7 @@ def demo(args) -> str:
         guidance_interval=(tuple(args.guidance_interval)
                            if getattr(args, "guidance_interval", None)
                            else None),
+        cfg_rescale=getattr(args, "cfg_rescale", 0.0),
         num_steps=args.num_steps,
         solver=args.solver,
         step_cache_interval=args.step_cache_interval,

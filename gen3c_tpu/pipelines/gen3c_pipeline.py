@@ -54,6 +54,9 @@ class Gen3cPipeline:
     # (sigma_lo, sigma_hi): CFG only on steps inside the interval
     # (arXiv:2404.07724); cond-only forwards (~half cost) outside
     guidance_interval: Optional[tuple] = None
+    # phi>0: rescale the CFG output's per-sample std to the cond
+    # branch's (arXiv:2305.08891 high-guidance oversaturation fix)
+    cfg_rescale: float = 0.0
     solver: str = "euler"
     height: int = 704
     width: int = 1280
@@ -147,6 +150,7 @@ class Gen3cPipeline:
             step_cache_interval=self.step_cache_interval,
             step_cache_threshold=self.step_cache_threshold,
             guidance_interval=self.guidance_interval,
+            cfg_rescale=self.cfg_rescale,
             solver=self.solver,
             seed=self.seed if seed is None else seed,
             neg_t5_embeddings=neg_emb,

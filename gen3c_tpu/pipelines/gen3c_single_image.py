@@ -53,6 +53,11 @@ def create_parser() -> argparse.ArgumentParser:
                         "conditioned forward runs (~half the step "
                         "cost). Default: CFG on every step "
                         "(reference behavior)")
+    p.add_argument("--cfg_rescale", type=float, default=0.0,
+                   help="phi in [0,1]: rescale the CFG output std to "
+                        "the cond branch's (arXiv:2305.08891; fixes "
+                        "high-guidance oversaturation). 0 = reference "
+                        "CFG")
     p.add_argument("--num_steps", type=int, default=35)
     p.add_argument("--solver", default="euler",
                    choices=("euler", "dpm2m", "res2ab"),
@@ -214,6 +219,7 @@ def demo(args) -> str:
         guidance=args.guidance,
         guidance_interval=(tuple(args.guidance_interval)
                            if args.guidance_interval else None),
+        cfg_rescale=args.cfg_rescale,
         num_steps=args.num_steps,
         step_cache_interval=args.step_cache_interval,
         step_cache_threshold=args.step_cache_threshold,

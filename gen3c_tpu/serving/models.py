@@ -175,6 +175,7 @@ class Gen3cPersistentModel(InferenceModel):
         attn_temporal_window: Optional[int] = None,
         cp_attn: Optional[str] = None,
         guidance_interval: Optional[tuple] = None,
+        cfg_rescale: float = 0.0,
     ):
         from gen3c_tpu.pipelines.depth import make_depth_estimator
         from gen3c_tpu.pipelines.factory import build_gen3c_model
@@ -208,6 +209,7 @@ class Gen3cPersistentModel(InferenceModel):
             guidance=guidance,
             guidance_interval=(tuple(float(v) for v in guidance_interval)
                                if guidance_interval else None),
+            cfg_rescale=float(cfg_rescale),
             num_steps=num_steps,
             step_cache_interval=step_cache_interval,
             step_cache_threshold=step_cache_threshold,
@@ -501,6 +503,7 @@ class Gen3cPersistentModel(InferenceModel):
                     list(self.pipeline.guidance_interval)
                     if self.pipeline.guidance_interval else None
                 ),
+                "cfg_rescale": self.pipeline.cfg_rescale,
                 "solver": self.pipeline.solver,
             },
         }

@@ -271,6 +271,7 @@ def build_model_from_env():
             if os.environ.get("GEN3C_GUIDANCE_INTERVAL", "").strip()
             else None
         ),
+        cfg_rescale=float(os.environ.get("GEN3C_CFG_RESCALE", "0")),
         parallel=os.environ.get("GEN3C_PARALLEL", "cp"),
         # GEN3C_OFFLOAD_DIT=1/0 overrides the single-chip-7B auto-enable
         offload_dit=(

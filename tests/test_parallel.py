@@ -152,6 +152,9 @@ def test_cfg_parallel_composes_with_cp_interval_cache_solver():
         dict(guidance_interval=gi, step_cache_interval=2),
         dict(step_cache_interval=2),
         dict(solver="res2ab"),
+        # cfg-rescale under CFG parallelism: the cond branch's std is
+        # broadcast with a psum-select (arXiv:2305.08891)
+        dict(cfg_rescale=0.7),
     ):
         ref = generate_samples(
             net_fn=_net_fn, net_params=(params, CFG), num_steps=6,
