@@ -389,9 +389,39 @@ def build_tokenizer(preset, checkpoint_dir=None):
     return types.SimpleNamespace(encode=full.encode, decode=full.decode), p
 
 
+def apply_perf_preset(args) -> None:
+    """Expand --perf_preset into individual knobs (only where the user
+    left the default, so explicit flags always win).
+
+    "fast" is the measured single-chip fast configuration
+    (docs/STATUS.md, 2026-08-19: 8.5 min generation for the 121-frame
+    chunk): W8A8 quantization + temporal-band window 2 + step-cache
+    interval 2 + guidance interval q=0.5 (sigma 1.75..81). "exact"
+    (default) changes nothing.
+    """
+    if getattr(args, "perf_preset", "exact") != "fast":
+        return
+    if not (getattr(args, "quantize_w8a8", False)
+            or getattr(args, "quantize_int8", False)):
+        args.quantize_w8a8 = True
+    if getattr(args, "attn_temporal_window", None) is None:
+        args.attn_temporal_window = 2
+    if getattr(args, "step_cache_interval", 1) <= 1 and not getattr(
+            args, "step_cache_threshold", 0.0):
+        args.step_cache_interval = 2
+    if getattr(args, "guidance_interval", None) is None:
+        args.guidance_interval = [1.75, 81.0]
+
+
 def add_perf_flags(p) -> None:
     """Shared serving-performance CLI flags (the single-image CLI keeps
     its richer documented set; these mirror its semantics)."""
+    p.add_argument("--perf_preset", choices=["exact", "fast"],
+                   default="exact",
+                   help="'fast' = the measured single-chip fast config "
+                        "(W8A8 + band 2 + cache 2 + guidance interval "
+                        "q0.5; 8.5 min/121-frame chunk) — explicit "
+                        "flags still win; 'exact' changes nothing")
     p.add_argument("--quantize_int8", action="store_true",
                    help="int8 weight-only DiT (fits the 7B on one chip)")
     p.add_argument("--quantize_w8a8", action="store_true",
@@ -420,6 +450,7 @@ def add_perf_flags(p) -> None:
 def build_from_args(args, preset_name: Optional[str] = None):
     """build_gen3c_model from an add_perf_flags-style namespace, with
     the single-image CLI's 7B single-chip offload auto-enable."""
+    apply_perf_preset(args)
     name = preset_name or args.model_preset
     offload = (
         args.offload_diffusion_transformer

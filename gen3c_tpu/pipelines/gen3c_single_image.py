@@ -53,6 +53,12 @@ def create_parser() -> argparse.ArgumentParser:
                         "conditioned forward runs (~half the step "
                         "cost). Default: CFG on every step "
                         "(reference behavior)")
+    p.add_argument("--perf_preset", choices=["exact", "fast"],
+                   default="exact",
+                   help="'fast' = the measured single-chip fast config "
+                        "(W8A8 + band 2 + cache 2 + guidance interval "
+                        "q0.5; 8.5 min/121-frame chunk, docs/STATUS.md)"
+                        " — explicit flags still win")
     p.add_argument("--cfg_rescale", type=float, default=0.0,
                    help="phi in [0,1]: rescale the CFG output std to "
                         "the cond branch's (arXiv:2305.08891; fixes "
@@ -171,6 +177,9 @@ def validate_args(args, chunk_size: int) -> None:
 
 
 def demo(args) -> str:
+    from gen3c_tpu.pipelines.factory import apply_perf_preset
+
+    apply_perf_preset(args)
     offload_dit = args.offload_diffusion_transformer
     offload_tok = args.offload_tokenizer
     if args.model_preset == "gen3c_7b" and args.num_devices == 1:

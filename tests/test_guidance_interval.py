@@ -215,3 +215,34 @@ def test_interval_validation():
         guidance_interval_steps(sched, 10, (2.0, 1.0))
     with pytest.raises(ValueError, match="guidance_interval"):
         guidance_interval_steps(sched, 10, (-1.0, 1.0))
+
+
+def test_perf_preset_expansion():
+    """--perf_preset fast expands only defaults; explicit flags win."""
+    import argparse
+
+    from gen3c_tpu.pipelines.factory import apply_perf_preset
+
+    ns = argparse.Namespace(
+        perf_preset="fast", quantize_w8a8=False, quantize_int8=False,
+        attn_temporal_window=None, step_cache_interval=1,
+        step_cache_threshold=0.0, guidance_interval=None,
+    )
+    apply_perf_preset(ns)
+    assert ns.quantize_w8a8 and ns.attn_temporal_window == 2
+    assert ns.step_cache_interval == 2
+    assert tuple(ns.guidance_interval) == (1.75, 81.0)
+
+    ns2 = argparse.Namespace(
+        perf_preset="fast", quantize_w8a8=False, quantize_int8=True,
+        attn_temporal_window=4, step_cache_interval=3,
+        step_cache_threshold=0.0, guidance_interval=[0.1, 2.0],
+    )
+    apply_perf_preset(ns2)
+    assert not ns2.quantize_w8a8 and ns2.attn_temporal_window == 4
+    assert ns2.step_cache_interval == 3
+    assert ns2.guidance_interval == [0.1, 2.0]
+
+    ns3 = argparse.Namespace(perf_preset="exact", quantize_w8a8=False)
+    apply_perf_preset(ns3)
+    assert not ns3.quantize_w8a8
