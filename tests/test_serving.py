@@ -172,6 +172,10 @@ def test_persistent_model_end_to_end():
     assert result.images.dtype == np.uint8
     meta = model.metadata()
     assert meta["seeded"] and meta["chunk_size"] == 9
+    # active performance configuration is observable (round-3 knobs)
+    for key in ("step_cache_interval", "attn_temporal_window",
+                "guidance_interval", "cfg_rescale", "solver"):
+        assert key in meta["perf"], key
 
 
 def test_seed_from_v2v_directory(tmp_path):
