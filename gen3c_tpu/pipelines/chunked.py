@@ -82,6 +82,14 @@ def run_chunked_generation(
         log.info(f"Generating frames {start} - {end}")
         last = video[-1].astype(np.float32) / 255.0  # (H, W, 3) in [0, 1]
 
+        # phase timing: on the 2-chunk 241-frame run of 2026-08-19 this
+        # inter-chunk block took ~22 min of the 34-min total in a COLD
+        # process (first-shape remote compiles of the updated-cache
+        # splat render dominate; the persistent compile cache makes
+        # repeat runs warm) — log the split so regressions are visible
+        import time as _time
+
+        t0 = _time.perf_counter()
         if update_cache_with_depth is not None:
             pred_depth, _, _ = update_cache_with_depth(last)
             cache.update_cache(
@@ -92,11 +100,20 @@ def run_chunked_generation(
                 new_w2c=w2cs[:, start],
                 new_intrinsics=ks[:, start],
             )
+        t1 = _time.perf_counter()
 
         warp_images, warp_masks = cache.render_cache(
             w2cs[:, start:end],
             ks[:, start:end],
             start_frame_idx=start if use_start_frame_idx else 0,
+        )
+        # force a host read: block_until_ready can return early through
+        # the axon tunnel (CLAUDE.md), which would fake this timing
+        float(jnp.asarray(warp_masks).ravel()[0])
+        t2 = _time.perf_counter()
+        log.info(
+            f"chunk {it + 1} cache update: depth+update {t1 - t0:.1f}s, "
+            f"re-render {t2 - t1:.1f}s (incl. any compiles)"
         )
         if save_buffer:
             all_warps.append(np.asarray(warp_images)[:, 1:])
