@@ -293,79 +293,27 @@ def _generate_one(args, preset, pipeline, image_path, prompt, save_name) -> str:
         center_depth=1.0,
     )
 
-    log.info(f"Generating frames 0 - {chunk}")
-    warp_images, warp_masks = cache.render_cache(
-        w2cs[:, 0:chunk], ks[:, 0:chunk]
+    # AR chunk loop (reference gen3c_single_image.py:378-419) — shared
+    # with serving via pipelines/chunked.py (progress/cancel hooks
+    # unused here)
+    from gen3c_tpu.pipelines.chunked import (
+        compose_buffer_video,
+        run_chunked_generation,
     )
-    all_warps = [np.asarray(warp_images)] if args.save_buffer else []
 
-    out = pipeline.generate(
+    video, all_warps = run_chunked_generation(
+        pipeline,
+        cache,
+        w2cs,
+        ks,
+        seed_frames=image_b3thw[:, :, :1],
         prompt=prompt,
-        image_frames=image_b3thw[:, :, :1],
-        rendered_warp_images=warp_images,
-        rendered_warp_masks=warp_masks,
-        free_warp_buffers=True,
         negative_prompt=args.negative_prompt or None,
+        update_cache_with_depth=estimator,
+        save_buffer=args.save_buffer,
     )
-    if out is None:
-        raise RuntimeError("Generation blocked")
-    video, _ = out
-
-    # --- AR chaining (gen3c_single_image.py:378-419) ---
-    num_iters = (args.num_video_frames - 1) // (chunk - 1)
-    for it in range(1, num_iters):
-        start = it * (chunk - 1)
-        end = start + chunk
-        log.info(f"Generating frames {start} - {end}")
-        last = video[-1].astype(np.float32) / 255.0  # (H, W, 3) in [0,1]
-        pred_depth, _, _ = estimator(last)
-        cache.update_cache(
-            new_image=jnp.asarray(
-                (last.transpose(2, 0, 1)[None] * 2 - 1).astype(np.float32)
-            ),
-            new_depth=jnp.asarray(pred_depth[None, None]),
-            new_w2c=w2cs[:, start],
-            new_intrinsics=ks[:, start],
-        )
-        warp_images, warp_masks = cache.render_cache(
-            w2cs[:, start:end], ks[:, start:end]
-        )
-        if args.save_buffer:
-            all_warps.append(np.asarray(warp_images)[:, 1:])
-        seed_frames = (last.transpose(2, 0, 1)[None, :, None] * 2 - 1).astype(
-            np.float32
-        )
-        out = pipeline.generate(
-            prompt=prompt,
-            image_frames=seed_frames,
-            rendered_warp_images=warp_images,
-            rendered_warp_masks=warp_masks,
-            free_warp_buffers=True,
-            negative_prompt=args.negative_prompt or None,
-        )
-        video_new, _ = out
-        video = np.concatenate([video, video_new[1:]], axis=0)
-
-    final_video = video
-    if args.save_buffer and all_warps:
-        # side-by-side warp buffers | generated video (ref :425-456)
-        n_max = max(t.shape[2] for t in all_warps)
-        padded = []
-        for t in all_warps:
-            tb = t[0]  # (T, n, C, H, W)
-            if tb.shape[1] < n_max:
-                pad = np.full(
-                    (tb.shape[0], n_max - tb.shape[1], *tb.shape[2:]),
-                    -1.0,
-                    tb.dtype,
-                )
-                tb = np.concatenate([tb, pad], axis=1)
-            padded.append(tb)
-        buf = np.concatenate(padded, axis=0)  # (T, n, C, H, W)
-        t_total = buf.shape[0]
-        buf = buf.transpose(0, 3, 1, 4, 2).reshape(t_total, h, n_max * w, 3)
-        buf = ((buf * 0.5 + 0.5) * 255).clip(0, 255).astype(np.uint8)
-        final_video = np.concatenate([buf, final_video], axis=2)
+    # side-by-side warp buffers | generated video (ref :425-456)
+    final_video = compose_buffer_video(video, all_warps, h, w)
 
     save_path = os.path.join(args.video_save_folder, f"{save_name}.mp4")
     save_path = io_utils.save_video(final_video, args.fps, save_path)
