@@ -246,3 +246,9 @@ def test_perf_preset_expansion():
     ns3 = argparse.Namespace(perf_preset="exact", quantize_w8a8=False)
     apply_perf_preset(ns3)
     assert not ns3.quantize_w8a8
+
+    # the preset's sigma interval pins CFG to the 17 highest-sigma steps
+    # of the 35-step schedule (~q0.5; sigma[17]=1.7492 < 1.75)
+    assert guidance_interval_steps(
+        EDMEulerSchedule(), 35, (1.75, 81.0)
+    ) == (0, 17)
