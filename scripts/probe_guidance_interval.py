@@ -23,7 +23,8 @@ from gen3c_tpu.models.dit import GEN3C_7B, dit_forward, init_dit_params
 from gen3c_tpu.models.quantize import quantize_dit_params_inplace
 
 
-def bench(qparams, B, label):
+def bench(qparams, B, label, cfg=None):
+    cfg = cfg or GEN3C_7B
     x = jax.random.normal(
         jax.random.PRNGKey(1), (B, 81, 16, 88, 160), jnp.bfloat16)
     t = jnp.ones((B,), jnp.float32)
@@ -31,7 +32,7 @@ def bench(qparams, B, label):
         jax.random.PRNGKey(2), (B, 512, 1024), jnp.bfloat16)
     f = jax.jit(
         lambda p, x, t, c: jnp.sum(
-            dit_forward(p, GEN3C_7B, x, t, c, fps=24.0)))
+            dit_forward(p, cfg, x, t, c, fps=24.0)))
     float(f(qparams, x, t, ctx))
     t0 = time.perf_counter()
     for _ in range(3):
@@ -44,12 +45,25 @@ def bench(qparams, B, label):
 if __name__ == "__main__":
     params = init_dit_params(jax.random.PRNGKey(0), GEN3C_7B, jnp.bfloat16)
     qparams = quantize_dit_params_inplace(params, act_quant=True)
-    cfg_step = bench(qparams, 2, "CFG pair (2B batched, W8A8)")
-    cond_step = bench(qparams, 1, "cond-only (B, W8A8)")
+    import dataclasses
+
+    band = None
+    if "--band" in sys.argv:
+        band = int(sys.argv[sys.argv.index("--band") + 1])
+    cfg = (dataclasses.replace(GEN3C_7B, attn_temporal_window=band)
+           if band else GEN3C_7B)
+    tag = f", band {band}" if band else ""
+    cfg_step = bench(qparams, 2, f"CFG pair (2B batched, W8A8{tag})",
+                     cfg)
+    cond_step = bench(qparams, 1, f"cond-only (B, W8A8{tag})", cfg)
     print(f"  cond-only / CFG ratio: {cond_step / cfg_step:.3f}",
           flush=True)
     num_steps = 35
-    qs = [float(a) for a in sys.argv[1:] if not a.startswith("-")] or [
+    argv = sys.argv[1:]
+    if "--band" in argv:
+        i = argv.index("--band")
+        argv = argv[:i] + argv[i + 2:]
+    qs = [float(a) for a in argv if not a.startswith("-")] or [
         0.75, 0.5,
     ]
     for q in qs:
