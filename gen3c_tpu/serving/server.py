@@ -231,6 +231,27 @@ def _trajectory_response(model, qs) -> bytes:
     ).encode()
 
 
+def parse_guidance_interval_env(value: str):
+    """Parse GEN3C_GUIDANCE_INTERVAL="lo,hi" -> (lo, hi) or None.
+
+    Raises ValueError with the offending text on malformed input so a
+    typo fails the server at startup instead of silently running full
+    CFG."""
+    if not value or not value.strip():
+        return None
+    parts = [p.strip() for p in value.split(",")]
+    if len(parts) != 2:
+        raise ValueError(
+            f"GEN3C_GUIDANCE_INTERVAL must be 'lo,hi', got {value!r}"
+        )
+    lo, hi = float(parts[0]), float(parts[1])
+    if not (0.0 <= lo <= hi):
+        raise ValueError(
+            f"GEN3C_GUIDANCE_INTERVAL needs 0 <= lo <= hi, got {value!r}"
+        )
+    return (lo, hi)
+
+
 def build_model_from_env():
     if os.environ.get("GEN3C_API_DEBUG", "0") == "1":
         from gen3c_tpu.serving.models import DebugInferenceModel
@@ -263,13 +284,8 @@ def build_model_from_env():
         # GEN3C_GUIDANCE_INTERVAL="lo,hi": CFG only on steps with sigma
         # inside [lo, hi] (arXiv:2404.07724) — cond-only (~half cost)
         # forwards outside
-        guidance_interval=(
-            tuple(
-                float(v)
-                for v in os.environ["GEN3C_GUIDANCE_INTERVAL"].split(",")
-            )
-            if os.environ.get("GEN3C_GUIDANCE_INTERVAL", "").strip()
-            else None
+        guidance_interval=parse_guidance_interval_env(
+            os.environ.get("GEN3C_GUIDANCE_INTERVAL", "")
         ),
         cfg_rescale=float(os.environ.get("GEN3C_CFG_RESCALE", "0")),
         parallel=os.environ.get("GEN3C_PARALLEL", "cp"),

@@ -550,3 +550,18 @@ def test_persistent_model_multi_device_cp():
     result = model.run_inference(req)
     assert result.images.shape == (n, h, w, 3)
     assert np.isfinite(result.images.astype(np.float32)).all()
+
+
+def test_parse_guidance_interval_env():
+    import pytest
+
+    from gen3c_tpu.serving.server import parse_guidance_interval_env
+
+    assert parse_guidance_interval_env("") is None
+    assert parse_guidance_interval_env("  ") is None
+    assert parse_guidance_interval_env("1.75,81") == (1.75, 81.0)
+    assert parse_guidance_interval_env(" 0.1 , 2.0 ") == (0.1, 2.0)
+    with pytest.raises(ValueError, match="lo,hi"):
+        parse_guidance_interval_env("1.75")
+    with pytest.raises(ValueError, match="0 <= lo <= hi"):
+        parse_guidance_interval_env("5,1")
