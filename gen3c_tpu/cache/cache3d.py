@@ -344,6 +344,57 @@ class Cache3DBuffer(Cache3DBase):
             self.input_image = new_image[:, None, None, None]
             self.input_points = new_points[:, None, None, None]
 
+    def warm_update_compiles(
+        self, num_targets: int, alignment_method: str = "non_rigid"
+    ) -> None:
+        """AOT-compile (abstract shapes only — zero HBM, no state) the
+        programs the NEXT update_cache + render_cache will need after a
+        frame insert grows the buffer ring:
+
+          1. the F_t=1 render_depth=True alignment render (current N),
+          2. the non-rigid align_depth scale-map optimizer,
+          3. the num_targets-frame warp re-render at N+1 buffers.
+
+        Intended to run on a background thread while the current chunk
+        denoises: on the cold 241-frame AR run of 2026-08-19 these
+        first-shape remote compiles were ~22 of 34 generation minutes
+        (the persistent compile cache hides them on later runs — this
+        hides them on the FIRST). Duplicate concurrent compiles of the
+        same program are safe (jax deduplicates/caches internally).
+        """
+        import jax as _jax
+
+        B, F, N, V, C, H, W = self.input_image.shape
+        n_next = min(N + 1, max(self.frame_buffer_max, 1))
+        sds = _jax.ShapeDtypeStruct
+        f32 = jnp.float32
+
+        def _warm_render(f_t, n, render_depth):
+            _render_frames.lower(
+                sds((F, n, C, H, W), f32),
+                sds((F, n, H, W, 3), f32),
+                sds((F, n, 1, H, W), f32),
+                sds((f_t, n, 4, 4), f32),
+                sds((f_t, n, 3, 3), f32),
+                sds((f_t,), jnp.int32),
+                render_depth=render_depth,
+            ).compile()
+
+        _warm_render(1, N, True)  # depth-alignment render
+        if alignment_method == "non_rigid":
+            from gen3c_tpu.ops.camera import _nonrigid_scale_map
+
+            _nonrigid_scale_map.lower(
+                sds((H, W), f32),
+                sds((H, W, 3), f32),
+                sds((H, W), jnp.bool_),
+                sds((3, 3), f32),
+                sds((4, 4), f32),
+            ).compile()
+        # post-insert chunk re-render (render_cache passes
+        # render_depth or foreground_masking as the static)
+        _warm_render(num_targets, n_next, bool(self.foreground_masking))
+
 
 class Cache3DBufferSelector(Cache3DBase):
     """Many init frames along N; select top-K by rendered-mask overlap.

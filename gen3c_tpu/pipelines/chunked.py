@@ -9,6 +9,8 @@ warp buffers for the next window (1-frame overlap), concatenate.
 
 from __future__ import annotations
 
+import os
+import time
 from typing import Callable, List, Optional, Tuple
 
 import numpy as np
@@ -60,6 +62,35 @@ def run_chunked_generation(
     )
     all_warps = [np.asarray(warp_images)] if save_buffer else []
 
+    num_iters = (t_total - 1) // (chunk - 1)
+    # speculative compile warming (GEN3C_WARM_COMPILES=0 disables): AOT
+    # lower+compile the inter-chunk programs on a background thread
+    # while the first chunk denoises — abstract shapes only, no state,
+    # no HBM. On the cold 241-frame AR run these first-shape remote
+    # compiles were ~22 of 34 generation minutes.
+    if (
+        num_iters > 1
+        and update_cache_with_depth is not None
+        and hasattr(cache, "warm_update_compiles")
+        and os.environ.get("GEN3C_WARM_COMPILES", "1") != "0"
+    ):
+        import threading
+
+        def _warm():
+            try:
+                t0 = time.perf_counter()
+                cache.warm_update_compiles(num_targets=chunk)
+                log.info(
+                    "warmed inter-chunk compiles in "
+                    f"{time.perf_counter() - t0:.1f}s (background)"
+                )
+            except Exception as e:  # noqa: BLE001 — warming is best-effort
+                log.warning(f"inter-chunk compile warming failed: {e}")
+
+        threading.Thread(
+            target=_warm, name="gen3c-compile-warm", daemon=True
+        ).start()
+
     out = pipeline.generate(
         prompt=prompt,
         image_frames=seed_frames,
@@ -72,7 +103,6 @@ def run_chunked_generation(
         raise RuntimeError("Generation blocked by guardrail")
     video, _ = out
 
-    num_iters = (t_total - 1) // (chunk - 1)
     if on_chunk is not None:
         on_chunk(1, num_iters, video)
     for it in range(1, num_iters):
@@ -87,9 +117,7 @@ def run_chunked_generation(
         # process (first-shape remote compiles of the updated-cache
         # splat render dominate; the persistent compile cache makes
         # repeat runs warm) — log the split so regressions are visible
-        import time as _time
-
-        t0 = _time.perf_counter()
+        t0 = time.perf_counter()
         if update_cache_with_depth is not None:
             pred_depth, _, _ = update_cache_with_depth(last)
             cache.update_cache(
@@ -100,7 +128,7 @@ def run_chunked_generation(
                 new_w2c=w2cs[:, start],
                 new_intrinsics=ks[:, start],
             )
-        t1 = _time.perf_counter()
+        t1 = time.perf_counter()
 
         warp_images, warp_masks = cache.render_cache(
             w2cs[:, start:end],
@@ -110,7 +138,7 @@ def run_chunked_generation(
         # force a host read: block_until_ready can return early through
         # the axon tunnel (CLAUDE.md), which would fake this timing
         float(jnp.asarray(warp_masks).ravel()[0])
-        t2 = _time.perf_counter()
+        t2 = time.perf_counter()
         log.info(
             f"chunk {it + 1} cache update: depth+update {t1 - t0:.1f}s, "
             f"re-render {t2 - t1:.1f}s (incl. any compiles)"

@@ -236,3 +236,41 @@ def test_frame_buffer_max_one_replaces():
         new_intrinsics=jnp.asarray(k), depth_alignment=False,
     )
     assert cache.input_image.shape[2] == 1  # replaced, not grown
+
+
+def test_warm_update_compiles_is_stateless_and_matches():
+    """Speculative compile warming (AR inter-chunk): AOT-lowers the
+    alignment render, the non-rigid scale-map optimizer, and the
+    post-insert re-render on abstract shapes — it must not touch cache
+    state, and a subsequent REAL update+render must be bitwise the same
+    as on an unwarmed twin."""
+    image, depth, k, w2c, _ = _rand_scene(b=1, smooth_depth=True)
+
+    def build():
+        return Cache3DBuffer(
+            frame_buffer_max=2,
+            input_image=jnp.asarray(image),
+            input_depth=jnp.asarray(depth),
+            input_w2c=jnp.asarray(w2c),
+            input_intrinsics=jnp.asarray(k),
+        )
+
+    warmed, plain = build(), build()
+    warmed.warm_update_compiles(num_targets=3)
+    # state untouched by warming
+    np.testing.assert_array_equal(
+        np.asarray(warmed.input_image), np.asarray(plain.input_image)
+    )
+    assert warmed.input_image.shape[2] == 1  # still 1 buffer
+
+    t_w2cs, t_ks = _targets(k, n_frames=3)
+    for c in (warmed, plain):
+        c.update_cache(
+            jnp.asarray(image * 0.5), jnp.asarray(depth * 1.1),
+            jnp.asarray(w2c), new_intrinsics=jnp.asarray(k),
+            depth_alignment=True, alignment_method="non_rigid",
+        )
+    a, am = warmed.render_cache(jnp.asarray(t_w2cs), jnp.asarray(t_ks))
+    b, bm = plain.render_cache(jnp.asarray(t_w2cs), jnp.asarray(t_ks))
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    np.testing.assert_array_equal(np.asarray(am), np.asarray(bm))
