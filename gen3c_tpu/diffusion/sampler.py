@@ -19,7 +19,7 @@ from __future__ import annotations
 
 import dataclasses
 from functools import partial
-from typing import Callable, Optional
+from typing import Callable, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -907,6 +907,137 @@ def _host_loop_step(
     return jax.lax.cond(use_multi, multi, euler_step, None), net_out, x0
 
 
+def _host_loop_schedule(
+    num_steps: int,
+    step_cache_interval: int,
+    schedule: EDMEulerSchedule,
+    guidance_interval: Optional[tuple],
+    warmup: int = 2,
+    tail: int = 2,
+):
+    """Per-step (refresh, use_cfg) static flags for the host-loop
+    sampler. Shared by the dispatch loop and warm_host_loop_compiles so
+    speculative warming compiles EXACTLY the program variants the loop
+    will request — if this drifts, warming silently compiles the wrong
+    set (caught by test_host_loop_warm_covers_drive_combos)."""
+    if guidance_interval is None:
+        cfg_active = [True] * num_steps
+    else:
+        gi0, gi1 = guidance_interval_steps(
+            schedule, num_steps, guidance_interval
+        )
+        cfg_active = [gi0 <= i < gi1 for i in range(num_steps)]
+    flags = []
+    for i in range(num_steps):
+        refresh = (
+            step_cache_interval <= 1
+            or i < warmup
+            or i >= num_steps - tail
+            or (i - warmup) % step_cache_interval == 0
+            # re-entry into the CFG range: the cache's uncond half is
+            # stale — force one full refresh
+            or (cfg_active[i] and i > 0 and not cfg_active[i - 1])
+        )
+        flags.append((bool(refresh), bool(cfg_active[i])))
+    return flags
+
+
+def warm_host_loop_compiles(
+    net_fn,
+    net_params,  # (param tree — real or abstract — , cfg)
+    *,
+    batch: int,
+    state_shape: Tuple[int, int, int, int],  # (C, T, H, W) latent
+    crossattn_shape: Tuple[int, int],  # (tokens, dim), e.g. (512, 1024)
+    pose_channels: Optional[int],
+    num_steps: int,
+    guidance: float,
+    condition_augment_sigma: float,
+    schedule: EDMEulerSchedule = EDMEulerSchedule(),
+    step_cache_interval: int = 1,
+    cfg_sequential: bool = False,
+    net_in_dtype=None,
+    solver: str = "euler",
+    guidance_interval: Optional[tuple] = None,
+    cfg_rescale: float = 0.0,
+    has_input_mask: bool = True,
+) -> int:
+    """AOT-compile (abstract shapes — zero HBM, zero state) every
+    _host_loop_step program variant a generate_samples_host_loop run
+    with this configuration will request. Returns the variant count.
+
+    Same speculative-warming idea as Cache3DBuffer.warm_update_compiles:
+    the compiled executables land in the persistent compilation cache
+    (utils/jax_setup.py), so when the real denoise issues the same HLO
+    it deserializes in seconds instead of paying the 20-300 s remote
+    compile. Run it on a background thread while the host does the
+    model build / depth / warp-render prep — on the cold 241-frame AR
+    run of 2026-08-19 the step-program compiles were ~2.5 min of chunk
+    1's 7:07 denoise. Program identity is by HLO fingerprint, not
+    Python object identity, so warming from a different thread (or even
+    process) sharing the cache dir still hits."""
+    import jax as _jax
+
+    params, cfg = net_params
+    sds = _jax.ShapeDtypeStruct
+    abs_params = _jax.tree.map(
+        lambda x: sds(jnp.shape(x), jnp.result_type(x)), params
+    )
+    C, T, H, W = state_shape
+    B = int(batch)
+    f32 = jnp.float32
+    lat = sds((B, C, T, H, W), f32)
+    net_out = sds((2 * B, C, T, H, W), f32)
+    scalar = sds((), f32)
+    indicator = sds((B, 1, T, 1, 1), f32)
+    ca = sds((B,) + tuple(crossattn_shape), f32)
+    mask = sds((B, 1, T, H, W), f32) if has_input_mask else None
+    pose = (
+        sds((B, int(pose_channels), T, H, W), f32)
+        if pose_channels
+        else None
+    )
+    combos = sorted(
+        set(
+            _host_loop_schedule(
+                num_steps, step_cache_interval, schedule,
+                guidance_interval,
+            )
+        )
+    )
+    nid = jnp.float32 if net_in_dtype is None else net_in_dtype
+    for refresh, use_cfg in combos:
+        _host_loop_step.lower(
+            net_fn,
+            (abs_params, cfg),
+            lat,  # xt
+            net_out,  # cached_out
+            lat,  # prev_x0
+            scalar,  # prev_sigma
+            scalar,  # sigma
+            scalar,  # sigma_next
+            scalar,  # c_noise
+            lat,  # augment_latent
+            lat,  # gt
+            indicator,
+            ca,  # crossattn_cond
+            ca,  # crossattn_uncond
+            mask,
+            pose,  # pose_latent_cond
+            pose,  # pose_latent_uncond
+            guidance=float(guidance),
+            aug=float(condition_augment_sigma),
+            schedule=schedule,
+            net_in_dtype=nid,
+            refresh=bool(refresh),
+            cfg_sequential=bool(cfg_sequential),
+            solver=solver,
+            use_cfg=bool(use_cfg),
+            cfg_rescale=float(cfg_rescale),
+        ).compile()
+    return len(combos)
+
+
 class PendingSamples:
     """Handle for an asynchronously-dispatched host-loop denoise.
 
@@ -1006,14 +1137,9 @@ def generate_samples_host_loop(
             ).astype(np.float32)
         )
     )  # (num_steps, 4)
-    warmup, tail = 2, 2
-    if guidance_interval is None:
-        cfg_active = [True] * num_steps
-    else:
-        gi0, gi1 = guidance_interval_steps(
-            schedule, num_steps, guidance_interval
-        )
-        cfg_active = [gi0 <= i < gi1 for i in range(num_steps)]
+    step_flags = _host_loop_schedule(
+        num_steps, step_cache_interval, schedule, guidance_interval
+    )
     box: dict = {}
 
     def _drive():
@@ -1023,16 +1149,7 @@ def generate_samples_host_loop(
                 (2 * B, C_out) + gt.shape[2:], jnp.float32
             )
             prev_x0 = jnp.zeros_like(xt_c)
-            for i in range(num_steps):
-                refresh = (
-                    step_cache_interval <= 1
-                    or i < warmup
-                    or i >= num_steps - tail
-                    or (i - warmup) % step_cache_interval == 0
-                    # re-entry into the CFG range: the cache's uncond
-                    # half is stale — force one full refresh
-                    or (cfg_active[i] and i > 0 and not cfg_active[i - 1])
-                )
+            for i, (refresh, _use_cfg) in enumerate(step_flags):
                 row = scalar_table[i]  # device slice, no h2d transfer
                 xt_c, net_out, prev_x0 = _host_loop_step(
                     net_fn,
@@ -1062,7 +1179,7 @@ def generate_samples_host_loop(
                     refresh=bool(refresh),
                     cfg_sequential=cfg_sequential,
                     solver=solver,
-                    use_cfg=bool(cfg_active[i]),
+                    use_cfg=bool(_use_cfg),
                     cfg_rescale=cfg_rescale,
                 )
             box["xt"] = xt_c

@@ -63,6 +63,49 @@ class Gen3cPipeline:
     fps: int = 24
     seed: int = 0
 
+    def __post_init__(self):
+        # speculative denoise-step compile warming (kill switch
+        # GEN3C_WARM_COMPILES=0, same knob as the AR inter-chunk
+        # warming): AOT-compile the host-loop step programs on a daemon
+        # thread while the caller does depth / warp-render / prompt
+        # prep, so a cold process's first denoise reads the persistent
+        # compile cache instead of paying the remote compiles (~2.5 min
+        # of chunk 1's denoise on the measured cold 241-frame AR run).
+        # No-op (returns 0 programs) for non-host-loop configs.
+        self._warm_thread = None
+        import os
+
+        if os.environ.get("GEN3C_WARM_COMPILES", "1") == "0":
+            return
+        if not getattr(self.model, "offload_dit", False):
+            return
+        import threading
+        import time
+
+        def _warm():
+            try:
+                t0 = time.perf_counter()
+                n = self.model.warm_denoise_compiles(
+                    num_steps=self.num_steps,
+                    guidance=self.guidance,
+                    step_cache_interval=self.step_cache_interval,
+                    solver=self.solver,
+                    guidance_interval=self.guidance_interval,
+                    cfg_rescale=self.cfg_rescale,
+                )
+                if n:
+                    log.info(
+                        f"warmed {n} denoise step program(s) in "
+                        f"{time.perf_counter() - t0:.1f}s (background)"
+                    )
+            except Exception as e:  # noqa: BLE001 — warming is best-effort
+                log.warning(f"denoise compile warming failed: {e}")
+
+        self._warm_thread = threading.Thread(
+            target=_warm, name="gen3c-denoise-warm", daemon=True
+        )
+        self._warm_thread.start()
+
     def _encode_prompt(self, prompt: str) -> np.ndarray:
         if self.text_encoder is None:
             from gen3c_tpu.models.t5 import DummyT5TextEncoder
