@@ -989,7 +989,11 @@ def warm_host_loop_compiles(
     lat = sds((B, C, T, H, W), f32)
     net_out = sds((2 * B, C, T, H, W), f32)
     scalar = sds((), f32)
-    indicator = sds((B, 1, T, 1, 1), f32)
+    # the conditioner builds the indicator batch-independent — always
+    # (1, 1, T, 1, 1) (conditioner.add_condition_video_indicator_and_
+    # input_mask); warming (B,1,T,1,1) at batch>1 would compile a
+    # program the real run never requests (ADVICE r3)
+    indicator = sds((1, 1, T, 1, 1), f32)
     ca = sds((B,) + tuple(crossattn_shape), f32)
     mask = sds((B, 1, T, H, W), f32) if has_input_mask else None
     pose = (

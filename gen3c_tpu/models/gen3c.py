@@ -92,6 +92,9 @@ class Gen3CModel:
     def __post_init__(self):
         # stable closure identity so the jitted sampler doesn't retrace
         self._net_fn = _dit_net_fn
+        # set by warm_denoise_compiles; generate_samples warns when the
+        # real denoise config differs from the warmed one (ADVICE r3)
+        self._warmed_denoise: Optional[dict] = None
 
     # ----- tokenizer plumbing (model_t2w.py:123-145) -----
 
@@ -192,6 +195,25 @@ class Gen3CModel:
             return 0
         from gen3c_tpu.diffusion.sampler import warm_host_loop_compiles
 
+        # record what was warmed so generate_samples can warn when the
+        # real denoise requests different shapes/statics — a silent
+        # mismatch compiles never-used variants concurrently with the
+        # real cold compiles warming was meant to hide (ADVICE r3)
+        self._warmed_denoise = dict(
+            batch=int(batch),
+            t5_tokens=int(t5_tokens),
+            num_steps=int(num_steps),
+            guidance=float(guidance),
+            condition_augment_sigma=float(condition_augment_sigma),
+            step_cache_interval=int(step_cache_interval),
+            cfg_sequential=bool(cfg_sequential),
+            solver=str(solver),
+            guidance_interval=(
+                tuple(float(v) for v in guidance_interval)
+                if guidance_interval is not None else None
+            ),
+            cfg_rescale=float(cfg_rescale),
+        )
         return warm_host_loop_compiles(
             self._net_fn,
             (self.dit_params, self.dit_cfg),
@@ -355,6 +377,33 @@ class Gen3CModel:
                 "caching under cp>=2 (docs/STATUS.md)"
             )
         from gen3c_tpu.diffusion.sampler import generate_samples_auto
+
+        if self.offload_dit and self._warmed_denoise is not None:
+            actual = dict(
+                batch=int(B),
+                t5_tokens=int(t5_embeddings.shape[1]),
+                num_steps=int(num_steps),
+                guidance=float(guidance),
+                condition_augment_sigma=float(condition_augment_sigma),
+                step_cache_interval=int(step_cache_interval),
+                cfg_sequential=bool(cfg_sequential),
+                solver=str(solver),
+                guidance_interval=guidance_interval,
+                cfg_rescale=float(cfg_rescale),
+            )
+            drift = {
+                k: (self._warmed_denoise[k], actual[k])
+                for k in actual
+                if self._warmed_denoise.get(k) != actual[k]
+            }
+            if drift:
+                from gen3c_tpu.utils import log
+
+                log.warning(
+                    "denoise compile warming covered a DIFFERENT config "
+                    "than this run — the warmed programs will not be hit "
+                    f"(warmed vs actual: {drift})"
+                )
 
         return generate_samples_auto(
             net_fn=(

@@ -82,6 +82,12 @@ class Gen3cPipeline:
         import threading
         import time
 
+        # match the warmed t5 token count to what THIS pipeline's
+        # encoder will actually emit (ADVICE r3: hardcoding 512 warms
+        # never-used variants for encoders with another max_length);
+        # non-Dummy encoders default to 512 in encode_prompts
+        t5_tokens = int(getattr(self.text_encoder, "max_length", 512))
+
         def _warm():
             try:
                 t0 = time.perf_counter()
@@ -92,6 +98,7 @@ class Gen3cPipeline:
                     solver=self.solver,
                     guidance_interval=self.guidance_interval,
                     cfg_rescale=self.cfg_rescale,
+                    t5_tokens=t5_tokens,
                 )
                 if n:
                     log.info(
@@ -105,6 +112,15 @@ class Gen3cPipeline:
             target=_warm, name="gen3c-denoise-warm", daemon=True
         )
         self._warm_thread.start()
+
+    def join_warm_thread(self, timeout: Optional[float] = None) -> None:
+        """Join the background compile-warming thread started at
+        construction (no-op if warming was disabled or already done).
+        Call from tests / long-lived callers that need deterministic
+        teardown; the test suite disables warming entirely via
+        GEN3C_WARM_COMPILES=0 in conftest (ADVICE r3)."""
+        if self._warm_thread is not None:
+            self._warm_thread.join(timeout)
 
     def _encode_prompt(self, prompt: str) -> np.ndarray:
         if self.text_encoder is None:

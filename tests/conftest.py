@@ -13,6 +13,12 @@ if "xla_force_host_platform_device_count" not in _flags:
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+# background compile-warming threads (pipeline __post_init__, chunked
+# loop) would race test teardown/log capture — keep the suite
+# deterministic; warm-specific tests re-enable or call the warm
+# functions directly (ADVICE r3)
+os.environ.setdefault("GEN3C_WARM_COMPILES", "0")
+
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
