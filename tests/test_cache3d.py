@@ -72,6 +72,10 @@ def test_cache3d_buffer_render_matches_reference():
 
 
 def test_cache3d_update_and_rerender():
+    """Fast smoke of the update+re-render path. The NUMERIC oracle for
+    the composed chain (update_cache -> align -> ring insert -> re-render
+    -> conditioning latents, both alignment methods) is
+    tests/test_ar_chain_parity.py (slow tier)."""
     image, depth, k, w2c, w2c_tgt = _rand_scene(b=1, smooth_depth=True)
     ours = Cache3DBuffer(
         frame_buffer_max=2,
