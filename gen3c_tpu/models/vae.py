@@ -621,6 +621,24 @@ class VideoTokenizer:
         self.offload = False
         self._encode = jax.jit(partial(vae_encode, cfg=cfg))
         self._decode = jax.jit(partial(vae_decode, cfg=cfg))
+        # AOT-compiled executables keyed by input (shape, dtype) — filled
+        # by warm_compiles. jit's __call__ does NOT reuse what
+        # .lower().compile() produced (it re-lowers and re-deserializes
+        # from the persistent cache: measured ~13 s on the full-res
+        # encode), so the dispatch helpers below call the warmed
+        # executables directly.
+        self._compiled_encode: dict = {}
+        self._compiled_decode: dict = {}
+
+    def _run_encode(self, p, x: Array) -> Array:
+        key = (tuple(x.shape), np.dtype(x.dtype).name)
+        fn = self._compiled_encode.get(key)
+        return fn(params=p, x=x) if fn is not None else self._encode(params=p, x=x)
+
+    def _run_decode(self, p, z: Array) -> Array:
+        key = (tuple(z.shape), np.dtype(z.dtype).name)
+        fn = self._compiled_decode.get(key)
+        return fn(params=p, z=z) if fn is not None else self._decode(params=p, z=z)
 
     def _staged_params(self):
         from gen3c_tpu.utils.offload import staged
@@ -693,26 +711,26 @@ class VideoTokenizer:
         h, w = self.spatial_resolution
         n = 0
         for b in batch_sizes:
-            self._encode.lower(
-                params=pshapes,
-                x=sds((b, 3, self.pixel_chunk_duration, h, w), jnp.float32),
-            ).compile()
+            xs = sds((b, 3, self.pixel_chunk_duration, h, w), jnp.float32)
+            self._compiled_encode[
+                (tuple(xs.shape), np.dtype(xs.dtype).name)
+            ] = self._encode.lower(params=pshapes, x=xs).compile()
             n += 1
         if warm_decode:
             lf = decode_latent_frames or self.latent_chunk_duration
-            self._decode.lower(
-                params=pshapes,
-                z=sds(
-                    (
-                        1,
-                        self.latent_ch,
-                        lf,
-                        h // self.spatial_compression_factor,
-                        w // self.spatial_compression_factor,
-                    ),
-                    jnp.float32,
+            zs = sds(
+                (
+                    1,
+                    self.latent_ch,
+                    lf,
+                    h // self.spatial_compression_factor,
+                    w // self.spatial_compression_factor,
                 ),
-            ).compile()
+                jnp.float32,
+            )
+            self._compiled_decode[
+                (tuple(zs.shape), np.dtype(zs.dtype).name)
+            ] = self._decode.lower(params=pshapes, z=zs).compile()
             n += 1
         return n
 
@@ -721,7 +739,7 @@ class VideoTokenizer:
         (JointImageVideoSharedJITTokenizer parity, pretrained_vae.py:508-
         611 — T=1 through the same causal weights)."""
         with self._staged_params() as p:
-            latent = self._encode(params=p, x=image[:, :, None])
+            latent = self._run_encode(p, image[:, :, None])
         mean = self.latent_mean[:, :, :1].astype(latent.dtype)
         std = self.latent_std[:, :, :1].astype(latent.dtype)
         return (latent - mean) / std
@@ -731,7 +749,7 @@ class VideoTokenizer:
         mean = self.latent_mean[:, :, :1].astype(latent.dtype)
         std = self.latent_std[:, :, :1].astype(latent.dtype)
         with self._staged_params() as p:
-            return self._decode(params=p, z=latent * std + mean)[:, :, 0]
+            return self._run_decode(p, latent * std + mean)[:, :, 0]
 
     def encode(self, state: Array) -> Array:
         """(B, 3, N*chunk, H, W) in [-1,1] -> normalized latent."""
@@ -743,7 +761,7 @@ class VideoTokenizer:
             B * n, C, self.pixel_chunk_duration, H, W
         )
         with self._staged_params() as p:
-            latent = self._encode(params=p, x=chunks)
+            latent = self._run_encode(p, chunks)
         lc = self.latent_chunk_duration
         latent = latent.reshape(B, n, self.latent_ch, lc, *latent.shape[-2:])
         latent = latent.transpose(0, 2, 1, 3, 4, 5).reshape(
@@ -765,7 +783,7 @@ class VideoTokenizer:
         chunks = latent.reshape(B, C, n, lc, H, W)
         chunks = chunks.transpose(0, 2, 1, 3, 4, 5).reshape(B * n, C, lc, H, W)
         with self._staged_params() as p:
-            state = self._decode(params=p, z=chunks)
+            state = self._run_decode(p, chunks)
         pc = self.pixel_chunk_duration
         state = state.reshape(B, n, state.shape[1], pc, *state.shape[-2:])
         return state.transpose(0, 2, 1, 3, 4, 5).reshape(

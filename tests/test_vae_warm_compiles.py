@@ -21,37 +21,27 @@ H, W = 24, 32
 T_CHUNK = 9
 
 
-def _sig_of(kwargs):
-    x = kwargs.get("x", kwargs.get("z"))
-    return (tuple(x.shape), np.dtype(x.dtype).name)
-
-
-class _Recorder:
-    """Wraps a jitted fn; records .lower() (warm) and call (drive)
-    signatures while still executing for real."""
-
-    def __init__(self, real):
-        self.real = real
-        self.lowered = set()
-        self.called = set()
-
-    def lower(self, **kwargs):
-        self.lowered.add(_sig_of(kwargs))
-        return self.real.lower(**kwargs)
-
-    def __call__(self, **kwargs):
-        self.called.add(_sig_of(kwargs))
-        return self.real(**kwargs)
-
-
 def _tiny_tok():
     params = jvae.init_vae_params(jax.random.PRNGKey(0), TINY_CFG)
     tok = jvae.VideoTokenizer(
         params, TINY_CFG, pixel_chunk_duration=T_CHUNK,
         spatial_resolution=(H, W),
     )
-    tok._encode = _Recorder(tok._encode)
-    tok._decode = _Recorder(tok._decode)
+    # record every dispatch: (signature, hit-a-warmed-executable?)
+    tok._enc_calls, tok._dec_calls = [], []
+    orig_re, orig_rd = tok._run_encode, tok._run_decode
+
+    def run_encode(p, x):
+        key = (tuple(x.shape), np.dtype(x.dtype).name)
+        tok._enc_calls.append((key, key in tok._compiled_encode))
+        return orig_re(p, x)
+
+    def run_decode(p, z):
+        key = (tuple(z.shape), np.dtype(z.dtype).name)
+        tok._dec_calls.append((key, key in tok._compiled_decode))
+        return orig_rd(p, z)
+
+    tok._run_encode, tok._run_decode = run_encode, run_decode
     return tok
 
 
@@ -59,6 +49,7 @@ def test_warm_compiles_covers_generation_encode_phase():
     tok = _tiny_tok()
     n = tok.warm_compiles()
     assert n == 2  # one encode + one decode program
+    assert len(tok._compiled_encode) == 1 and len(tok._compiled_decode) == 1
 
     model = Gen3CModel(dit_params={}, dit_cfg=None, tokenizer=tok,
                        frame_buffer_max=2)
@@ -85,15 +76,19 @@ def test_warm_compiles_covers_generation_encode_phase():
     )
     model.decode(lat)
 
-    assert tok._encode.called, "drive made no encode calls"
-    assert tok._decode.called, "drive made no decode calls"
-    missing_enc = tok._encode.called - tok._encode.lowered
-    missing_dec = tok._decode.called - tok._decode.lowered
-    assert not missing_enc, f"encode calls not warmed: {missing_enc}"
-    assert not missing_dec, f"decode calls not warmed: {missing_dec}"
+    assert tok._enc_calls, "drive made no encode calls"
+    assert tok._dec_calls, "drive made no decode calls"
+    # every drive dispatch must hit a warmed AOT executable — a miss
+    # falls back to the cold jit path, silently losing the encode win
+    cold_enc = [k for k, hit in tok._enc_calls if not hit]
+    cold_dec = [k for k, hit in tok._dec_calls if not hit]
+    assert not cold_enc, f"encode calls missed the warmed set: {cold_enc}"
+    assert not cold_dec, f"decode calls missed the warmed set: {cold_dec}"
     # and the warmer compiles nothing the drive never requests
-    extra_enc = tok._encode.lowered - tok._encode.called
-    extra_dec = tok._decode.lowered - tok._decode.called
+    called_enc = {k for k, _ in tok._enc_calls}
+    called_dec = {k for k, _ in tok._dec_calls}
+    extra_enc = set(tok._compiled_encode) - called_enc
+    extra_dec = set(tok._compiled_decode) - called_dec
     assert not extra_enc, f"never-used encode variants warmed: {extra_enc}"
     assert not extra_dec, f"never-used decode variants warmed: {extra_dec}"
 
