@@ -94,6 +94,13 @@ def create_parser() -> argparse.ArgumentParser:
     p.add_argument("--temperature", type=float, default=1.0)
     p.add_argument("--top_p", type=float, default=0.8)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--disable_diffusion_decoder", action="store_true",
+                   help="decode tokens with the DV tokenizer directly "
+                        "instead of the latent diffusion decoder "
+                        "(reference inference/base.py flag parity)")
+    p.add_argument("--diffusion_decoder_steps", type=int, default=15,
+                   help="DD denoise steps (DiffusionDecoderSamplingConfig"
+                        ".num_steps)")
     p.add_argument("--quantize_kv", action="store_true",
                    help="int8 KV cache (half the cache HBM/bandwidth, "
                         "~0.4%% rel. KV error)")
@@ -148,8 +155,23 @@ def demo(args) -> str:
     tokens = jnp.clip(tokens, 0, vae_cfg.vocab_size - 1)
     grid = tokens.reshape(1, total_latent_t, Hl, Wl)
 
-    log.info("Decoding generated tokens...")
-    out = tokenizer.decode(grid)
+    if not args.disable_diffusion_decoder:
+        # reference default: refine tokens through the latent diffusion
+        # decoder (world_generation_pipeline.py:222-244 + the
+        # diffusion_decoder_process_tokens flow); trimmed to the DV
+        # decode length like the reference's [:T] (inference.py:108-111)
+        from gen3c_tpu.pipelines.diffusion_decoder import build_dd_pipeline
+
+        log.info("Refining generated tokens with the diffusion decoder...")
+        dd = build_dd_pipeline(args.model_preset, jax.random.fold_in(key, 9))
+        dd.sampling.num_steps = args.diffusion_decoder_steps
+        t_pixels = (
+            total_latent_t // tokenizer.latent_chunk_duration * chunk
+        )
+        out = dd.refine(grid, seed=args.seed)[:, :, :t_pixels]
+    else:
+        log.info("Decoding generated tokens...")
+        out = tokenizer.decode(grid)
     frames = np.asarray(out[0]).transpose(1, 2, 3, 0)
     frames = ((frames + 1) / 2 * 255).clip(0, 255).astype(np.uint8)
     path = os.path.join(args.video_save_folder, f"{args.video_save_name}.mp4")

@@ -157,6 +157,10 @@ def stub_cuda_stack():
         def get_tensor_model_parallel_world_size():
             return 1
 
+        @staticmethod
+        def get_context_parallel_world_size():
+            return 1
+
     mcore.parallel_state = _ParallelState()
 
     class _ModelParallelConfig:
@@ -252,6 +256,14 @@ def stub_diffusers():
         def precondition_inputs(self, sample, sigma):
             c_in = 1 / ((sigma**2 + self.config.sigma_data**2) ** 0.5)
             return sample * c_in
+
+        def precondition_noise(self, sigma):
+            # diffusers EDMEulerScheduler c_noise = 0.25 * ln(sigma)
+            # (used by the diffusion decoder's latent_condition_sigma,
+            # autoregressive/diffusion_decoder/model.py:236)
+            if not torch.is_tensor(sigma):
+                sigma = torch.tensor([sigma])
+            return 0.25 * torch.log(sigma)
 
         def scale_model_input(self, sample, timestep):
             if self._step_index is None:

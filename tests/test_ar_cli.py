@@ -5,7 +5,14 @@ import os
 import numpy as np
 
 
-def test_ar_cli_end_to_end(tmp_path):
+import pytest
+
+
+@pytest.mark.parametrize("dd", ["dd", "no_dd"])
+def test_ar_cli_end_to_end(tmp_path, dd):
+    """Both output paths: the latent diffusion decoder refine (the
+    reference default, world_generation_pipeline.py:222-244) and the
+    plain DV decode behind --disable_diffusion_decoder."""
     import imageio
 
     from gen3c_tpu.pipelines import autoregressive as cli
@@ -16,14 +23,16 @@ def test_ar_cli_end_to_end(tmp_path):
     src = tmp_path / "in.gif"
     imageio.mimsave(str(src), list(frames))
 
-    args = cli.create_parser().parse_args(
-        [
-            "--input_video", str(src),
-            "--model_preset", "ar_tiny",
-            "--video_save_folder", str(tmp_path / "out"),
-            "--temperature", "0.9",
-        ]
-    )
+    argv = [
+        "--input_video", str(src),
+        "--model_preset", "ar_tiny",
+        "--video_save_folder", str(tmp_path / "out"),
+        "--temperature", "0.9",
+        "--diffusion_decoder_steps", "2",
+    ]
+    if dd == "no_dd":
+        argv.append("--disable_diffusion_decoder")
+    args = cli.create_parser().parse_args(argv)
     path = cli.demo(args)
     assert os.path.exists(path) or os.path.isdir(os.path.splitext(path)[0])
 
