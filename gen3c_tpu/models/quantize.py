@@ -214,6 +214,38 @@ def quantize_dit_params_inplace(params: Any, act_quant: bool = False) -> Any:
     return visit(params)
 
 
+def quantize_dit_params_numpy(params: Any, act_quant: bool = False) -> Any:
+    """HOST-side twin of quantize_dit_params_inplace (pure numpy, no
+    device traffic): used by scripts/persist_quantized_dit.py to produce
+    the pre-quantized native checkpoint once, offline — the serving
+    build then uploads 7.6 GB of int8 instead of 14.5 GB of bf16 and
+    skips the conversion + quantization math entirely."""
+    import numpy as _np
+
+    key = "q8" if act_quant else "q"
+
+    def visit(node):
+        if isinstance(node, dict):
+            if (
+                "w" in node
+                and len(node) == 1
+                and hasattr(node["w"], "ndim")
+                and node["w"].ndim == 2
+                and node["w"].size >= _MIN_SIZE
+            ):
+                wf = _np.asarray(node["w"], _np.float32)
+                scale = _np.abs(wf).max(axis=0, keepdims=True) / 127.0
+                scale = _np.maximum(scale, 1e-12)
+                q = _np.clip(_np.round(wf / scale), -127, 127).astype(_np.int8)
+                return {key: q, "scale": scale.astype(_np.float32)}
+            return {k: visit(v) for k, v in node.items()}
+        if isinstance(node, list):
+            return [visit(v) for v in node]
+        return node
+
+    return visit(params)
+
+
 def quantized_bytes(params: Any) -> int:
     return sum(
         x.size * x.dtype.itemsize for x in jax.tree.leaves(params)

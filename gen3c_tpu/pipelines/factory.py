@@ -168,12 +168,36 @@ def build_gen3c_model(
     vae_params = None
     latent_mean = latent_std = None
 
+    dit_prequantized = False
     if checkpoint_dir:
         from gen3c_tpu.utils import checkpoint as ckpt
 
+        if quantize:
+            # pre-quantized native checkpoint (scripts/
+            # persist_quantized_dit.py): int8 upload is half the bf16
+            # bytes through the tunnel, and the torch conversion +
+            # on-device quantization pass are skipped entirely —
+            # serving cold-start path (VERDICT r3 'next #4')
+            mode = "w8a8" if quantize == "w8a8" else "int8"
+            native_q = os.path.join(
+                checkpoint_dir, "gen3c_tpu", f"dit_{mode}.npz"
+            )
+            if os.path.exists(native_q):
+                dit_params = ckpt.load_params_npz_tree(
+                    native_q,
+                    to_pinned_host=offload_dit and num_devices == 1,
+                )
+                dit_prequantized = True
+                log.info(
+                    f"Loaded pre-quantized DiT from {native_q} "
+                    f"({'pinned_host' if offload_dit and num_devices == 1 else 'device'})"
+                )
+
         native_dit = os.path.join(checkpoint_dir, "gen3c_tpu", "dit.npz")
         torch_dit = os.path.join(checkpoint_dir, "GEN3C-Cosmos-7B", "model.pt")
-        if os.path.exists(native_dit):
+        if dit_prequantized:
+            pass
+        elif os.path.exists(native_dit):
             template = init_dit_params(key, dit_cfg, param_dtype)
             dit_params = ckpt.load_params_npz(native_dit, template, param_dtype)
             log.info(f"Loaded DiT weights from {native_dit}")
@@ -234,7 +258,7 @@ def build_gen3c_model(
         spatial_resolution=(preset.height, preset.width),
     )
 
-    if quantize:
+    if quantize and not dit_prequantized:
         from gen3c_tpu.models.quantize import quantize_dit_params_inplace
 
         # quantize=True/"int8": weight-only; "w8a8": + dynamic int8
@@ -259,10 +283,12 @@ def build_gen3c_model(
     elif offload_dit and num_devices == 1:
         # params rest in host RAM; Gen3CModel stages them into HBM for
         # the denoise phase only (reference --offload_diffusion_transformer
-        # parity — see utils/offload.py for why single-chip 7B needs it)
-        from gen3c_tpu.utils.offload import tree_to_host
+        # parity — see utils/offload.py for why single-chip 7B needs it).
+        # Pre-quantized loads already landed in pinned_host.
+        if not dit_prequantized:
+            from gen3c_tpu.utils.offload import tree_to_host
 
-        dit_params = tree_to_host(dit_params)
+            dit_params = tree_to_host(dit_params)
     elif offload_dit:
         log.warning("offload_dit ignored: multi-device serving shards "
                     "params across chips instead")

@@ -129,7 +129,10 @@ class Gen3cClient:
         poll_s: float = 1.0,
         timeout_s: float = 3600.0,
         on_progress=None,  # callback(status_dict) per poll
-        wire_format: Optional[str] = None,  # "jpg"/"png": compressed wire
+        # "jpg"/"png": per-frame compressed wire; "avi": whole result in
+        # ONE MJPEG-AVI buffer (measured 5.2x smaller than png on
+        # natural frames) — decompress() handles all of them
+        wire_format: Optional[str] = None,
     ) -> InferenceResult:
         t0 = time.monotonic()
         params = {"request_id": request_id}

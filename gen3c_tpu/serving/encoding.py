@@ -7,9 +7,11 @@ masks as lossless NPZ), pad_or_trim_array / pad_or_trim_encoded_buffers.
 Codec substitutions for this environment (no cv2 / OpenEXR / ffmpeg):
 JPG/PNG ride PIL (JPEG quality 100 like the reference's
 IMWRITE_JPEG_QUALITY 100); the reference's EXR float path is carried by
-NPZ (same lossless-float contract, encoding.py:55 allows either); MP4 is
-not provided (no ffmpeg in the image — the uncompressed / PNG paths and
-the serialization-level zlib remain available).
+NPZ (same lossless-float contract, encoding.py:55 allows either); the
+reference's MP4 video wire format (gui/api/encoding.py:26-30) is carried
+by AVI — a pure-Python MJPEG-AVI (utils/mjpeg_avi.py, real video
+playable by any player) encoding ALL frames into ONE buffer, exposed as
+?format=avi on /inference-result.
 """
 
 from __future__ import annotations
@@ -25,9 +27,11 @@ class CompressionFormat(Enum):
     JPG = "jpg"
     PNG = "png"
     NPZ = "npz"
+    AVI = "avi"  # all frames in one MJPEG-AVI buffer (MP4-role codec)
 
 
 IMAGE_COMPRESSION_FORMATS = (CompressionFormat.JPG, CompressionFormat.PNG)
+VIDEO_COMPRESSION_FORMATS = (CompressionFormat.AVI,)
 
 
 def compress_images(
@@ -62,6 +66,15 @@ def compress_images(
             np.savez_compressed(f, images)
             return [f.getvalue()]
 
+    if format == CompressionFormat.AVI:
+        from gen3c_tpu.utils.mjpeg_avi import write_mjpeg_avi
+
+        with io.BytesIO() as f:
+            # q85: measured 5.2x smaller than the per-frame PNG path on
+            # natural frames (tests/test_serving.py avi_transfer test)
+            write_mjpeg_avi(f, images, quality=85)
+            return [f.getvalue()]
+
     assert format in IMAGE_COMPRESSION_FORMATS, (
         f"Unsupported image compression format: {format}"
     )
@@ -90,6 +103,13 @@ def decompress_buffer(
     assert not (is_depth and is_bool), (
         "Cannot be both a depth and a bool buffer."
     )
+    if format == CompressionFormat.AVI:
+        from gen3c_tpu.utils.mjpeg_avi import read_mjpeg_avi
+
+        assert len(buffers) == 1, "AVI buffers should be a single buffer"
+        frames, _ = read_mjpeg_avi(buffers[0])
+        return frames.astype(np.float32) / 255.0
+
     images = []
     for buf in buffers:
         if format == CompressionFormat.NPZ:
@@ -125,6 +145,19 @@ def pad_or_trim_encoded_buffers(
         if n > target_size:
             return buffers[:target_size]
         return buffers + [buffers[-1]] * (target_size - n)
+    if format == CompressionFormat.AVI:
+        from gen3c_tpu.serving.api_types import pad_or_trim_array
+        from gen3c_tpu.utils.mjpeg_avi import read_mjpeg_avi, write_mjpeg_avi
+
+        assert len(buffers) == 1, "AVI buffers should be a single buffer"
+        frames, fps = read_mjpeg_avi(buffers[0])
+        if frames.shape[0] == target_size:
+            return buffers
+        frames = pad_or_trim_array(frames, target_size)
+        with io.BytesIO() as f:
+            write_mjpeg_avi(f, frames, fps=fps, quality=85)
+            return [f.getvalue()]
+
     assert format == CompressionFormat.NPZ, f"unsupported format {format}"
     assert len(buffers) == 1, "NPZ buffers should be a single buffer"
     arr = np.load(io.BytesIO(buffers[0]), allow_pickle=False)

@@ -107,13 +107,91 @@ def save_params_npz(path: str, params: Any) -> None:
     """Flatten any param pytree to an npz with path-encoded keys."""
     import jax
 
+    import ml_dtypes
+
     flat = {}
     for keypath, leaf in jax.tree_util.tree_flatten_with_path(params)[0]:
         name = "/".join(str(k) for k in keypath)
-        flat[name] = np.asarray(leaf)
+        a = np.asarray(leaf)
+        if a.dtype == ml_dtypes.bfloat16:
+            # np.savez stores bfloat16 as opaque void (V2); persist as a
+            # uint16 view with a dtype tag the loaders restore from
+            a = a.view(np.uint16)
+            name += "::bf16"
+        flat[name] = a
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
     np.savez(path, **flat)
     log.info(f"Saved {len(flat)} arrays to {path}")
+
+
+def _restore_npz_entry(name: str, arr: np.ndarray):
+    """Undo the save_params_npz bf16 tagging -> (clean name, array)."""
+    import ml_dtypes
+
+    if name.endswith("::bf16"):
+        return name[: -len("::bf16")], arr.view(ml_dtypes.bfloat16)
+    return name, arr
+
+
+def load_params_npz_tree(
+    path: str, to_pinned_host: bool = False
+) -> Any:
+    """Template-free load of a save_params_npz file: rebuild the nested
+    dict/list pytree from the path-encoded keys, preserving each array's
+    saved dtype (int8 'q8' weights + fp32 scales for quantized trees).
+
+    to_pinned_host=True device_puts every leaf into pinned_host memory
+    (TPU-VM RAM) — the resting place of the offloaded single-chip 7B —
+    instead of HBM. Serving cold-start path (VERDICT r3 'next #4'):
+    loading the persisted PRE-QUANTIZED int8 tree skips the torch
+    conversion + on-device quantization and halves the host->device
+    bytes vs the bf16 checkpoint.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    put = None
+    if to_pinned_host:
+        dev = jax.devices()[0]
+        pin = jax.sharding.SingleDeviceSharding(dev, memory_kind="pinned_host")
+        put = lambda a: jax.device_put(a, pin)  # noqa: E731
+
+    def parse(seg: str):
+        if seg.startswith("['"):
+            return seg[2:-2]
+        if seg.startswith("["):
+            return int(seg[1:-1])
+        return seg
+
+    data = np.load(path)
+    out: Any = None
+    entries = []
+    for name in data.files:
+        name, arr = _restore_npz_entry(name, data[name])
+        keys = [parse(s) for s in name.split("/")]
+        entries.append((keys, put(arr) if put else jnp.asarray(arr)))
+    for keys, leaf in entries:
+        if out is None:
+            out = [] if isinstance(keys[0], int) else {}
+        node = out
+        for i, k in enumerate(keys[:-1]):
+            nxt = [] if isinstance(keys[i + 1], int) else {}
+            if isinstance(k, int):
+                while len(node) <= k:
+                    node.append(None)
+                if node[k] is None:
+                    node[k] = nxt
+                node = node[k]
+            else:
+                node = node.setdefault(k, nxt)
+        k = keys[-1]
+        if isinstance(k, int):
+            while len(node) <= k:
+                node.append(None)
+            node[k] = leaf
+        else:
+            node[k] = leaf
+    return out
 
 
 def load_params_npz(path: str, like: Any, dtype=None) -> Any:
@@ -122,11 +200,15 @@ def load_params_npz(path: str, like: Any, dtype=None) -> Any:
     import jax.numpy as jnp
 
     data = np.load(path)
+    by_name = {}
+    for raw in data.files:
+        name, arr = _restore_npz_entry(raw, data[raw])
+        by_name[name] = arr
     leaves_paths = jax.tree_util.tree_flatten_with_path(like)
     flat, treedef = jax.tree_util.tree_flatten(like)
     out = []
     for keypath, leaf in leaves_paths[0]:
         name = "/".join(str(k) for k in keypath)
-        arr = jnp.asarray(data[name], dtype or leaf.dtype)
+        arr = jnp.asarray(by_name[name], dtype or leaf.dtype)
         out.append(arr)
     return jax.tree_util.tree_unflatten(treedef, out)
