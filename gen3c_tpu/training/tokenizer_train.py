@@ -95,10 +95,17 @@ def tokenizer_loss(
     consistency_step: int = 1,
     iteration: Array | int = 0,
     schedules: Dict[str, Tuple] | None = None,
+    lpips_params: Dict[str, Array] | None = None,
+    w_perceptual: float = 1.0,
 ) -> Tuple[Array, dict]:
     """schedules: optional {"l1"|"mse"|"grad"|"temporal"|"consistency":
     (boundaries, values)} iteration-dependent multipliers
-    (WeightScheduler parity; applied ON TOP of the w_* base weight)."""
+    (WeightScheduler parity; applied ON TOP of the w_* base weight).
+
+    lpips_params: VGG16 feature weights (training/lpips.py) -> adds the
+    REFERENCE perceptual term (tokenizer/training/losses/lpips.py) with
+    weight w_perceptual; without them the gradient (edge) proxy above
+    remains the dependency-free stand-in."""
     def sched(name):
         if schedules and name in schedules:
             b, v = schedules[name]
@@ -133,6 +140,12 @@ def tokenizer_loss(
         "grad": grad_loss,
         "temporal": temporal,
     }
+    if lpips_params is not None:
+        from gen3c_tpu.training.lpips import lpips_video
+
+        perceptual = lpips_video(lpips_params, rf, vf)
+        loss = loss + w_perceptual * sched("perceptual") * perceptual
+        metrics["perceptual"] = perceptual
     if w_consistency > 0.0 and consistency_frames > 0:
         consistency = video_consistency_loss(
             params, cfg, video, consistency_frames, consistency_step
@@ -197,6 +210,15 @@ def main(argv=None) -> None:
                    help="sliding-window length (8k+1) for "
                         "--w_consistency")
     p.add_argument("--consistency_step", type=int, default=8)
+    p.add_argument("--perceptual", choices=["none", "lpips"],
+                   default="none",
+                   help="lpips: the reference VGG16 perceptual loss "
+                        "(training/lpips.py); needs --lpips_checkpoint "
+                        "(torchvision vgg16 weights) — falls back to a "
+                        "RANDOM VGG with a warning when absent so tiny "
+                        "runs stay executable")
+    p.add_argument("--lpips_checkpoint", type=str, default=None)
+    p.add_argument("--w_perceptual", type=float, default=1.0)
     args = p.parse_args(argv)
     from gen3c_tpu.utils.jax_setup import setup_jax
 
@@ -213,6 +235,22 @@ def main(argv=None) -> None:
             "compression of the CV8x8x8 topology)"
         )
     params = jvae.init_vae_params(jax.random.PRNGKey(args.seed), cfg)
+    lpips_params = None
+    if args.perceptual == "lpips":
+        from gen3c_tpu.training import lpips as lpips_mod
+
+        if args.lpips_checkpoint:
+            lpips_params = lpips_mod.load_lpips_params(args.lpips_checkpoint)
+            log.info(f"LPIPS VGG16 loaded from {args.lpips_checkpoint}")
+        else:
+            log.warning(
+                "--perceptual lpips without --lpips_checkpoint: using a "
+                "RANDOM VGG16 (structure-only; loss values are not the "
+                "reference's)"
+            )
+            lpips_params = lpips_mod.init_vgg16_params(
+                jax.random.PRNGKey(1234)
+            )
     optimizer = optax.adamw(args.lr)
     opt_state = optimizer.init(params)
     step = jax.jit(
@@ -221,6 +259,8 @@ def main(argv=None) -> None:
             w_consistency=args.w_consistency,
             consistency_frames=args.consistency_frames,
             consistency_step=args.consistency_step,
+            lpips_params=lpips_params,
+            w_perceptual=args.w_perceptual,
         )
     )
 
