@@ -75,6 +75,73 @@ class MoGeDepthEstimator:
         return depth, k, mask
 
 
+class MoGeJaxDepthEstimator:
+    """MoGe ViT-L in JAX (aux/moge.py) — the TPU-native depth source.
+
+    Checkpoint-gated: construction needs a converted checkpoint
+    (GEN3C_MOGE_CHECKPOINT env or <checkpoint_dir>/gen3c_tpu/moge.npz);
+    absent -> FileNotFoundError and auto falls through. Inference runs
+    at the reference's 720x1280-class budget, outputs resized to the
+    input and masked-out depth set to 1000
+    (gen3c_single_image.py:114-200 parity)."""
+
+    MASKED_DEPTH = 1000.0
+
+    def __init__(self, checkpoint: Optional[str] = None, cfg=None):
+        import jax.numpy as jnp  # noqa: F401 — ensures jax is importable
+
+        from gen3c_tpu.aux.moge import MOGE_VITL, convert_moge_state_dict
+
+        if cfg is None:
+            cfg = MOGE_VITL
+        path = checkpoint or os.environ.get("GEN3C_MOGE_CHECKPOINT", "")
+        if not path or not os.path.exists(path):
+            raise FileNotFoundError(
+                "MoGe JAX checkpoint not found (set GEN3C_MOGE_CHECKPOINT "
+                "or pass checkpoint=); convert the 'Ruicheng/moge-vitl' "
+                "torch weights with gen3c_tpu.aux.moge.convert_moge_state_dict"
+            )
+        self.cfg = cfg
+        if path.endswith(".npz"):
+            data = np.load(path)
+            self.params = convert_moge_state_dict(
+                {k: data[k] for k in data.files}, self.cfg
+            )
+        else:
+            import torch
+
+            sd = torch.load(path, map_location="cpu", weights_only=True)
+            if isinstance(sd, dict) and "model" in sd:
+                sd = sd["model"]
+            self.params = convert_moge_state_dict(
+                {k: v.numpy() for k, v in sd.items()}, self.cfg
+            )
+        self._jit = None
+
+    def __call__(self, image: np.ndarray):
+        import jax
+        import jax.numpy as jnp
+
+        from gen3c_tpu.aux.moge import moge_infer
+
+        h, w = image.shape[:2]
+        img = image.astype(np.float32)
+        if img.max() > 1.5:
+            img = img / 255.0
+        if self._jit is None:
+            self._jit = jax.jit(
+                lambda p, x: moge_infer(p, self.cfg, x)
+            )
+        depth, k, mask = self._jit(self.params, jnp.asarray(img))
+        depth = np.asarray(depth).astype(np.float32)
+        mask = np.asarray(mask).astype(bool)
+        k = np.asarray(k).astype(np.float32)
+        depth = np.where(
+            mask & np.isfinite(depth), depth, self.MASKED_DEPTH
+        )
+        return depth, k, mask
+
+
 class FileDepthEstimator:
     """Load depth from a file (npy/npz or 16-bit png in millimeters)."""
 
@@ -154,10 +221,22 @@ def make_depth_estimator(
     intrinsics: Optional[np.ndarray] = None,
     device: str = "cpu",
 ) -> DepthEstimation:
-    """source: 'moge' | 'file' | 'heuristic' | 'auto' (moge if importable)."""
+    """source: 'moge_jax' | 'moge' (torch pip) | 'file' | 'heuristic' |
+    'auto'. auto preference: file (when --depth_path) > moge_jax
+    (checkpoint-gated TPU-native) > moge (external torch pip) >
+    heuristic (last resort)."""
     if source == "file" or (source == "auto" and depth_path):
         assert depth_path, "--depth_path required for file depth source"
         return FileDepthEstimator(depth_path, intrinsics)
+    if source in ("moge_jax", "auto"):
+        try:
+            return MoGeJaxDepthEstimator()
+        except Exception as e:  # noqa: BLE001
+            if source == "moge_jax":
+                raise
+            from gen3c_tpu.utils import log
+
+            log.info(f"moge_jax unavailable ({e}); trying torch MoGe")
     if source in ("moge", "auto"):
         try:
             return MoGeDepthEstimator(device=device)
