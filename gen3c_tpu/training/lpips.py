@@ -157,3 +157,83 @@ def lpips_video(params: Dict[str, Array], x: Array, y: Array) -> Array:
     xf = x.transpose(0, 2, 1, 3, 4).reshape(B * T, C, H, W)
     yf = y.transpose(0, 2, 1, 3, 4).reshape(B * T, C, H, W)
     return jnp.mean(lpips(params, xf, yf))
+
+
+# ------------------- production PerceptualLoss variant -------------------
+
+# pyramid layer weights (continuous.py PerceptualLoss docstring + config)
+LAYER_WEIGHTS = (1 / 2.6, 1 / 4.8, 1 / 3.7, 1 / 5.6, 10 / 1.5)
+
+
+def perceptual_loss(
+    params: Dict[str, Array],
+    x: Array,  # (B, 3, H, W) input images
+    y: Array,  # (B, 3, H, W) reconstructions
+    mask: Optional[Array] = None,  # (B, 1, H, W) pixel weights
+    layer_weights: Tuple[float, ...] = LAYER_WEIGHTS,
+    gram: bool = False,
+) -> Tuple[Array, Optional[Array]]:
+    """The PRODUCTION tokenizer perceptual term
+    (continuous.py PerceptualLoss.forward:155-209): RAW (pre-normalize)
+    VGG features, masked L1 diffs with pyramid layer weights, plus the
+    optional gram-matrix term (masked features' gram, squared diff).
+    Note the reference's corr_enabled flag is config-only — no corr
+    branch exists in its forward; none is implemented here either.
+
+    Returns (lpips_val (B,1,1,1), gram_val (B,1,1) or None) — the
+    per-sample values before the WeightScheduler multipliers."""
+    B = x.shape[0]
+    if mask is None:
+        mask = jnp.ones((B, 1) + tuple(x.shape[2:]), x.dtype)
+    shift = jnp.asarray(_SHIFT)[None, :, None, None]
+    scale = jnp.asarray(_SCALE)[None, :, None, None]
+    fx = vgg16_features(params, (x - shift) / scale)
+    fy = vgg16_features(params, (y - shift) / scale)
+
+    def _nearest_torch(m, hw):
+        # torch F.interpolate mode='nearest': src = floor(dst * in/out)
+        # (jax.image.resize 'nearest' rounds half-pixel centers — off by
+        # one row/col at non-integer scales)
+        H, W = m.shape[-2:]
+        h2, w2 = hw
+        ri = jnp.floor(jnp.arange(h2) * (H / h2)).astype(jnp.int32)
+        ci = jnp.floor(jnp.arange(w2) * (W / w2)).astype(jnp.int32)
+        return m[..., ri[:, None], ci[None, :]]
+
+    val = None
+    gram_val = None
+    for lw, a, b in zip(layer_weights, fx, fy):
+        # torch F.interpolate(weights[:, :1], size) default mode=nearest
+        wm = _nearest_torch(mask[:, :1], a.shape[-2:]).astype(a.dtype)
+        d = wm * jnp.abs(a - b)
+        r = lw * jnp.mean(d, axis=(1, 2, 3), keepdims=True)
+        val = r if val is None else val + r
+        if gram:
+            def _gram(f):
+                c = f.shape[1]
+                hw = f.shape[2] * f.shape[3]
+                m = (wm * f).reshape(B, c, hw)
+                return (m @ m.transpose(0, 2, 1)) / float(hw)
+
+            gd = (_gram(a) - _gram(b)) ** 2
+            gr = lw * jnp.mean(gd, axis=(1, 2), keepdims=True)
+            gram_val = gr if gram_val is None else gram_val + gr
+    return val, gram_val
+
+
+def perceptual_video(
+    params: Dict[str, Array],
+    x: Array,  # (B, 3, T, H, W)
+    y: Array,
+    mask: Optional[Array] = None,  # (B, 1, T, H, W)
+    gram: bool = False,
+) -> Tuple[Array, Optional[Array]]:
+    """Video wrapper (time2batch semantics, continuous.py:161-166):
+    scalar means of the per-frame perceptual / gram terms."""
+    B, C, T, H, W = x.shape
+    to_b = lambda v: v.transpose(0, 2, 1, 3, 4).reshape(  # noqa: E731
+        B * T, v.shape[1], H, W
+    )
+    m = None if mask is None else to_b(mask)
+    val, gval = perceptual_loss(params, to_b(x), to_b(y), m, gram=gram)
+    return jnp.mean(val), (None if gval is None else jnp.mean(gval))

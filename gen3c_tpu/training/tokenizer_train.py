@@ -97,6 +97,7 @@ def tokenizer_loss(
     schedules: Dict[str, Tuple] | None = None,
     lpips_params: Dict[str, Array] | None = None,
     w_perceptual: float = 1.0,
+    w_gram: float = 0.0,
 ) -> Tuple[Array, dict]:
     """schedules: optional {"l1"|"mse"|"grad"|"temporal"|"consistency":
     (boundaries, values)} iteration-dependent multipliers
@@ -141,11 +142,18 @@ def tokenizer_loss(
         "temporal": temporal,
     }
     if lpips_params is not None:
-        from gen3c_tpu.training.lpips import lpips_video
+        from gen3c_tpu.training.lpips import perceptual_video
 
-        perceptual = lpips_video(lpips_params, rf, vf)
+        # production PerceptualLoss semantics (layer-weighted masked L1
+        # on raw VGG features + optional gram term, continuous.py:122-209)
+        perceptual, gram = perceptual_video(
+            lpips_params, vf, rf, gram=w_gram > 0.0
+        )
         loss = loss + w_perceptual * sched("perceptual") * perceptual
         metrics["perceptual"] = perceptual
+        if gram is not None:
+            loss = loss + w_gram * sched("gram") * gram
+            metrics["gram"] = gram
     if w_consistency > 0.0 and consistency_frames > 0:
         consistency = video_consistency_loss(
             params, cfg, video, consistency_frames, consistency_step
@@ -219,6 +227,9 @@ def main(argv=None) -> None:
                         "runs stay executable")
     p.add_argument("--lpips_checkpoint", type=str, default=None)
     p.add_argument("--w_perceptual", type=float, default=1.0)
+    p.add_argument("--w_gram", type=float, default=0.0,
+                   help="gram-matrix style term of the production "
+                        "PerceptualLoss (continuous.py:189-208)")
     args = p.parse_args(argv)
     from gen3c_tpu.utils.jax_setup import setup_jax
 
@@ -261,6 +272,7 @@ def main(argv=None) -> None:
             consistency_step=args.consistency_step,
             lpips_params=lpips_params,
             w_perceptual=args.w_perceptual,
+            w_gram=args.w_gram,
         )
     )
 

@@ -93,9 +93,9 @@ def main() -> None:
     def tree():
         p = init_ar_params(jax.random.PRNGKey(0), tcfg, jnp.bfloat16)
         if args.quantize:
-            from gen3c_tpu.models.quantize import quantize_dit_params_inplace
+            from gen3c_tpu.models.quantize import quantize_ar_params
 
-            p = quantize_dit_params_inplace(p)
+            p = quantize_ar_params(p)
         return p
 
     tshapes = jax.eval_shape(tree)

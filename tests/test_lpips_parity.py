@@ -51,10 +51,17 @@ def ref_lpips():
             self.features = features
 
     tv = sys.modules["torchvision"]
-    tv.models = types.SimpleNamespace(
-        vgg16=lambda *a, **k: _FakeVGG()
+    models_mod = types.ModuleType("torchvision.models")
+    models_mod.vgg16 = lambda *a, **k: _FakeVGG()
+    of = types.ModuleType("torchvision.models.optical_flow")
+    of.raft = types.SimpleNamespace(
+        grid_sample=torch.nn.functional.grid_sample
     )
-    sys.modules["torchvision.models"] = tv.models  # type: ignore
+    of.raft_large = lambda *a, **k: None
+    models_mod.optical_flow = of
+    tv.models = models_mod
+    sys.modules["torchvision.models"] = models_mod
+    sys.modules["torchvision.models.optical_flow"] = of
     if "/root/reference" not in sys.path:
         sys.path.insert(0, "/root/reference")
     with mock.patch(
@@ -123,3 +130,62 @@ def test_tokenizer_loss_with_lpips_term():
     )(params)
     gn = sum(float(jnp.abs(x).sum()) for x in jax.tree.leaves(g))
     assert np.isfinite(gn) and gn > 0
+
+
+def test_production_perceptual_loss_matches_reference(ref_lpips):
+    """The PRODUCTION PerceptualLoss variant (continuous.py:122-209):
+    layer-weighted masked L1 on RAW VGG features + the gram term, run
+    against the unmodified reference class at random weights."""
+    from types import SimpleNamespace
+
+    _, features = ref_lpips
+    sys.path.insert(0, "/root/reference")
+    from cosmos_predict1.tokenizer.training.losses.continuous import (
+        PerceptualLoss,
+    )
+
+    layer_weights = [1 / 2.6, 1 / 4.8, 1 / 3.7, 1 / 5.6, 10 / 1.5]
+    config = SimpleNamespace(
+        checkpoint_activations=False,
+        gram_enabled=True,
+        corr_enabled=False,
+        layer_weights=layer_weights,
+        lpips_boundaries=[0], lpips_values=[1.0, 1.0],
+        gram_boundaries=[0], gram_values=[1.0, 1.0],
+        corr_boundaries=[0], corr_values=[0.0, 0.0],
+    )
+    with mock.patch.object(PerceptualLoss, "load_from_pretrained",
+                           lambda self, *a, **k: None):
+        ref_model = PerceptualLoss(config)
+    ref_model.eval()
+
+    sd = {k: v.detach().numpy() for k, v in features.state_dict().items()}
+    params = jlpips.convert_vgg16_state_dict(
+        {f"features.{k}": v for k, v in sd.items()}
+    )
+
+    rng = np.random.RandomState(5)
+    B, T, H, W = 1, 2, 40, 48
+    x = (rng.rand(B, 3, T, H, W).astype(np.float32) * 2) - 1
+    y = np.clip(x + rng.randn(B, 3, T, H, W).astype(np.float32) * 0.1, -1, 1)
+    m = (rng.rand(B, 3, T, H, W) > 0.2).astype(np.float32)
+
+    with torch.no_grad():
+        out = ref_model(
+            {"INPUT": torch.from_numpy(x), "loss_mask": torch.from_numpy(m)},
+            {"reconstructions": torch.from_numpy(y)},
+            iteration=1,
+        )
+    # reference expands the per-sample scalar over pixel dims; its mean
+    # IS the per-sample value's mean
+    ref_lpips_val = float(out["lpips"].mean())
+    ref_gram_val = float(out["gram"].mean())
+
+    ours_val, ours_gram = jlpips.perceptual_video(
+        params, jnp.asarray(x), jnp.asarray(y),
+        mask=jnp.asarray(m[:, :1]), gram=True,
+    )
+    np.testing.assert_allclose(float(ours_val), ref_lpips_val,
+                               rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(float(ours_gram), ref_gram_val,
+                               rtol=1e-4, atol=1e-6)
