@@ -13,9 +13,31 @@ from gen3c_tpu.utils import log
 
 
 class Callback:
+    """Full reference hook surface (utils/callback.py:124-230). The
+    forward/backward/optimizer sub-hooks of the reference's eager torch
+    step have no separate observable points inside a jitted XLA step —
+    they fire adjacently around the fused step call so existing
+    callbacks keep working when ported."""
+
     def on_train_start(self, trainer) -> None: ...
 
+    def on_before_dataloading(self, trainer, step: int) -> None: ...
+
+    def on_after_dataloading(self, trainer, step: int, batch=None) -> None: ...
+
     def on_training_step_start(self, trainer, step: int) -> None: ...
+
+    def on_before_forward(self, trainer, step: int) -> None: ...
+
+    def on_after_forward(self, trainer, step: int) -> None: ...
+
+    def on_before_backward(self, trainer, step: int) -> None: ...
+
+    def on_after_backward(self, trainer, step: int) -> None: ...
+
+    def on_before_optimizer_step(self, trainer, step: int) -> None: ...
+
+    def on_before_zero_grad(self, trainer, step: int) -> None: ...
 
     def on_training_step_end(
         self, trainer, step: int, metrics: Dict[str, Any]
@@ -23,9 +45,23 @@ class Callback:
 
     def on_validation_start(self, trainer, step: int) -> None: ...
 
+    def on_validation_step_start(self, trainer, step: int) -> None: ...
+
+    def on_validation_step_end(self, trainer, step: int, metrics=None) -> None: ...
+
     def on_validation_end(self, trainer, step: int, metrics) -> None: ...
 
+    def on_load_checkpoint_start(self, trainer) -> None: ...
+
+    def on_load_checkpoint_end(self, trainer, step: int = 0) -> None: ...
+
+    def on_save_checkpoint_start(self, trainer, step: int = 0) -> None: ...
+
+    def on_save_checkpoint_end(self, trainer, step: int = 0) -> None: ...
+
     def on_train_end(self, trainer) -> None: ...
+
+    def on_app_end(self, trainer) -> None: ...
 
 
 class CallBackGroup(Callback):
@@ -198,3 +234,69 @@ class MetricsJsonl(Callback):
         if self._fh is not None:
             self._fh.close()
             self._fh = None
+
+
+class GradNormMonitor(Callback):
+    """Log the (pre-clip) gradient norm the jitted step reports
+    (callbacks GradClip role: clipping itself lives in the optax chain
+    inside the step; this surfaces the measurement)."""
+
+    def __init__(self, every_n: int = 10, key: str = "grad_norm"):
+        self.every_n = every_n
+        self.key = key
+
+    def on_training_step_end(self, trainer, step, metrics):
+        if step % self.every_n == 0 and self.key in metrics:
+            log.info(f"step {step}: grad_norm {float(metrics[self.key]):.4f}")
+
+
+class LowPrecisionGuard(Callback):
+    """NaN/inf loss detection (callbacks LowPrecision role + the
+    reference GradClip's fused nan_to_num intent): a non-finite loss
+    raises immediately instead of silently corrupting the run."""
+
+    def __init__(self, key: str = "loss"):
+        self.key = key
+
+    def on_training_step_end(self, trainer, step, metrics):
+        import math
+
+        v = metrics.get(self.key)
+        if v is None:
+            return
+        v = float(v)
+        if not math.isfinite(v):
+            raise FloatingPointError(
+                f"non-finite {self.key} at step {step}: {v}"
+            )
+
+
+class LearningRateMonitor(Callback):
+    """Log the current LR from the trainer's schedule every N steps."""
+
+    def __init__(self, every_n: int = 100):
+        self.every_n = every_n
+
+    def on_training_step_end(self, trainer, step, metrics):
+        if step % self.every_n:
+            return
+        sched = getattr(trainer, "lr_schedule", None)
+        if sched is None:
+            return
+        try:
+            log.info(f"step {step}: lr {float(sched(step)):.3e}")
+        except Exception:  # noqa: BLE001 — monitoring must never kill a run
+            pass
+
+
+class CheckpointLogger(Callback):
+    """Narrate checkpoint save/load (the reference's on_save/load hooks)."""
+
+    def on_save_checkpoint_start(self, trainer, step=0):
+        log.info(f"checkpoint save starting (step {step})")
+
+    def on_save_checkpoint_end(self, trainer, step=0):
+        log.info(f"checkpoint save dispatched (step {step})")
+
+    def on_load_checkpoint_end(self, trainer, step=0):
+        log.info(f"resumed from checkpoint at step {step}")

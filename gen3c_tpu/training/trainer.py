@@ -185,6 +185,7 @@ class Trainer:
         return self._image_step_fn
 
     def maybe_resume(self) -> int:
+        self.callbacks.on_load_checkpoint_start(self)
         restored = self.checkpointer.restore(self.state)
         if restored is not None:
             # restore may land on one device; re-apply the mesh shardings
@@ -202,7 +203,9 @@ class Trainer:
                 return jax.device_put(new, sh)
 
             self.state = jax.tree.map(reshard, self.state, restored)
-            return int(jax.device_get(self.state.step))
+            step = int(jax.device_get(self.state.step))
+            self.callbacks.on_load_checkpoint_end(self, step)
+            return step
         return 0
 
     def train(
@@ -222,17 +225,25 @@ class Trainer:
         metrics = {}
         for step in range(start + 1, cfg.max_iter + 1):
             self.callbacks.on_training_step_start(self, step)
+            self.callbacks.on_before_dataloading(self, step)
             batch = next(it)
+            self.callbacks.on_after_dataloading(self, step, batch)
             self._rng, sub = jax.random.split(self._rng)
             step_fn = (
                 self._get_image_step_fn()
                 if "extra_channels" not in batch
                 else self.step_fn
             )
+            # fwd/bwd/optimizer are ONE fused XLA program here: the
+            # reference's sub-hooks fire adjacently around the call
+            self.callbacks.on_before_forward(self, step)
             self.state, metrics = step_fn(self.state, batch, sub)
+            self.callbacks.on_after_backward(self, step)
             self.callbacks.on_training_step_end(self, step, metrics)
             if cfg.save_every and step % cfg.save_every == 0:
+                self.callbacks.on_save_checkpoint_start(self, step)
                 self.checkpointer.save(step, jax.device_get(self.state))
+                self.callbacks.on_save_checkpoint_end(self, step)
             if (
                 validate_fn is not None
                 and cfg.validation_every

@@ -599,3 +599,70 @@ def test_multiview_training_step():
     with pytest.raises(ValueError):
         make_sharded_train_step(
             mesh, cfg, opt, params, sequence_parallel=True)
+
+
+def test_callback_hook_surface_and_order(tmp_path):
+    """The expanded reference hook surface (utils/callback.py:124-230)
+    fires in the documented order; LowPrecisionGuard raises on a
+    non-finite loss; GradNorm/LR monitors are metric-driven no-ops when
+    their keys are absent."""
+    from gen3c_tpu.training.callbacks import (
+        CallBackGroup,
+        Callback,
+        CheckpointLogger,
+        GradNormMonitor,
+        LearningRateMonitor,
+        LowPrecisionGuard,
+    )
+
+    events = []
+
+    class Recorder(Callback):
+        def __getattribute__(self, name):
+            if name.startswith("on_"):
+                def rec(*a, **k):
+                    events.append(name)
+
+                return rec
+            return object.__getattribute__(self, name)
+
+    mesh = make_mesh(dp=2, cp=2, tp=2)
+    params = init_dit_params(jax.random.PRNGKey(0), TINY, jnp.float32)
+    cfg = TrainerConfig(
+        job_dir=str(tmp_path / "job"),
+        max_iter=2,
+        save_every=2,
+        warmup_steps=1,
+    )
+    group = CallBackGroup([
+        Recorder(), GradNormMonitor(), LearningRateMonitor(),
+        CheckpointLogger(), LowPrecisionGuard(),
+    ])
+    trainer = Trainer(cfg, mesh, TINY, params, callbacks=group)
+    trainer.train(synthetic_latent_dataset(2, 16, 4, 4, 8))
+    trainer.checkpointer.close()
+
+    # per-step order within step 1
+    first = events.index("on_training_step_start")
+    expected = [
+        "on_training_step_start",
+        "on_before_dataloading",
+        "on_after_dataloading",
+        "on_before_forward",
+        "on_after_backward",
+        "on_training_step_end",
+    ]
+    assert events[first : first + len(expected)] == expected, events[:12]
+    assert "on_save_checkpoint_start" in events
+    assert "on_save_checkpoint_end" in events
+    assert "on_load_checkpoint_start" in events
+    assert events[0] == "on_load_checkpoint_start"
+    assert events[-1] == "on_train_end"
+
+    # the guard kills a poisoned run
+    import pytest as _pytest
+
+    with _pytest.raises(FloatingPointError):
+        LowPrecisionGuard().on_training_step_end(
+            None, 1, {"loss": float("nan")}
+        )
