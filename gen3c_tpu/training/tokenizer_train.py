@@ -98,6 +98,8 @@ def tokenizer_loss(
     lpips_params: Dict[str, Array] | None = None,
     w_perceptual: float = 1.0,
     w_gram: float = 0.0,
+    w_flow: float = 0.0,
+    flow_scale: int = 2,
 ) -> Tuple[Array, dict]:
     """schedules: optional {"l1"|"mse"|"grad"|"temporal"|"consistency":
     (boundaries, values)} iteration-dependent multipliers
@@ -154,6 +156,14 @@ def tokenizer_loss(
         if gram is not None:
             loss = loss + w_gram * sched("gram") * gram
             metrics["gram"] = gram
+    if w_flow > 0.0 and video.shape[2] > 1:
+        from gen3c_tpu.training.flow import flow_loss
+
+        # reference FlowLoss semantics (continuous.py:218-383) with the
+        # pluggable flow estimator (LK default; RAFT slot documented)
+        fl = flow_loss(vf, rf, scale=flow_scale)
+        loss = loss + w_flow * sched("flow") * fl
+        metrics["flow"] = fl
     if w_consistency > 0.0 and consistency_frames > 0:
         consistency = video_consistency_loss(
             params, cfg, video, consistency_frames, consistency_step
@@ -230,6 +240,9 @@ def main(argv=None) -> None:
     p.add_argument("--w_gram", type=float, default=0.0,
                    help="gram-matrix style term of the production "
                         "PerceptualLoss (continuous.py:189-208)")
+    p.add_argument("--w_flow", type=float, default=0.0,
+                   help="flow-consistency loss (reference FlowLoss "
+                        "semantics, training/flow.py; LK estimator)")
     args = p.parse_args(argv)
     from gen3c_tpu.utils.jax_setup import setup_jax
 
@@ -273,6 +286,7 @@ def main(argv=None) -> None:
             lpips_params=lpips_params,
             w_perceptual=args.w_perceptual,
             w_gram=args.w_gram,
+            w_flow=args.w_flow,
         )
     )
 
