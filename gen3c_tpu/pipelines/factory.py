@@ -249,7 +249,11 @@ def build_gen3c_model(
             import numpy as np
 
             data = np.load(native_vae)
-            vae_params = {k: jnp.asarray(v) for k, v in data.items()}
+            # _restore_npz_entry: undo the save_params_npz bf16 tagging
+            vae_params = {}
+            for name in data.files:
+                k2, arr = ckpt._restore_npz_entry(name, data[name])
+                vae_params[k2] = jnp.asarray(arr)
             log.info(f"Loaded VAE weights from {native_vae}")
         elif os.path.isdir(vae_dir):
             vae_params, latent_mean, latent_std = (
