@@ -293,6 +293,11 @@ def recover_focal_shift(
     s = min(H, W) / 2.0
     u = (xx - (W - 1) / 2.0) / s
     v = (yy - (H - 1) / 2.0) / s
+    # all-False masks (blank input / untrained head) would give
+    # z_min = inf -> NaN focal+shift; fall back to all-valid so the
+    # recovery stays finite (the caller's mask still gates the depth)
+    any_valid = jnp.any(mask)
+    mask = jnp.where(any_valid, mask, jnp.ones_like(mask))
     m = mask.astype(jnp.float32).reshape(-1)
     x = points[..., 0].reshape(-1)
     y = points[..., 1].reshape(-1)

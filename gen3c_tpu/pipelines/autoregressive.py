@@ -155,15 +155,27 @@ def demo(args) -> str:
     tokens = jnp.clip(tokens, 0, vae_cfg.vocab_size - 1)
     grid = tokens.reshape(1, total_latent_t, Hl, Wl)
 
+    dd = None
     if not args.disable_diffusion_decoder:
         # reference default: refine tokens through the latent diffusion
         # decoder (world_generation_pipeline.py:222-244 + the
         # diffusion_decoder_process_tokens flow); trimmed to the DV
-        # decode length like the reference's [:T] (inference.py:108-111)
+        # decode length like the reference's [:T] (inference.py:108-111).
+        # The full-size DD is checkpoint-gated — without its weights we
+        # fall back to the plain DV decode instead of refining through
+        # ~14 GB of random noise weights.
         from gen3c_tpu.pipelines.diffusion_decoder import build_dd_pipeline
 
+        try:
+            dd = build_dd_pipeline(
+                args.model_preset, jax.random.fold_in(key, 9),
+                checkpoint_dir=args.checkpoint_dir,
+            )
+        except FileNotFoundError as e:
+            log.warning(f"diffusion decoder unavailable ({e}); "
+                        "falling back to the DV tokenizer decode")
+    if dd is not None:
         log.info("Refining generated tokens with the diffusion decoder...")
-        dd = build_dd_pipeline(args.model_preset, jax.random.fold_in(key, 9))
         dd.sampling.num_steps = args.diffusion_decoder_steps
         t_pixels = (
             total_latent_t // tokenizer.latent_chunk_duration * chunk

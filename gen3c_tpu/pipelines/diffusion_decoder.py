@@ -100,10 +100,19 @@ def split_with_overlap(
     T = tokens.shape[2]
     step = num_frames - overlap
     chunks = []
-    for start in range(0, T - overlap, step):
+    for start in range(0, max(T - overlap, 1), step):
         end = start + num_frames
         if end > T:
             pad = end - T
+            body_len = T - start
+            if pad >= body_len:
+                # torch F.pad(mode="reflect") raises for pad >= dim —
+                # fail loudly instead of silently producing a short chunk
+                raise ValueError(
+                    f"split_with_overlap: reflect pad {pad} >= chunk "
+                    f"body {body_len} (T={T}, num_frames={num_frames}, "
+                    f"overlap={overlap})"
+                )
             body = tokens[:, :, start:T]
             # torch F.pad mode="reflect" on the T axis
             refl = body[:, :, -2 : -2 - pad : -1]
@@ -254,12 +263,18 @@ class DiffusionDecoderPipeline:
 
         latent_frames = (cfg.dd_train_num_video_frames - 1) // 8 + 1
         token_5d = token_indices[:, None]  # (B, 1, T', H', W')
-        if token_indices.shape[1] > latent_frames:
+        if token_indices.shape[1] == latent_frames:
+            chunks = [token_5d]
+        else:
+            # ALWAYS run the split: a short T' (< latent_frames) must
+            # still be reflect-padded to the full chunk, or the refined
+            # latent's T breaks the CV tokenizer's chunk arithmetic
+            # (decode asserts T % latent_chunk_duration == 0); callers
+            # trim the decoded pixels back to their true length like the
+            # reference's [:T] (inference.py:108-111)
             chunks = split_with_overlap(
                 token_5d, latent_frames, overlap=cfg.overlap
             )[: cfg.max_iter]
-        else:
-            chunks = [token_5d]
 
         pixel_chunks = []
         for i, chunk in enumerate(chunks):
@@ -282,13 +297,17 @@ def build_dd_pipeline(
     preset: str, key: Array, checkpoint_dir: Optional[str] = None
 ) -> DiffusionDecoderPipeline:
     """Preset DD pipelines for the AR CLI (reference _load_diffusion_decoder,
-    world_generation_pipeline.py:222-244; random init when no checkpoint,
-    clearly logged by the caller).
+    world_generation_pipeline.py:222-244).
 
     'ar_tiny' pairs the tiny DD net with a tiny CV tokenizer at the same
-    8x spatial compression as DV_TINY (token_to_latent_scale=1);
-    'ar_4b' uses the production geometry (7B DD net, CV8x8x8 at 57-frame
-    chunks, 2x token->latent upsample)."""
+    8x spatial compression as DV_TINY (token_to_latent_scale=1), random
+    init allowed. Full-size presets are CHECKPOINT-GATED: the 7B DD net
+    needs a converted checkpoint (<checkpoint_dir>/gen3c_tpu/dd_dit.npz
+    from the reference Cosmos-1.0-Diffusion-7B-Decoder torch ckpt) —
+    a random 7B DD would be ~14 GB of noise weights, so construction
+    raises and the AR CLI falls back to the plain DV decode."""
+    import os
+
     from gen3c_tpu.models.vae import CV8x8x8, VAEConfig, init_vae_params
 
     if preset == "ar_tiny":
@@ -300,13 +319,35 @@ def build_dd_pipeline(
         )
         sampling = DDSamplingConfig(dd_train_num_video_frames=9, overlap=1)
         scale, vocab = 1, 64000
+        dit_params = init_dd_params(key, dit_cfg, vocab_size=vocab)
+        cv_params = init_vae_params(jax.random.fold_in(key, 7), cv_cfg)
     else:
         dit_cfg = DIFFUSION_DECODER_7B
         cv_cfg = CV8x8x8
         sampling = DDSamplingConfig()
         scale, vocab = 2, TOKEN_VOCAB_SIZE
-    dit_params = init_dd_params(key, dit_cfg, vocab_size=vocab)
-    cv_params = init_vae_params(jax.random.fold_in(key, 7), cv_cfg)
+        dd_native = os.path.join(
+            checkpoint_dir or "", "gen3c_tpu", "dd_dit.npz"
+        )
+        if not (checkpoint_dir and os.path.exists(dd_native)):
+            raise FileNotFoundError(
+                "diffusion-decoder checkpoint not found "
+                f"({dd_native}); the full-size DD is checkpoint-gated "
+                "(convert the reference Cosmos-1.0-Diffusion-7B-Decoder "
+                "weights with models.convert + save_params_npz)"
+            )
+        from gen3c_tpu.utils import checkpoint as ckpt
+
+        dit_params = ckpt.load_params_npz_tree(dd_native)
+        vae_native = os.path.join(checkpoint_dir, "gen3c_tpu", "vae.npz")
+        if os.path.exists(vae_native):
+            cv_params = {
+                k2: jnp.asarray(a)
+                for k2, a in ckpt.load_flat_npz(vae_native).items()
+            }
+        else:
+            log.warning("DD continuous tokenizer: RANDOM init (no vae.npz)")
+            cv_params = init_vae_params(jax.random.fold_in(key, 7), cv_cfg)
     return DiffusionDecoderPipeline(
         dit_params=dit_params,
         dit_cfg=dit_cfg,

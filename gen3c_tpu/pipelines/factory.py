@@ -246,14 +246,10 @@ def build_gen3c_model(
         )
         native_vae = os.path.join(checkpoint_dir, "gen3c_tpu", "vae.npz")
         if os.path.exists(native_vae):
-            import numpy as np
-
-            data = np.load(native_vae)
-            # _restore_npz_entry: undo the save_params_npz bf16 tagging
-            vae_params = {}
-            for name in data.files:
-                k2, arr = ckpt._restore_npz_entry(name, data[name])
-                vae_params[k2] = jnp.asarray(arr)
+            vae_params = {
+                k: jnp.asarray(v)
+                for k, v in ckpt.load_flat_npz(native_vae).items()
+            }
             log.info(f"Loaded VAE weights from {native_vae}")
         elif os.path.isdir(vae_dir):
             vae_params, latent_mean, latent_std = (

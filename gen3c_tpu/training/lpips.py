@@ -17,7 +17,7 @@ training falls back to the gradient proxy, tokenizer_train.py).
 
 from __future__ import annotations
 
-from typing import Dict, List, Tuple
+from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 

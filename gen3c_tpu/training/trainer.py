@@ -237,8 +237,12 @@ class Trainer:
             # fwd/bwd/optimizer are ONE fused XLA program here: the
             # reference's sub-hooks fire adjacently around the call
             self.callbacks.on_before_forward(self, step)
+            self.callbacks.on_before_backward(self, step)
+            self.callbacks.on_before_optimizer_step(self, step)
             self.state, metrics = step_fn(self.state, batch, sub)
+            self.callbacks.on_after_forward(self, step)
             self.callbacks.on_after_backward(self, step)
+            self.callbacks.on_before_zero_grad(self, step)
             self.callbacks.on_training_step_end(self, step, metrics)
             if cfg.save_every and step % cfg.save_every == 0:
                 self.callbacks.on_save_checkpoint_start(self, step)
@@ -251,11 +255,14 @@ class Trainer:
             ):
                 # validation under EMA weights (utils/trainer.py:280 parity)
                 self.callbacks.on_validation_start(self, step)
+                self.callbacks.on_validation_step_start(self, step)
                 val = validate_fn(self.state, step)
+                self.callbacks.on_validation_step_end(self, step, val)
                 self.callbacks.on_validation_end(self, step, val)
         self.checkpointer.save(cfg.max_iter, jax.device_get(self.state))
         self.checkpointer.wait()
         self.callbacks.on_train_end(self)
+        self.callbacks.on_app_end(self)
         return self.state
 
 

@@ -133,6 +133,18 @@ def _restore_npz_entry(name: str, arr: np.ndarray):
     return name, arr
 
 
+def load_flat_npz(path: str) -> Dict[str, np.ndarray]:
+    """Flat {name: array} view of a save_params_npz file with the bf16
+    tagging restored — the shared primitive under load_params_npz /
+    load_params_npz_tree and the flat-dict loaders (VAE, DD)."""
+    data = np.load(path)
+    out = {}
+    for raw in data.files:
+        name, arr = _restore_npz_entry(raw, data[raw])
+        out[name] = arr
+    return out
+
+
 def load_params_npz_tree(
     path: str, to_pinned_host: bool = False
 ) -> Any:

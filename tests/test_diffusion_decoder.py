@@ -136,3 +136,49 @@ def test_linear_blend_matches_reference():
     ref = ref_blend([torch.from_numpy(v) for v in vids], 2).numpy()
     assert ours.shape == ref.shape
     np.testing.assert_allclose(ours, ref, rtol=1e-5, atol=1e-6)
+
+
+def test_refine_pads_short_token_clips(tiny_pipe):
+    """T' < latent_frames must reflect-pad to a full chunk (the default
+    ar_4b geometry hits this: 5 token frames vs 8-frame chunks) — the
+    refined video still decodes and callers trim to the true length."""
+    import dataclasses as _dc
+
+    from gen3c_tpu.pipelines.diffusion_decoder import DDSamplingConfig
+
+    tok17 = jvae.VideoTokenizer(
+        tiny_pipe.continuous_tokenizer.params, CV_TINY,
+        pixel_chunk_duration=17,
+    )
+    pipe = _dc.replace(
+        tiny_pipe,
+        continuous_tokenizer=tok17,
+        sampling=DDSamplingConfig(
+            num_steps=2, dd_train_num_video_frames=17, overlap=1
+        ),
+    )
+    tokens = jnp.asarray(
+        np.random.RandomState(5).randint(0, 64, (1, 2, 8, 8)), jnp.int32
+    )  # T'=2 < latent_frames=3 -> reflect-padded single chunk
+    video = pipe.refine(tokens)
+    assert video.shape == (1, 3, 17, 128, 128)
+    assert np.isfinite(np.asarray(video)).all()
+
+
+def test_split_with_overlap_unpaddable_raises():
+    from gen3c_tpu.pipelines.diffusion_decoder import split_with_overlap
+
+    tokens = jnp.zeros((1, 1, 1, 4, 4), jnp.int32)
+    with pytest.raises(ValueError, match="reflect pad"):
+        split_with_overlap(tokens, 8, overlap=2)
+
+
+def test_build_dd_pipeline_checkpoint_gated(tmp_path):
+    """Full-size DD without a converted checkpoint must raise (a random
+    7B DD is ~14 GB of noise weights), and the AR CLI falls back to the
+    DV decode on that error."""
+    from gen3c_tpu.pipelines.diffusion_decoder import build_dd_pipeline
+
+    with pytest.raises(FileNotFoundError, match="checkpoint-gated"):
+        build_dd_pipeline("ar_4b", jax.random.PRNGKey(0),
+                          checkpoint_dir=str(tmp_path))

@@ -649,15 +649,20 @@ def test_callback_hook_surface_and_order(tmp_path):
         "on_before_dataloading",
         "on_after_dataloading",
         "on_before_forward",
+        "on_before_backward",
+        "on_before_optimizer_step",
+        "on_after_forward",
         "on_after_backward",
+        "on_before_zero_grad",
         "on_training_step_end",
     ]
-    assert events[first : first + len(expected)] == expected, events[:12]
+    assert events[first : first + len(expected)] == expected, events[:16]
     assert "on_save_checkpoint_start" in events
     assert "on_save_checkpoint_end" in events
     assert "on_load_checkpoint_start" in events
     assert events[0] == "on_load_checkpoint_start"
-    assert events[-1] == "on_train_end"
+    assert events[-2] == "on_train_end"
+    assert events[-1] == "on_app_end"
 
     # the guard kills a poisoned run
     import pytest as _pytest
