@@ -8,19 +8,18 @@ of both videos, and the L1 between the two flow fields is the loss
 trilinearly rescaled back to full resolution, :327-362, :364-383).
 
 The reference estimates flow with torchvision's pretrained RAFT-Large
-(monkeypatched for bf16/GPU, :236-296). A faithful RAFT port is
-pointless without its pretrained weights (random-weight RAFT flow is
-noise, and no torchvision/weights exist in this environment), so the
-estimator here is PLUGGABLE:
+(monkeypatched for bf16/GPU, :236-296). The estimator here is PLUGGABLE:
 
-  * default: a differentiable multi-scale Lucas-Kanade estimator in
-    pure JAX (coarse-to-fine pyramid, iterated linearized LK with
-    bilinear warping) — a real, dependency-free flow field with the
-    same contract (T-1, 2, H, W), adequate for the loss's OBJECTIVE
-    (penalize motion-field mismatch);
   * `flow_fn=`: any (frames1 (N,C,H,W), frames2 (N,C,H,W)) ->
-    (N, 2, H, W) callable — the slot where a converted RAFT drops in
-    when its weights are obtainable.
+    (N, 2, H, W) callable. The reference-parity estimator is the JAX
+    RAFT-Large port (aux/raft.py, torchvision topology + the
+    monkeypatched index_pyramid semantics), checkpoint-gated on the
+    torchvision raft_large weights: `make_raft_flow_fn(params)`;
+  * default (no flow_fn): a differentiable multi-scale Lucas-Kanade
+    estimator in pure JAX (coarse-to-fine pyramid, iterated linearized
+    LK with bilinear warping) — a dependency-free fallback with the
+    same contract, adequate for the loss's OBJECTIVE (penalize
+    motion-field mismatch) when no RAFT weights are available.
 """
 
 from __future__ import annotations

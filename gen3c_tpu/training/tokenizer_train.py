@@ -100,6 +100,7 @@ def tokenizer_loss(
     w_gram: float = 0.0,
     w_flow: float = 0.0,
     flow_scale: int = 2,
+    flow_fn=None,
 ) -> Tuple[Array, dict]:
     """schedules: optional {"l1"|"mse"|"grad"|"temporal"|"consistency":
     (boundaries, values)} iteration-dependent multipliers
@@ -160,8 +161,9 @@ def tokenizer_loss(
         from gen3c_tpu.training.flow import flow_loss
 
         # reference FlowLoss semantics (continuous.py:218-383) with the
-        # pluggable flow estimator (LK default; RAFT slot documented)
-        fl = flow_loss(vf, rf, scale=flow_scale)
+        # pluggable flow estimator (RAFT when checkpoint-loaded via
+        # flow_fn — aux/raft.py; LK fallback otherwise)
+        fl = flow_loss(vf, rf, flow_fn=flow_fn, scale=flow_scale)
         loss = loss + w_flow * sched("flow") * fl
         metrics["flow"] = fl
     if w_consistency > 0.0 and consistency_frames > 0:
@@ -242,7 +244,19 @@ def main(argv=None) -> None:
                         "PerceptualLoss (continuous.py:189-208)")
     p.add_argument("--w_flow", type=float, default=0.0,
                    help="flow-consistency loss (reference FlowLoss "
-                        "semantics, training/flow.py; LK estimator)")
+                        "semantics, training/flow.py)")
+    p.add_argument("--flow_estimator", choices=["lk", "raft"],
+                   default="lk",
+                   help="raft: the reference's RAFT-Large network "
+                        "(aux/raft.py, torchvision topology; needs "
+                        "--raft_checkpoint — falls back to a RANDOM "
+                        "RAFT with a warning when absent so the graph "
+                        "stays executable); lk: the dependency-free "
+                        "Lucas-Kanade fallback")
+    p.add_argument("--raft_checkpoint", type=str, default=None,
+                   help="torchvision raft_large .pth or converted .npz")
+    p.add_argument("--flow_iters", type=int, default=12,
+                   help="RAFT GRU update iterations (reference default)")
     args = p.parse_args(argv)
     from gen3c_tpu.utils.jax_setup import setup_jax
 
@@ -275,6 +289,22 @@ def main(argv=None) -> None:
             lpips_params = lpips_mod.init_vgg16_params(
                 jax.random.PRNGKey(1234)
             )
+    flow_fn = None
+    if args.w_flow > 0.0 and args.flow_estimator == "raft":
+        from gen3c_tpu.aux import raft as raft_mod
+
+        if args.raft_checkpoint:
+            raft_params = raft_mod.load_raft_params(args.raft_checkpoint)
+            log.info(f"RAFT-Large loaded from {args.raft_checkpoint}")
+        else:
+            log.warning(
+                "--flow_estimator raft without --raft_checkpoint: using "
+                "a RANDOM RAFT (structure-only; flow values are noise — "
+                "real runs need the torchvision raft_large weights)"
+            )
+            raft_params = raft_mod.init_raft_params(jax.random.PRNGKey(7))
+        flow_fn = raft_mod.make_raft_flow_fn(
+            raft_params, num_flow_updates=args.flow_iters)
     optimizer = optax.adamw(args.lr)
     opt_state = optimizer.init(params)
     step = jax.jit(
@@ -287,6 +317,7 @@ def main(argv=None) -> None:
             w_perceptual=args.w_perceptual,
             w_gram=args.w_gram,
             w_flow=args.w_flow,
+            flow_fn=flow_fn,
         )
     )
 

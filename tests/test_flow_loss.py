@@ -41,6 +41,83 @@ def test_lk_recovers_translation():
     assert abs(v - dy) < 0.5, v
 
 
+def _bilinear_warp(img, map_y, map_x):
+    """frame2[y, x] = frame1[map_y, map_x] (numpy, edge-clamped)."""
+    C, H, W = img.shape
+    y0 = np.clip(np.floor(map_y), 0, H - 2).astype(np.int64)
+    x0 = np.clip(np.floor(map_x), 0, W - 2).astype(np.int64)
+    wy = np.clip(map_y - y0, 0, 1)
+    wx = np.clip(map_x - x0, 0, 1)
+    out = (
+        img[:, y0, x0] * (1 - wy) * (1 - wx)
+        + img[:, y0, x0 + 1] * (1 - wy) * wx
+        + img[:, y0 + 1, x0] * wy * (1 - wx)
+        + img[:, y0 + 1, x0 + 1] * wy * wx
+    )
+    return out.astype(np.float32)
+
+
+def _affine_pair(h, w, mat, seed=0):
+    """frame1 + its warp under the affine p' = c + mat @ (p - c);
+    returns (frame1, frame2, gt_u, gt_v) with gt = forward flow."""
+    img = _texture(h, w, seed)
+    yy, xx = np.meshgrid(np.arange(h, dtype=float),
+                         np.arange(w, dtype=float), indexing="ij")
+    cy, cx = (h - 1) / 2, (w - 1) / 2
+    # forward flow: where each frame1 pixel moves to
+    u = mat[0, 0] * (xx - cx) + mat[0, 1] * (yy - cy) + cx - xx
+    v = mat[1, 0] * (xx - cx) + mat[1, 1] * (yy - cy) + cy - yy
+    # frame2 sampled by the INVERSE map (pull warp)
+    inv = np.linalg.inv(mat)
+    sx = inv[0, 0] * (xx - cx) + inv[0, 1] * (yy - cy) + cx
+    sy = inv[1, 0] * (xx - cx) + inv[1, 1] * (yy - cy) + cy
+    return img, _bilinear_warp(img, sy, sx), u, v
+
+
+def _lk_epe(img1, img2, gt_u, gt_v, margin=10):
+    flow = np.asarray(lucas_kanade_flow(
+        jnp.asarray(img1[None]), jnp.asarray(img2[None])))[0]
+    err = np.hypot(flow[0] - gt_u, flow[1] - gt_v)
+    return float(np.median(err[margin:-margin, margin:-margin]))
+
+
+def test_lk_epe_rotation():
+    """2-degree rotation (≈1.9 px max displacement at the corners):
+    the regime beyond pure translation where LK linearization degrades —
+    interior median EPE must stay subpixel (VERDICT r4 weak #5)."""
+    th = np.deg2rad(2.0)
+    mat = np.array([[np.cos(th), -np.sin(th)], [np.sin(th), np.cos(th)]])
+    epe = _lk_epe(*_affine_pair(64, 80, mat))
+    assert epe < 0.35, epe
+
+
+def test_lk_epe_scale():
+    """3% isotropic zoom (≈1.5 px displacement at the borders)."""
+    mat = np.array([[1.03, 0.0], [0.0, 1.03]])
+    epe = _lk_epe(*_affine_pair(64, 80, mat))
+    assert epe < 0.35, epe
+
+
+def test_lk_epe_multi_motion():
+    """Two independently-translating halves with a motion discontinuity:
+    each half's interior must recover its own motion (the failure mode
+    where a global/over-smoothed estimator collapses to one motion)."""
+    h, w = 64, 96
+    img = _texture(h, w, seed=3)
+    left = np.roll(img, (1, 2), axis=(1, 2))
+    right = np.roll(img, (-1, -2), axis=(1, 2))
+    img2 = np.concatenate([left[..., : w // 2], right[..., w // 2:]],
+                          axis=2)
+    flow = np.asarray(lucas_kanade_flow(
+        jnp.asarray(img[None]), jnp.asarray(img2[None])))[0]
+    lu = np.median(flow[0, 12:-12, 12 : w // 2 - 12])
+    lv = np.median(flow[1, 12:-12, 12 : w // 2 - 12])
+    ru = np.median(flow[0, 12:-12, w // 2 + 12 : -12])
+    rv = np.median(flow[1, 12:-12, w // 2 + 12 : -12])
+    assert abs(lu - 2) < 0.5 and abs(lv - 1) < 0.5, (lu, lv)
+    assert abs(ru + 2) < 0.5 and abs(rv + 1) < 0.5, (ru, rv)
+
+
 def test_bidirectional_flow_shape():
     B, T, C, H, W = 1, 4, 3, 32, 48
     vid = jnp.asarray(

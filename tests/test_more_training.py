@@ -153,6 +153,20 @@ def test_tokenizer_train_cli(tmp_path):
     assert out.exists()
 
 
+def test_tokenizer_train_cli_raft_flow(tmp_path):
+    """--flow_estimator raft wires the RAFT graph (random weights, loud
+    warning) through the FlowLoss slot end-to-end; LK stays the
+    default."""
+    from gen3c_tpu.training.tokenizer_train import main
+
+    main([
+        "--synthetic", "--max_iter", "1", "--log_every", "1",
+        "--resolution", "32", "--frames", "9", "--channels", "8",
+        "--w_flow", "0.1", "--flow_estimator", "raft",
+        "--flow_iters", "2",
+    ])
+
+
 def test_hang_watchdog_kills_hung_step():
     """The SIGALRM watchdog interrupts a step that blocks past the
     timeout and is disarmed outside steps (utils/trainer.py:108-109,197
