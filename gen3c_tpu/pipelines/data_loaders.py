@@ -108,7 +108,10 @@ def load_data_auto_detect(input_path: str):
 
 def _read_depth_from_zip(zip_path: str, frame_idx: int) -> np.ndarray:
     """Read one depth EXR/npy from a ViPE depth zip
-    (vipe_utils.py:85-100 parity; npy fallback when OpenEXR is absent)."""
+    (vipe_utils.py:85-100 parity: the reference reads the float16 'Z'
+    channel via OpenEXR; here the pure-Python scanline codec in
+    utils/exr.py reads real .exr entries directly — .npy entries are
+    also accepted as a packaging convenience)."""
     with zipfile.ZipFile(zip_path) as zf:
         names = sorted(zf.namelist())
         name = names[frame_idx]
@@ -118,23 +121,9 @@ def _read_depth_from_zip(zip_path: str, frame_idx: int) -> np.ndarray:
 
         return np.load(io.BytesIO(data)).astype(np.float32)
     if name.endswith(".exr"):
-        try:
-            import OpenEXR  # noqa: F401
-            import Imath
+        from gen3c_tpu.utils.exr import read_exr_depth
 
-            import io as _io
-
-            exr = OpenEXR.InputFile(_io.BytesIO(data))
-            dw = exr.header()["dataWindow"]
-            h = dw.max.y - dw.min.y + 1
-            w = dw.max.x - dw.min.x + 1
-            pix = exr.channel("Z", Imath.PixelType(Imath.PixelType.FLOAT))
-            return np.frombuffer(pix, np.float32).reshape(h, w)
-        except ImportError as e:
-            raise ImportError(
-                "OpenEXR is required for ViPE .exr depth; repackage depth "
-                "as .npy files in the zip instead"
-            ) from e
+        return read_exr_depth(data)
     raise ValueError(f"Unsupported depth entry {name}")
 
 

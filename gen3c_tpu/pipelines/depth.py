@@ -5,9 +5,12 @@ at 720x1280 inference resolution, rescaling intrinsics to the target
 resolution and setting masked-out depth to 1000
 (reference: gen3c_single_image.py:114-217).
 
-This module defines the estimator protocol plus three implementations:
-  * MoGeDepthEstimator — the real model via torch hub / the moge package
-    when available on the host
+This module defines the estimator protocol plus four implementations:
+  * MoGeJaxDepthEstimator — MoGe ViT-L in JAX (aux/moge.py): the
+    TPU-native depth source, preferred by the auto selector when its
+    converted checkpoint is available
+  * MoGeDepthEstimator — the torch model via torch hub / the moge
+    package when available on the host
   * FileDepthEstimator — load precomputed depth maps (npz/npy/EXR/png16)
   * HeuristicDepthEstimator — dependency-free fallback: smooth luminance/
     position-prior depth, for smoke tests and environments without MoGe
@@ -143,7 +146,8 @@ class MoGeJaxDepthEstimator:
 
 
 class FileDepthEstimator:
-    """Load depth from a file (npy/npz or 16-bit png in millimeters)."""
+    """Load depth from a file (npy/npz, .exr via the pure-Python codec
+    in utils/exr.py, or 16-bit png in millimeters)."""
 
     def __init__(self, path: str, intrinsics: Optional[np.ndarray] = None):
         self.path = path
@@ -157,6 +161,11 @@ class FileDepthEstimator:
         elif ext == ".npz":
             data = np.load(self.path)
             depth = data[list(data.keys())[0]].astype(np.float32)
+        elif ext == ".exr":
+            from gen3c_tpu.utils.exr import read_exr_depth
+
+            with open(self.path, "rb") as f:
+                depth = read_exr_depth(f.read())
         else:
             from PIL import Image
 

@@ -4,14 +4,17 @@ Parity: gui/api/encoding.py:23-200 — CompressionFormat, compress_images /
 decompress_buffer (float 0..1 images as per-frame JPG/PNG, depth and bool
 masks as lossless NPZ), pad_or_trim_array / pad_or_trim_encoded_buffers.
 
-Codec substitutions for this environment (no cv2 / OpenEXR / ffmpeg):
+Codec substitutions for this environment (no OpenEXR / ffmpeg):
 JPG/PNG ride PIL (JPEG quality 100 like the reference's
-IMWRITE_JPEG_QUALITY 100); the reference's EXR float path is carried by
-NPZ (same lossless-float contract, encoding.py:55 allows either); the
-reference's MP4 video wire format (gui/api/encoding.py:26-30) is carried
-by AVI — a pure-Python MJPEG-AVI (utils/mjpeg_avi.py, real video
-playable by any player) encoding ALL frames into ONE buffer, exposed as
-?format=avi on /inference-result.
+IMWRITE_JPEG_QUALITY 100); the reference's EXR float depth path
+(gui/api/encoding.py:54, cv2 IMREAD_ANYDEPTH) is carried by the
+pure-Python scanline codec in utils/exr.py (one ZIP-compressed float32
+EXR per frame — real .exr files, lossless, readable by any EXR tool);
+NPZ remains as the second lossless-float option the reference allows;
+the reference's MP4 video wire format (gui/api/encoding.py:26-30) is
+carried by AVI — a pure-Python MJPEG-AVI (utils/mjpeg_avi.py, real
+video playable by any player) encoding ALL frames into ONE buffer,
+exposed as ?format=avi on /inference-result.
 """
 
 from __future__ import annotations
@@ -26,11 +29,16 @@ import numpy as np
 class CompressionFormat(Enum):
     JPG = "jpg"
     PNG = "png"
+    EXR = "exr"  # lossless float depth, one scanline EXR per frame
     NPZ = "npz"
     AVI = "avi"  # all frames in one MJPEG-AVI buffer (MP4-role codec)
 
 
-IMAGE_COMPRESSION_FORMATS = (CompressionFormat.JPG, CompressionFormat.PNG)
+IMAGE_COMPRESSION_FORMATS = (
+    CompressionFormat.JPG,
+    CompressionFormat.PNG,
+    CompressionFormat.EXR,
+)
 VIDEO_COMPRESSION_FORMATS = (CompressionFormat.AVI,)
 
 
@@ -49,8 +57,8 @@ def compress_images(
         assert images.ndim == 4 and images.shape[-1] == 3, images.shape
 
     if is_depth:
-        assert format == CompressionFormat.NPZ, (
-            "Depth images must be encoded losslessly (NPZ)"
+        assert format in (CompressionFormat.EXR, CompressionFormat.NPZ), (
+            "Depth images must be encoded losslessly (EXR or NPZ)"
         )
         images = images.astype(np.float32)
     elif is_bool:
@@ -78,6 +86,12 @@ def compress_images(
     assert format in IMAGE_COMPRESSION_FORMATS, (
         f"Unsupported image compression format: {format}"
     )
+    if format == CompressionFormat.EXR:
+        assert is_depth, "EXR is the float-depth wire format"
+        from gen3c_tpu.utils.exr import write_exr_depth
+
+        return [write_exr_depth(frame) for frame in images]
+
     from PIL import Image
 
     result = []
@@ -112,7 +126,11 @@ def decompress_buffer(
 
     images = []
     for buf in buffers:
-        if format == CompressionFormat.NPZ:
+        if format == CompressionFormat.EXR:
+            from gen3c_tpu.utils.exr import read_exr_depth
+
+            images.append(read_exr_depth(buf)[None, ...])
+        elif format == CompressionFormat.NPZ:
             arr = np.load(io.BytesIO(buf), allow_pickle=False)
             if hasattr(arr, "files"):
                 assert len(arr.files) == 1, arr.files

@@ -385,9 +385,16 @@ def make_handler(service: InferenceService):
                     from gen3c_tpu.serving.encoding import CompressionFormat
 
                     try:
-                        CompressionFormat(fmt)
+                        rgb_fmt = CompressionFormat(fmt)
                     except ValueError:
                         self._send(400, f"unknown format {fmt}".encode())
+                        return
+                    if rgb_fmt is CompressionFormat.EXR:
+                        # EXR is the float-depth wire format; the result
+                        # RGB payload must use jpg/png/npz/avi.
+                        self._send(
+                            400, b"exr is depth-only; use jpg/png/npz/avi"
+                        )
                         return
                 try:
                     result = service.result_or_none(request_id)
