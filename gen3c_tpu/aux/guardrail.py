@@ -1,15 +1,23 @@
-"""Content-safety guardrails: runner + text blocklist + model-gated stubs.
+"""Content-safety guardrails: the full reference family in JAX.
 
 Parity: cosmos_predict1/auxiliary/guardrail/ —
   * GuardrailRunner chaining safety models + postprocessors
     (common/core.py:33-80)
   * Blocklist text filter (blocklist/blocklist.py): exact/partial word
-    match against profanity + custom word lists, lemmatization omitted
-  * Aegis/LlamaGuard3 text classifiers and the SigLIP video content
-    filter + RetinaFace face blur require their model checkpoints; they
-    are interface-complete here and raise with a clear message when
-    constructed without weights (the GEN3C entry points disable
-    guardrails by default: gen3c_single_image.py:491-492).
+    match against profanity + custom word lists, leetspeak folding,
+    whitelist, and WordNet-morphy lemmatization (see _morphy below)
+  * LlamaGuard3 text classifier — full JAX Llama-3.1-8B forward via
+    models.ar_transformer (torch-oracle parity in tests/test_aux.py)
+  * Aegis — Llama-2 wrapped with the PEFT LoRA adapter merged exactly
+    into the base weights (parity vs peft merge_and_unload), O1..O13
+    taxonomy verdict parsing
+  * SigLIP video content filter (aux/siglip.py) + RetinaFace face blur
+    (aux/retinaface.py), both JAX with torch-oracle parity.
+
+All model-backed guardrails are checkpoint-gated: they run the real
+network when weights are provided and raise with a clear message when
+constructed without them (the GEN3C entry points disable guardrails by
+default: gen3c_single_image.py:491-492).
 """
 
 from __future__ import annotations

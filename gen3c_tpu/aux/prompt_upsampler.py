@@ -11,6 +11,13 @@ conditioned on frames). Disabled by default for GEN3C
   * HFPromptUpsampler: any HF causal LM as the upsampler when its
     checkpoint is available (replaces the in-repo AutoRegressiveModel
     chat-completion plumbing, text2world_prompt_upsampler_inference.py)
+  * JaxPromptUpsampler: the TPU-native text-only path — the JAX
+    ar_transformer running a Mistral/Pixtral-style chat LM
+    (checkpoint-gated, int8-quantizable for single-chip 12B serving)
+  * VLMPromptUpsampler: the frames-conditioned reference behavior —
+    the JAX Pixtral vision tower (aux/vision_encoder.py) splices image
+    embeddings into the chat stream at the [IMG] placeholder and
+    generation runs on embeddings-prefill (video2world parity)
 """
 
 from __future__ import annotations

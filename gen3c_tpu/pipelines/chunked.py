@@ -91,6 +91,87 @@ def run_chunked_generation(
             target=_warm, name="gen3c-compile-warm", daemon=True
         ).start()
 
+    def _interchunk(start: int, end: int, last: np.ndarray, tag: str):
+        """Depth-estimate -> update_cache -> re-render for [start, end).
+
+        `last` is the previous chunk's final frame, (H, W, 3) float in
+        [0, 1]. Returns (warp_images, warp_masks), host-synced."""
+        t0 = time.perf_counter()
+        if update_cache_with_depth is not None:
+            pred_depth, _, _ = update_cache_with_depth(last)
+            cache.update_cache(
+                new_image=jnp.asarray(
+                    (last.transpose(2, 0, 1)[None] * 2 - 1).astype(np.float32)
+                ),
+                new_depth=jnp.asarray(pred_depth[None, None]),
+                new_w2c=w2cs[:, start],
+                new_intrinsics=ks[:, start],
+            )
+        t1 = time.perf_counter()
+        wi, wm = cache.render_cache(
+            w2cs[:, start:end],
+            ks[:, start:end],
+            start_frame_idx=start if use_start_frame_idx else 0,
+        )
+        # force a host read: block_until_ready can return early through
+        # the axon tunnel (CLAUDE.md), which would fake this timing
+        float(jnp.asarray(wm).ravel()[0])
+        t2 = time.perf_counter()
+        log.info(
+            f"chunk {start // (chunk - 1) + 1} cache update{tag}: "
+            f"depth+update {t1 - t0:.1f}s, re-render {t2 - t1:.1f}s "
+            "(incl. any compiles)"
+        )
+        return wi, wm
+
+    # Overlapped inter-chunk chain (VERDICT r4 weak #1): the depth
+    # estimate needs only the chunk's LAST frame, so pipeline.generate's
+    # on_last_frame callback (fired right after the on-device decode,
+    # before the tunnel-bound full-chunk fetch) kicks the device-side
+    # depth+update+re-render chain on a worker thread. Device compute
+    # runs UNDER the ~1-min host fetch/save tail instead of after it.
+    # The warm 241-frame measurement this hides: inter-chunk 65 s
+    # (depth+update 19.1 s + re-render 45.8 s) vs a decode+fetch tail of
+    # comparable length. Disabled when a video guardrail is active (a
+    # blocked chunk must not have mutated the cache) or via
+    # GEN3C_OVERLAP_INTERCHUNK=0.
+    overlap = (
+        num_iters > 1
+        and os.environ.get("GEN3C_OVERLAP_INTERCHUNK", "1") != "0"
+        and getattr(pipeline, "video_guardrail", None) is None
+    )
+
+    def _kick(it: int):
+        """on_last_frame callback + result slot for iteration `it`."""
+        import threading
+
+        start = it * (chunk - 1)
+        end = start + chunk
+        res: dict = {}
+
+        def on_last(frame_u8: np.ndarray):
+            def work():
+                try:
+                    res["warps"] = _interchunk(
+                        start, end, frame_u8.astype(np.float32) / 255.0,
+                        tag=" (overlapped)",
+                    )
+                except Exception as e:  # noqa: BLE001 — joined below
+                    res["error"] = e
+
+            th = threading.Thread(
+                target=work, name="gen3c-interchunk", daemon=True
+            )
+            th.start()
+            res["thread"] = th
+
+        return on_last, res
+
+    pending = None
+    extra = {}
+    if overlap and num_iters > 1:
+        kick_cb, pending = _kick(1)
+        extra = {"on_last_frame": kick_cb}
     out = pipeline.generate(
         prompt=prompt,
         image_frames=seed_frames,
@@ -98,6 +179,7 @@ def run_chunked_generation(
         rendered_warp_masks=warp_masks,
         free_warp_buffers=True,
         negative_prompt=negative_prompt,
+        **extra,
     )
     if out is None:
         raise RuntimeError("Generation blocked by guardrail")
@@ -112,40 +194,33 @@ def run_chunked_generation(
         log.info(f"Generating frames {start} - {end}")
         last = video[-1].astype(np.float32) / 255.0  # (H, W, 3) in [0, 1]
 
-        # phase timing: on the 2-chunk 241-frame run of 2026-08-19 this
-        # inter-chunk block took ~22 min of the 34-min total in a COLD
-        # process (first-shape remote compiles of the updated-cache
-        # splat render dominate; the persistent compile cache makes
-        # repeat runs warm) — log the split so regressions are visible
-        t0 = time.perf_counter()
-        if update_cache_with_depth is not None:
-            pred_depth, _, _ = update_cache_with_depth(last)
-            cache.update_cache(
-                new_image=jnp.asarray(
-                    (last.transpose(2, 0, 1)[None] * 2 - 1).astype(np.float32)
-                ),
-                new_depth=jnp.asarray(pred_depth[None, None]),
-                new_w2c=w2cs[:, start],
-                new_intrinsics=ks[:, start],
-            )
-        t1 = time.perf_counter()
+        warps = None
+        if pending is not None and "thread" in pending:
+            pending["thread"].join()
+            if "error" in pending:
+                # fall back to the serial path (the cache may be
+                # partially updated only if update_cache itself raised —
+                # surface that loudly rather than double-updating)
+                if update_cache_with_depth is not None:
+                    raise pending["error"]
+                log.warning(
+                    f"overlapped re-render failed ({pending['error']}); "
+                    "recomputing serially"
+                )
+            else:
+                warps = pending["warps"]
+        if warps is None:
+            warps = _interchunk(start, end, last, tag="")
+        warp_images, warp_masks = warps
+        pending = None
 
-        warp_images, warp_masks = cache.render_cache(
-            w2cs[:, start:end],
-            ks[:, start:end],
-            start_frame_idx=start if use_start_frame_idx else 0,
-        )
-        # force a host read: block_until_ready can return early through
-        # the axon tunnel (CLAUDE.md), which would fake this timing
-        float(jnp.asarray(warp_masks).ravel()[0])
-        t2 = time.perf_counter()
-        log.info(
-            f"chunk {it + 1} cache update: depth+update {t1 - t0:.1f}s, "
-            f"re-render {t2 - t1:.1f}s (incl. any compiles)"
-        )
         if save_buffer:
             all_warps.append(np.asarray(warp_images)[:, 1:])
 
+        extra = {}
+        if overlap and it + 1 < num_iters:
+            kick_cb, pending = _kick(it + 1)
+            extra = {"on_last_frame": kick_cb}
         seed = (last.transpose(2, 0, 1)[None, :, None] * 2 - 1).astype(
             np.float32
         )
@@ -156,6 +231,7 @@ def run_chunked_generation(
             rendered_warp_masks=warp_masks,
             free_warp_buffers=True,
             negative_prompt=negative_prompt,
+            **extra,
         )
         video_new, _ = out
         video = np.concatenate([video, video_new[1:]], axis=0)
