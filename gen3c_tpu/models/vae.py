@@ -712,9 +712,12 @@ class VideoTokenizer:
         n = 0
         for b in batch_sizes:
             xs = sds((b, 3, self.pixel_chunk_duration, h, w), jnp.float32)
-            self._compiled_encode[
-                (tuple(xs.shape), np.dtype(xs.dtype).name)
-            ] = self._encode.lower(params=pshapes, x=xs).compile()
+            ekey = (tuple(xs.shape), np.dtype(xs.dtype).name)
+            if ekey in self._compiled_encode:  # idempotent: the factory
+                continue  # may warm early, the pipeline warms again
+            self._compiled_encode[ekey] = self._encode.lower(
+                params=pshapes, x=xs
+            ).compile()
             n += 1
         if warm_decode:
             lf = decode_latent_frames or self.latent_chunk_duration
@@ -728,10 +731,12 @@ class VideoTokenizer:
                 ),
                 jnp.float32,
             )
-            self._compiled_decode[
-                (tuple(zs.shape), np.dtype(zs.dtype).name)
-            ] = self._decode.lower(params=pshapes, z=zs).compile()
-            n += 1
+            dkey = (tuple(zs.shape), np.dtype(zs.dtype).name)
+            if dkey not in self._compiled_decode:
+                self._compiled_decode[dkey] = self._decode.lower(
+                    params=pshapes, z=zs
+                ).compile()
+                n += 1
         return n
 
     def encode_image(self, image: Array) -> Array:

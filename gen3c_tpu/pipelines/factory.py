@@ -224,14 +224,18 @@ def build_gen3c_model(
         return init_dit_params(key, dit_cfg, param_dtype), False
 
     import threading
+    import time as _time
 
+    _t_build0 = _time.perf_counter()
     _dit_box: dict = {}
 
     def _dit_worker():
+        t0 = _time.perf_counter()
         try:
             _dit_box["result"] = _acquire_dit()
         except BaseException as e:  # noqa: BLE001 — re-raised on join
             _dit_box["error"] = e
+        _dit_box["seconds"] = _time.perf_counter() - t0
 
     _dit_thread = threading.Thread(
         target=_dit_worker, name="gen3c-dit-build", daemon=True
@@ -286,12 +290,38 @@ def build_gen3c_model(
         spatial_resolution=(preset.height, preset.width),
     )
 
+    _t_vae_done = _time.perf_counter()
+
+    # serving start-to-ready (VERDICT r4 next #5): the VAE compile
+    # warming is weight-independent (abstract shapes, zero HBM), so in
+    # offload mode kick it NOW — under the minutes-long DiT upload/init
+    # arm — instead of waiting for Gen3cPipeline.__post_init__ (which
+    # re-warms idempotently; already-compiled shapes are skipped).
+    if offload_dit and os.environ.get("GEN3C_WARM_COMPILES", "1") != "0":
+
+        def _early_warm():
+            try:
+                t0 = _time.perf_counter()
+                n = tokenizer.warm_compiles()
+                log.info(
+                    f"warmed {n} VAE program(s) in "
+                    f"{_time.perf_counter() - t0:.1f}s "
+                    "(early, under the DiT acquisition)"
+                )
+            except Exception as e:  # noqa: BLE001 — warming is best-effort
+                log.warning(f"early VAE compile warming failed: {e}")
+
+        threading.Thread(
+            target=_early_warm, name="gen3c-vae-warm", daemon=True
+        ).start()
+
     # join the overlapped DiT acquisition before the quantize/offload
     # stages that consume it
     _dit_thread.join()
     if "error" in _dit_box:
         raise _dit_box["error"]
     dit_params, dit_prequantized = _dit_box["result"]
+    _t_dit_join = _time.perf_counter()
 
     if quantize and not dit_prequantized:
         from gen3c_tpu.models.quantize import quantize_dit_params_inplace
@@ -426,6 +456,23 @@ def build_gen3c_model(
         sequence_parallel=use_sp,
         offload_dit=offload_dit and num_devices == 1,
         streaming_net=streaming_net,
+    )
+    # cold-start breakdown (VERDICT r4 next #5): the DiT acquisition is
+    # the bandwidth-bound arm; everything else should hide under it —
+    # a 'serial tail' much above ~15 s means a new serial stage crept in
+    _t_end = _time.perf_counter()
+    log.info(
+        "build breakdown: dit-acquire %.1fs (overlapped) | vae+tokenizer "
+        "%.1fs (parallel arm) | join-wait %.1fs | quantize/stage/mesh "
+        "%.1fs | total %.1fs (serial tail beyond dit: %.1fs)"
+        % (
+            _dit_box.get("seconds", float("nan")),
+            _t_vae_done - _t_build0,
+            _t_dit_join - _t_vae_done,
+            _t_end - _t_dit_join,
+            _t_end - _t_build0,
+            (_t_end - _t_build0) - _dit_box.get("seconds", 0.0),
+        )
     )
     return model, preset
 

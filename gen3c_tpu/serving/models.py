@@ -177,9 +177,31 @@ class Gen3cPersistentModel(InferenceModel):
         guidance_interval: Optional[tuple] = None,
         cfg_rescale: float = 0.0,
     ):
+        import threading
+        import time as _time
+
         from gen3c_tpu.pipelines.depth import make_depth_estimator
         from gen3c_tpu.pipelines.factory import build_gen3c_model
         from gen3c_tpu.pipelines.gen3c_pipeline import Gen3cPipeline
+
+        _t0 = _time.perf_counter()
+        # depth-estimator construction (MoGe JAX: checkpoint load +
+        # device puts) overlaps the model build — its weights ride the
+        # same tunnel the DiT upload saturates, but the build's slow arm
+        # also includes device-side init/quantize time, so the overlap
+        # is still net-positive (serving start-to-ready, VERDICT r4 #5)
+        _depth_box: dict = {}
+
+        def _build_depth():
+            try:
+                _depth_box["result"] = make_depth_estimator(depth_source)
+            except BaseException as e:  # noqa: BLE001 — re-raised on join
+                _depth_box["error"] = e
+
+        _depth_thread = threading.Thread(
+            target=_build_depth, name="gen3c-depth-build", daemon=True
+        )
+        _depth_thread.start()
 
         if offload_dit is None:
             # same auto-enable as the single-image CLI: 7B + full-res
@@ -217,7 +239,17 @@ class Gen3cPersistentModel(InferenceModel):
             width=self.preset.width,
             seed=seed,
         )
-        self.depth_estimator = make_depth_estimator(depth_source)
+        _depth_thread.join()
+        if "error" in _depth_box:
+            raise _depth_box["error"]
+        self.depth_estimator = _depth_box["result"]
+        from gen3c_tpu.utils import log as _log
+
+        _log.info(
+            "serving model ready in %.1fs (build + pipeline + depth, "
+            "compile warming continues in background)"
+            % (_time.perf_counter() - _t0)
+        )
         self.cache = None
         self._native_pc = None  # (points, colors) memo for previews
         self.seeding_request: Optional[SeedingRequest] = None
