@@ -55,9 +55,11 @@ def main() -> None:
     def fill(leaf):
         nonlocal n_params
         n_params += int(np.prod(leaf.shape))
-        return rng.standard_normal(leaf.shape, dtype=np.float32).astype(
-            ml_dtypes.bfloat16
-        ) * ml_dtypes.bfloat16(0.02)
+        # scale in float32 BEFORE the bf16 cast: ml_dtypes arithmetic is
+        # scalar-slow on host, the float32 path is vectorized
+        a = rng.standard_normal(leaf.shape, dtype=np.float32)
+        a *= 0.02
+        return a.astype(ml_dtypes.bfloat16)
 
     leaves, treedef = jax.tree_util.tree_flatten(template)
     params = jax.tree_util.tree_unflatten(
