@@ -172,72 +172,79 @@ def run_chunked_generation(
     if overlap and num_iters > 1:
         kick_cb, pending = _kick(1)
         extra = {"on_last_frame": kick_cb}
-    out = pipeline.generate(
-        prompt=prompt,
-        image_frames=seed_frames,
-        rendered_warp_images=warp_images,
-        rendered_warp_masks=warp_masks,
-        free_warp_buffers=True,
-        negative_prompt=negative_prompt,
-        **extra,
-    )
-    if out is None:
-        raise RuntimeError("Generation blocked by guardrail")
-    video, _ = out
-
-    if on_chunk is not None:
-        on_chunk(1, num_iters, video)
-    for it in range(1, num_iters):
-        start = it * (chunk - 1)
-        end = start + chunk
-        _check_cancel()
-        log.info(f"Generating frames {start} - {end}")
-        last = video[-1].astype(np.float32) / 255.0  # (H, W, 3) in [0, 1]
-
-        warps = None
-        if pending is not None and "thread" in pending:
-            pending["thread"].join()
-            if "error" in pending:
-                # fall back to the serial path (the cache may be
-                # partially updated only if update_cache itself raised —
-                # surface that loudly rather than double-updating)
-                if update_cache_with_depth is not None:
-                    raise pending["error"]
-                log.warning(
-                    f"overlapped re-render failed ({pending['error']}); "
-                    "recomputing serially"
-                )
-            else:
-                warps = pending["warps"]
-        if warps is None:
-            warps = _interchunk(start, end, last, tag="")
-        warp_images, warp_masks = warps
-        pending = None
-
-        if save_buffer:
-            all_warps.append(np.asarray(warp_images)[:, 1:])
-
-        extra = {}
-        if overlap and it + 1 < num_iters:
-            kick_cb, pending = _kick(it + 1)
-            extra = {"on_last_frame": kick_cb}
-        seed = (last.transpose(2, 0, 1)[None, :, None] * 2 - 1).astype(
-            np.float32
-        )
+    try:
         out = pipeline.generate(
             prompt=prompt,
-            image_frames=seed,
+            image_frames=seed_frames,
             rendered_warp_images=warp_images,
             rendered_warp_masks=warp_masks,
             free_warp_buffers=True,
             negative_prompt=negative_prompt,
             **extra,
         )
-        video_new, _ = out
-        video = np.concatenate([video, video_new[1:]], axis=0)
+        if out is None:
+            raise RuntimeError("Generation blocked by guardrail")
+        video, _ = out
+
         if on_chunk is not None:
-            on_chunk(it + 1, num_iters, video)
-    return video, all_warps
+            on_chunk(1, num_iters, video)
+        for it in range(1, num_iters):
+            start = it * (chunk - 1)
+            end = start + chunk
+            _check_cancel()
+            log.info(f"Generating frames {start} - {end}")
+            last = video[-1].astype(np.float32) / 255.0  # (H, W, 3) in [0, 1]
+
+            warps = None
+            if pending is not None and "thread" in pending:
+                pending["thread"].join()
+                if "error" in pending:
+                    # fall back to the serial path (the cache may be
+                    # partially updated only if update_cache itself raised —
+                    # surface that loudly rather than double-updating)
+                    if update_cache_with_depth is not None:
+                        raise pending["error"]
+                    log.warning(
+                        f"overlapped re-render failed ({pending['error']}); "
+                        "recomputing serially"
+                    )
+                else:
+                    warps = pending["warps"]
+            if warps is None:
+                warps = _interchunk(start, end, last, tag="")
+            warp_images, warp_masks = warps
+            pending = None
+
+            if save_buffer:
+                all_warps.append(np.asarray(warp_images)[:, 1:])
+
+            extra = {}
+            if overlap and it + 1 < num_iters:
+                kick_cb, pending = _kick(it + 1)
+                extra = {"on_last_frame": kick_cb}
+            seed = (last.transpose(2, 0, 1)[None, :, None] * 2 - 1).astype(
+                np.float32
+            )
+            out = pipeline.generate(
+                prompt=prompt,
+                image_frames=seed,
+                rendered_warp_images=warp_images,
+                rendered_warp_masks=warp_masks,
+                free_warp_buffers=True,
+                negative_prompt=negative_prompt,
+                **extra,
+            )
+            video_new, _ = out
+            video = np.concatenate([video, video_new[1:]], axis=0)
+            if on_chunk is not None:
+                on_chunk(it + 1, num_iters, video)
+        return video, all_warps
+    finally:
+        # a cancel or error mid-loop must not leave the worker thread
+        # mutating the (serving-owned, reused) cache after this function
+        # exits — join any in-flight inter-chunk work before returning
+        if pending is not None and "thread" in pending:
+            pending["thread"].join()
 
 
 def compose_buffer_video(
