@@ -34,8 +34,9 @@ reference monkeypatch cites):
                      -> softmax over 9 -> weighted 3x3 unfold of 8*flow.
 
 The reference runs the model in bf16 on GPU; this port computes in fp32
-(TPU bf16-default matmuls lose coordinate precision — the correlation
-einsum uses Precision.HIGHEST per the repo's geometry rule) and invokes
+(TPU bf16-default matmuls lose coordinate precision — every conv and the
+correlation einsum pass Precision.HIGHEST per the repo's geometry rule,
+since the flow head's outputs accumulate into pixel coordinates) and invokes
 it as the reference does: `flow_model(f1, f2)[-1]` == 12 update
 iterations, final prediction (continuous.py:311).
 
@@ -230,9 +231,15 @@ def _conv(p: Dict[str, Array], name: str, x: Array, stride: int = 1,
     if isinstance(padding, str) and padding == "SAME":
         kh, kw = w.shape[2], w.shape[3]
         padding = ((kh // 2, kh // 2), (kw // 2, kw // 2))
+    # HIGHEST: flow-head conv outputs accumulate into pixel COORDINATES
+    # (coords1 += delta) that drive grid-sample lookups — the repo's
+    # geometry rule (TPU matmul/conv default is bf16; CLAUDE.md). CPU
+    # tests can't catch a bf16 drift, so keep every conv at full
+    # precision, matching the module docstring's fp32 claim.
     y = jax.lax.conv_general_dilated(
         x, w, (stride, stride), padding,
         dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        precision=jax.lax.Precision.HIGHEST,
     )
     return y + p[f"{name}.bias"].astype(jnp.float32)[None, :, None, None]
 

@@ -37,6 +37,7 @@ from __future__ import annotations
 import contextlib
 import dataclasses
 import math
+import threading
 from functools import partial
 from typing import Any, Dict, Optional, Tuple
 
@@ -629,6 +630,11 @@ class VideoTokenizer:
         # executables directly.
         self._compiled_encode: dict = {}
         self._compiled_decode: dict = {}
+        # Serializes concurrent warm_compiles calls (the factory's early
+        # warm thread and the pipeline's warm thread can race): without
+        # it, check-then-act on the dicts would launch the same 20-300 s
+        # remote compile twice.
+        self._warm_lock = threading.Lock()
 
     def _run_encode(self, p, x: Array) -> Array:
         key = (tuple(x.shape), np.dtype(x.dtype).name)
@@ -710,33 +716,39 @@ class VideoTokenizer:
         )
         h, w = self.spatial_resolution
         n = 0
-        for b in batch_sizes:
-            xs = sds((b, 3, self.pixel_chunk_duration, h, w), jnp.float32)
-            ekey = (tuple(xs.shape), np.dtype(xs.dtype).name)
-            if ekey in self._compiled_encode:  # idempotent: the factory
-                continue  # may warm early, the pipeline warms again
-            self._compiled_encode[ekey] = self._encode.lower(
-                params=pshapes, x=xs
-            ).compile()
-            n += 1
-        if warm_decode:
-            lf = decode_latent_frames or self.latent_chunk_duration
-            zs = sds(
-                (
-                    1,
-                    self.latent_ch,
-                    lf,
-                    h // self.spatial_compression_factor,
-                    w // self.spatial_compression_factor,
-                ),
-                jnp.float32,
-            )
-            dkey = (tuple(zs.shape), np.dtype(zs.dtype).name)
-            if dkey not in self._compiled_decode:
-                self._compiled_decode[dkey] = self._decode.lower(
-                    params=pshapes, z=zs
+        # The lock makes idempotency real under concurrency: the factory's
+        # early warm thread and the pipeline's warm thread both call this;
+        # the second caller blocks until the first finishes, then sees the
+        # keys present and compiles nothing (instead of racing the
+        # check-then-act and duplicating a minutes-long remote compile).
+        with self._warm_lock:
+            for b in batch_sizes:
+                xs = sds((b, 3, self.pixel_chunk_duration, h, w), jnp.float32)
+                ekey = (tuple(xs.shape), np.dtype(xs.dtype).name)
+                if ekey in self._compiled_encode:
+                    continue
+                self._compiled_encode[ekey] = self._encode.lower(
+                    params=pshapes, x=xs
                 ).compile()
                 n += 1
+            if warm_decode:
+                lf = decode_latent_frames or self.latent_chunk_duration
+                zs = sds(
+                    (
+                        1,
+                        self.latent_ch,
+                        lf,
+                        h // self.spatial_compression_factor,
+                        w // self.spatial_compression_factor,
+                    ),
+                    jnp.float32,
+                )
+                dkey = (tuple(zs.shape), np.dtype(zs.dtype).name)
+                if dkey not in self._compiled_decode:
+                    self._compiled_decode[dkey] = self._decode.lower(
+                        params=pshapes, z=zs
+                    ).compile()
+                    n += 1
         return n
 
     def encode_image(self, image: Array) -> Array:

@@ -169,7 +169,7 @@ def run_chunked_generation(
 
     pending = None
     extra = {}
-    if overlap and num_iters > 1:
+    if overlap:
         kick_cb, pending = _kick(1)
         extra = {"on_last_frame": kick_cb}
     try:

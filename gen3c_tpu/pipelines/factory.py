@@ -297,7 +297,14 @@ def build_gen3c_model(
     # offload mode kick it NOW — under the minutes-long DiT upload/init
     # arm — instead of waiting for Gen3cPipeline.__post_init__ (which
     # re-warms idempotently; already-compiled shapes are skipped).
-    if offload_dit and os.environ.get("GEN3C_WARM_COMPILES", "1") != "0":
+    # num_devices == 1 matches the FINAL offload decision (multi-device
+    # demotes offload_dit below) — multi-device serving never warmed
+    # these single-device-lowered executables before, and must not start.
+    if (
+        offload_dit
+        and num_devices == 1
+        and os.environ.get("GEN3C_WARM_COMPILES", "1") != "0"
+    ):
 
         def _early_warm():
             try:

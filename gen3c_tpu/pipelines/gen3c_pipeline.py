@@ -275,6 +275,16 @@ class Gen3cPipeline:
 
         log.info("Decoding latents...")
         video = self.model.decode(samples)  # (B, 3, T, H, W) in [-1, 1]
+        if on_last_frame is not None and self.video_guardrail is not None:
+            # enforce the no-side-effects-on-blocked-chunk invariant HERE,
+            # not just at call sites: the callback typically mutates the
+            # serving-owned 3D cache, which must not happen for a chunk
+            # the guardrail below may refuse to deliver.
+            log.warning(
+                "on_last_frame skipped: a video guardrail is active and "
+                "the callback must not observe a potentially-blocked chunk"
+            )
+            on_last_frame = None
         if on_last_frame is not None:
             # same on-device conversion as fetch_video_uint8, sliced to
             # the final frame — bit-identical to the full fetch's [-1]

@@ -122,9 +122,10 @@ class SeedingRequest(RequestBase):
 
     def compress(self, format_rgb=None, format_depth=None,
                  format_mask=None) -> "CompressedSeedingRequest":
-        """Per-buffer compression (api_types.py:176-206 parity; EXR's
-        lossless-float role for depth is carried by NPZ — see
-        serving/encoding.py)."""
+        """Per-buffer compression (api_types.py:176-206 parity). Depth
+        may ride CompressionFormat.EXR (lossless float16/32 scanlines,
+        gui/api/encoding.py:26-54 parity) or the NPZ default — see
+        serving/encoding.py."""
         from gen3c_tpu.serving.encoding import (
             CompressionFormat,
             compress_images,

@@ -216,30 +216,36 @@ class Gen3cPersistentModel(InferenceModel):
                     "block-streamed bf16 DiT (set GEN3C_QUANTIZE=w8a8 "
                     "for resident-weight int8 denoising)"
                 )
-        self.model, self.preset = build_gen3c_model(
-            model_preset, checkpoint_dir=checkpoint_dir, seed=seed,
-            quantize=quantize, num_devices=num_devices, parallel=parallel,
-            offload_dit=offload_dit,
-            attn_temporal_window=attn_temporal_window,
-            cp_attn=cp_attn,
-            # VAE params (0.42 GB) would otherwise sit in the ~0.5 GB
-            # slack the host-loop denoise step leaves (docs/STATUS.md)
-            offload_tokenizer=offload_dit,
-        )
-        self.pipeline = Gen3cPipeline(
-            model=self.model,
-            guidance=guidance,
-            guidance_interval=(tuple(float(v) for v in guidance_interval)
-                               if guidance_interval else None),
-            cfg_rescale=float(cfg_rescale),
-            num_steps=num_steps,
-            step_cache_interval=step_cache_interval,
-            step_cache_threshold=step_cache_threshold,
-            height=self.preset.height,
-            width=self.preset.width,
-            seed=seed,
-        )
-        _depth_thread.join()
+        try:
+            self.model, self.preset = build_gen3c_model(
+                model_preset, checkpoint_dir=checkpoint_dir, seed=seed,
+                quantize=quantize, num_devices=num_devices, parallel=parallel,
+                offload_dit=offload_dit,
+                attn_temporal_window=attn_temporal_window,
+                cp_attn=cp_attn,
+                # VAE params (0.42 GB) would otherwise sit in the ~0.5 GB
+                # slack the host-loop denoise step leaves (docs/STATUS.md)
+                offload_tokenizer=offload_dit,
+            )
+            self.pipeline = Gen3cPipeline(
+                model=self.model,
+                guidance=guidance,
+                guidance_interval=(tuple(float(v) for v in guidance_interval)
+                                   if guidance_interval else None),
+                cfg_rescale=float(cfg_rescale),
+                num_steps=num_steps,
+                step_cache_interval=step_cache_interval,
+                step_cache_threshold=step_cache_threshold,
+                height=self.preset.height,
+                width=self.preset.width,
+                seed=seed,
+            )
+        finally:
+            # join even when the build raises: otherwise the daemon
+            # thread keeps pushing MoGe weights through the tunnel (and
+            # holding HBM) with no consumer, degrading whatever the
+            # caller does next (e.g. a constructor retry)
+            _depth_thread.join()
         if "error" in _depth_box:
             raise _depth_box["error"]
         self.depth_estimator = _depth_box["result"]

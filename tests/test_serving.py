@@ -501,6 +501,65 @@ def test_overlapped_interchunk_matches_serial(monkeypatch):
     np.testing.assert_array_equal(serial.images, overlapped.images)
 
 
+def test_generate_skips_on_last_frame_under_video_guardrail():
+    """generate() itself enforces the no-side-effects-on-blocked-chunk
+    invariant (not just the one call site in chunked.py): when a video
+    guardrail is active, the on_last_frame callback — which typically
+    mutates the serving-owned 3D cache — must never fire, because the
+    guardrail may refuse to deliver the chunk."""
+    import jax.numpy as jnp
+
+    model = Gen3cPersistentModel(
+        model_preset="gen3c_tiny",
+        checkpoint_dir=None,
+        num_steps=2,
+        depth_source="heuristic",
+    )
+    h, w = model.preset.height, model.preset.width
+    c2w, fl, pp, res = _cameras(1, h, w)
+    rng = np.random.RandomState(3)
+    model.seed_model(
+        SeedingRequest(
+            request_id="s",
+            cameras_to_world=c2w,
+            focal_lengths=fl,
+            principal_points=pp,
+            images=(rng.rand(1, h, w, 3) * 255).astype(np.uint8),
+        )
+    )
+    chunk = model.model.chunk_size
+    c2w, fl, pp, res = _cameras(chunk, h, w)
+    req = InferenceRequest(
+        request_id="i",
+        cameras_to_world=c2w,
+        focal_lengths=fl,
+        principal_points=pp,
+        resolutions=res,
+    )
+    target_res = np.tile([[w, h]], (len(req), 1))
+    w2cs = jnp.asarray(req.world_to_cameras().astype(np.float32))[None]
+    ks = jnp.asarray(
+        req.intrinsics_matrix(for_resolutions=target_res).astype(np.float32)
+    )[None]
+    warp_images, warp_masks = model.cache.render_cache(w2cs, ks)
+
+    class _PassGuard:
+        def run(self, video):
+            return video
+
+    model.pipeline.video_guardrail = _PassGuard()
+    fired = []
+    out = model.pipeline.generate(
+        prompt="",
+        image_frames=model._seed_frame,
+        rendered_warp_images=warp_images,
+        rendered_warp_masks=warp_masks,
+        on_last_frame=fired.append,
+    )
+    assert out is not None  # the pass-through guardrail delivered the chunk
+    assert fired == []  # but the callback must not have observed it
+
+
 def test_viewer_and_geometry_endpoints(debug_server):
     # static viewer page
     code, body = _get(f"{debug_server}/viewer")
