@@ -144,6 +144,7 @@ def demo(args) -> str:
     )
 
     seed_frames = image[0:1].astype(np.float32)[None].transpose(1, 2, 0, 3, 4)
+    saver = io_utils.IncrementalVideoSaver(args.fps)
     video, all_warps = run_chunked_generation(
         pipeline,
         cache,
@@ -155,12 +156,16 @@ def demo(args) -> str:
         update_cache_with_depth=None,  # depth known for all frames
         use_start_frame_idx=True,
         save_buffer=args.save_buffer,
+        on_chunk=(
+            None if args.save_buffer
+            else lambda done, total, v: saver.update(v)
+        ),
     )
     final = compose_buffer_video(video, all_warps, preset.height, preset.width)
     save_path = os.path.join(
         args.video_save_folder, f"{args.video_save_name}.mp4"
     )
-    save_path = io_utils.save_video(final, args.fps, save_path)
+    save_path = saver.save(final, save_path)
     log.info(f"Saved video to {save_path}")
     return save_path
 

@@ -115,6 +115,7 @@ def demo(args) -> str:
         ks = jnp.asarray(last_k[None])
 
     seed_frames = d["images"][0][None, :, None]  # (1, C, 1, H, W)
+    saver = io_utils.IncrementalVideoSaver(args.fps)
     video, all_warps = run_chunked_generation(
         pipeline,
         cache,
@@ -125,12 +126,16 @@ def demo(args) -> str:
         negative_prompt=args.negative_prompt or None,
         update_cache_with_depth=None,
         save_buffer=args.save_buffer,
+        on_chunk=(
+            None if args.save_buffer
+            else lambda done, total, v: saver.update(v)
+        ),
     )
     final = compose_buffer_video(video, all_warps, preset.height, preset.width)
     save_path = os.path.join(
         args.video_save_folder, f"{args.video_save_name}.mp4"
     )
-    save_path = io_utils.save_video(final, args.fps, save_path)
+    save_path = saver.save(final, save_path)
     log.info(f"Saved video to {save_path}")
     return save_path
 

@@ -301,6 +301,14 @@ def _generate_one(args, preset, pipeline, image_path, prompt, save_name) -> str:
         run_chunked_generation,
     )
 
+    # incremental save: JPEG-encode each finished chunk's frames under
+    # the next chunk's denoise (no-op when ffmpeg writes mp4s instead);
+    # useless when compose_buffer_video will rewrite every frame
+    saver = io_utils.IncrementalVideoSaver(args.fps)
+    on_chunk = (
+        None if args.save_buffer
+        else lambda done, total, v: saver.update(v)
+    )
     video, all_warps = run_chunked_generation(
         pipeline,
         cache,
@@ -311,12 +319,13 @@ def _generate_one(args, preset, pipeline, image_path, prompt, save_name) -> str:
         negative_prompt=args.negative_prompt or None,
         update_cache_with_depth=estimator,
         save_buffer=args.save_buffer,
+        on_chunk=on_chunk,
     )
     # side-by-side warp buffers | generated video (ref :425-456)
     final_video = compose_buffer_video(video, all_warps, h, w)
 
     save_path = os.path.join(args.video_save_folder, f"{save_name}.mp4")
-    save_path = io_utils.save_video(final_video, args.fps, save_path)
+    save_path = saver.save(final_video, save_path)
     log.info(f"Saved video to {save_path}")
     return save_path
 

@@ -61,6 +61,133 @@ def save_video(
         return base
 
 
+class IncrementalVideoSaver:
+    """Hides the MJPEG-AVI save tail of AR runs under later chunks.
+
+    save_video's ffmpeg-less fallback JPEG-encodes every frame at the
+    END of the run (~12-25 s for a 121-frame 704x1280 chunk on this
+    1-core host, fully serial with everything). AR chunk frames are
+    final as soon as pipeline.generate returns, so the CLIs feed each
+    completed chunk to update() — a single worker thread encodes the
+    new frames while the NEXT chunk denoises (the denoise host loop is
+    contention-proof: docs/STATUS.md round 3) — and save() assembles
+    the container from the cache.
+
+    Correctness does not depend on the caller's discipline: every
+    cached JPEG is keyed by an adler32 of the frame bytes, and save()
+    re-verifies each output frame against the cache, re-encoding on any
+    mismatch (trimmed padding, compose_buffer_video, a guardrail edit).
+    With ffmpeg available save_video writes real mp4s instead; update()
+    is then a no-op and save() just delegates. Byte-identical output to
+    a plain save_video call (same PIL encode: tests/test_easy_io.py).
+    """
+
+    def __init__(self, fps: int, quality: int = 5):
+        self.fps = fps
+        # same imageio(0-10) -> JPEG quality mapping as save_video
+        self.jpeg_quality = min(95, 50 + 5 * quality)
+        self.quality = quality
+        self._cache: List[tuple] = []  # [(adler32, jpeg bytes)] in order
+        self._scheduled = 0
+        self._thread = None
+        self._error: Optional[BaseException] = None
+        self._enabled = (
+            os.environ.get("GEN3C_INCREMENTAL_SAVE", "1") != "0"
+            and not _ffmpeg_available()
+        )
+
+    def update(self, video_so_far: np.ndarray) -> None:
+        """Schedule background JPEG encoding of frames beyond the last
+        update() call. Non-blocking; thread-chained so cache order is
+        append-only."""
+        if not self._enabled or self._error is not None:
+            return
+        frames = np.asarray(video_so_far)[self._scheduled:]
+        if frames.size == 0:
+            return
+        self._scheduled += len(frames)
+        prev = self._thread
+
+        def work():
+            import zlib
+
+            if prev is not None:
+                prev.join()
+            try:
+                from gen3c_tpu.utils.mjpeg_avi import encode_jpeg_frame
+
+                for fr in frames:
+                    fr = np.ascontiguousarray(fr)
+                    self._cache.append((
+                        zlib.adler32(fr.tobytes()),
+                        encode_jpeg_frame(fr, self.jpeg_quality),
+                    ))
+            except BaseException as e:  # noqa: BLE001 — save() falls back
+                self._error = e
+
+        import threading
+
+        self._thread = threading.Thread(
+            target=work, name="gen3c-jpeg-encode", daemon=True
+        )
+        self._thread.start()
+
+    def save(self, video: np.ndarray, filepath: str) -> str:
+        """save_video semantics (returns the path actually written),
+        reusing the pre-encoded JPEGs for every frame whose bytes still
+        match."""
+        if self._thread is not None:
+            self._thread.join()
+        if not self._enabled or self._error is not None:
+            return save_video(video, self.fps, filepath, self.quality)
+        try:
+            import zlib
+
+            from gen3c_tpu.utils.mjpeg_avi import (
+                encode_jpeg_frame,
+                write_mjpeg_avi,
+            )
+
+            reused = 0
+            jpegs = []
+            for i, frame in enumerate(video):
+                frame = np.ascontiguousarray(frame)
+                c = zlib.adler32(frame.tobytes())
+                if i < len(self._cache) and self._cache[i][0] == c:
+                    jpegs.append(self._cache[i][1])
+                    reused += 1
+                else:
+                    jpegs.append(encode_jpeg_frame(frame, self.jpeg_quality))
+            avi_path = os.path.splitext(filepath)[0] + ".avi"
+            os.makedirs(
+                os.path.dirname(os.path.abspath(avi_path)), exist_ok=True
+            )
+            write_mjpeg_avi(
+                avi_path, None, fps=self.fps, jpegs=jpegs,
+                frame_shape=(video.shape[1], video.shape[2]),
+            )
+            if reused < len(video):
+                from gen3c_tpu.utils import log
+
+                log.info(
+                    f"incremental save: reused {reused}/{len(video)} "
+                    "pre-encoded frames"
+                )
+            return avi_path
+        except Exception:  # pragma: no cover — last-resort parity
+            return save_video(video, self.fps, filepath, self.quality)
+
+
+def _ffmpeg_available() -> bool:
+    try:
+        import imageio_ffmpeg
+
+        imageio_ffmpeg.get_ffmpeg_exe()
+        return True
+    except Exception:
+        return False
+
+
 def read_prompts_from_file(prompt_file: str) -> List[dict]:
     """One JSON dict per line with key "prompt" (io.py:27-50 parity)."""
     import json

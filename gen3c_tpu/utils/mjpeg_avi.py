@@ -17,7 +17,7 @@ from __future__ import annotations
 
 import io as _io
 import struct
-from typing import IO, Tuple, Union
+from typing import IO, List, Optional, Tuple, Union
 
 import numpy as np
 
@@ -33,24 +33,39 @@ def _list(fourcc: bytes, payload: bytes) -> bytes:
     return _chunk(b"LIST", fourcc + payload)
 
 
-def write_mjpeg_avi(
-    dst: Union[str, IO[bytes]],
-    frames: np.ndarray,
-    fps: float = 24.0,
-    quality: int = 90,
-) -> None:
-    """Write (T, H, W, 3) uint8 frames as an MJPEG AVI."""
+def encode_jpeg_frame(frame: np.ndarray, quality: int = 90) -> bytes:
+    """One (H, W, 3) uint8 frame -> JPEG bytes (the exact encode
+    write_mjpeg_avi performs, so pre-encoded frames are byte-identical
+    to a one-shot write — see utils/io.py IncrementalVideoSaver)."""
     from PIL import Image
 
-    frames = np.asarray(frames)
-    assert frames.ndim == 4 and frames.shape[-1] == 3, frames.shape
-    T, H, W = frames.shape[:3]
+    buf = _io.BytesIO()
+    Image.fromarray(frame).save(buf, format="jpeg", quality=quality)
+    return buf.getvalue()
 
-    jpegs = []
-    for fr in frames:
-        buf = _io.BytesIO()
-        Image.fromarray(fr).save(buf, format="jpeg", quality=quality)
-        jpegs.append(buf.getvalue())
+
+def write_mjpeg_avi(
+    dst: Union[str, IO[bytes]],
+    frames: Optional[np.ndarray],
+    fps: float = 24.0,
+    quality: int = 90,
+    jpegs: Optional[List[bytes]] = None,
+    frame_shape: Optional[Tuple[int, int]] = None,
+) -> None:
+    """Write (T, H, W, 3) uint8 frames as an MJPEG AVI.
+
+    Alternatively pass pre-encoded per-frame ``jpegs`` (from
+    encode_jpeg_frame) plus ``frame_shape`` (H, W) — the AR pipelines
+    encode chunk frames incrementally under later chunks' denoise and
+    only assemble the container here."""
+    if jpegs is not None:
+        assert frame_shape is not None, "jpegs= requires frame_shape=(H, W)"
+        T, (H, W) = len(jpegs), frame_shape
+    else:
+        frames = np.asarray(frames)
+        assert frames.ndim == 4 and frames.shape[-1] == 3, frames.shape
+        T, H, W = frames.shape[:3]
+        jpegs = [encode_jpeg_frame(fr, quality) for fr in frames]
     max_bytes = max(len(j) for j in jpegs)
 
     # fps as a rational: rate/scale

@@ -205,6 +205,56 @@ def test_mjpeg_avi_roundtrip_and_save_video_fallback(tmp_path):
     assert abs(fps2 - 24.0) < 1e-6
 
 
+def test_incremental_video_saver_matches_one_shot(tmp_path):
+    """IncrementalVideoSaver (AR chunks pre-encoded under later chunks'
+    denoise) produces BYTE-identical files to a plain save_video call,
+    and its checksum verification survives a trimmed/edited final video
+    (pad-trim, compose_buffer_video, guardrail edits)."""
+    import numpy as np
+
+    from gen3c_tpu.utils import io as io_utils
+    from gen3c_tpu.utils.mjpeg_avi import read_mjpeg_avi
+
+    rng = np.random.RandomState(0)
+    frames = (rng.rand(9, 16, 24, 3) * 255).astype(np.uint8)
+
+    ref = io_utils.save_video(frames, 24, str(tmp_path / "ref.mp4"))
+    assert ref.endswith(".avi")  # ffmpeg-less env
+
+    saver = io_utils.IncrementalVideoSaver(24)
+    assert saver._enabled
+    saver.update(frames[:5])  # chunk 1
+    saver.update(frames)  # chunk 2 (cumulative, as on_chunk delivers)
+    out = saver.save(frames, str(tmp_path / "inc.mp4"))
+    assert out.endswith(".avi")
+    assert (
+        (tmp_path / "inc.avi").read_bytes()
+        == (tmp_path / "ref.avi").read_bytes()
+    )
+
+    # trimmed + edited final video: per-frame checksums catch both the
+    # dropped tail and the changed frame; output equals a fresh save
+    edited = frames[:7].copy()
+    edited[3] ^= 255
+    saver2 = io_utils.IncrementalVideoSaver(24)
+    saver2.update(frames)
+    out2 = saver2.save(edited, str(tmp_path / "ed.mp4"))
+    ref2 = io_utils.save_video(edited, 24, str(tmp_path / "ref2.mp4"))
+    assert (
+        (tmp_path / "ed.avi").read_bytes()
+        == (tmp_path / "ref2.avi").read_bytes()
+    )
+    back, fps = read_mjpeg_avi(out2)
+    assert back.shape == edited.shape and abs(fps - 24.0) < 1e-6
+
+    # update() after a worker error or when disabled is inert
+    saver3 = io_utils.IncrementalVideoSaver(24)
+    saver3._enabled = False
+    saver3.update(frames)
+    assert saver3._thread is None
+    assert saver3.save(frames, str(tmp_path / "off.mp4")).endswith(".avi")
+
+
 def test_parquet_handler_roundtrip(tmp_path):
     import pandas as pd
 
