@@ -166,13 +166,12 @@ class IncrementalVideoSaver:
                 avi_path, None, fps=self.fps, jpegs=jpegs,
                 frame_shape=(video.shape[1], video.shape[2]),
             )
-            if reused < len(video):
-                from gen3c_tpu.utils import log
+            from gen3c_tpu.utils import log
 
-                log.info(
-                    f"incremental save: reused {reused}/{len(video)} "
-                    "pre-encoded frames"
-                )
+            log.info(
+                f"incremental save: reused {reused}/{len(video)} "
+                "pre-encoded frames"
+            )
             return avi_path
         except Exception:  # pragma: no cover — last-resort parity
             return save_video(video, self.fps, filepath, self.quality)
