@@ -74,9 +74,10 @@ class IncrementalVideoSaver:
     the container from the cache.
 
     Correctness does not depend on the caller's discipline: every
-    cached JPEG is keyed by an adler32 of the frame bytes, and save()
-    re-verifies each output frame against the cache, re-encoding on any
-    mismatch (trimmed padding, compose_buffer_video, a guardrail edit).
+    cached JPEG is keyed by shape + dual 32-bit checksums of the frame
+    bytes (_frame_key), and save() re-verifies each output frame
+    against the cache, re-encoding on any mismatch (trimmed padding,
+    compose_buffer_video, a guardrail edit).
     With ffmpeg available save_video writes real mp4s instead; update()
     is then a no-op and save() just delegates. Byte-identical output to
     a plain save_video call (same PIL encode: tests/test_easy_io.py).
@@ -119,7 +120,7 @@ class IncrementalVideoSaver:
                 for fr in frames:
                     fr = np.ascontiguousarray(fr)
                     self._cache.append((
-                        zlib.adler32(fr.tobytes()),
+                        _frame_key(fr, zlib),
                         encode_jpeg_frame(fr, self.jpeg_quality),
                     ))
             except BaseException as e:  # noqa: BLE001 — save() falls back
@@ -152,7 +153,7 @@ class IncrementalVideoSaver:
             jpegs = []
             for i, frame in enumerate(video):
                 frame = np.ascontiguousarray(frame)
-                c = zlib.adler32(frame.tobytes())
+                c = _frame_key(frame, zlib)
                 if i < len(self._cache) and self._cache[i][0] == c:
                     jpegs.append(self._cache[i][1])
                     reused += 1
@@ -173,11 +174,35 @@ class IncrementalVideoSaver:
                 "pre-encoded frames"
             )
             return avi_path
-        except Exception:  # pragma: no cover — last-resort parity
+        except Exception as e:  # last-resort: save_video parity chain
+            from gen3c_tpu.utils import log
+
+            log.warning(f"incremental save failed ({e!r}); re-encoding")
+            # don't leave a truncated .avi beside the fallback output
+            try:
+                avi_path = os.path.splitext(filepath)[0] + ".avi"
+                if os.path.exists(avi_path):
+                    os.remove(avi_path)
+            except OSError:
+                pass
             return save_video(video, self.fps, filepath, self.quality)
 
 
+def _frame_key(frame: np.ndarray, zlib) -> tuple:
+    """Cache key for one uint8 frame: shape + two independent 32-bit
+    checksums (adler32 and crc32) of the bytes. A stale-frame reuse
+    needs a simultaneous collision in both (~2^-64) — the guard is
+    load-bearing for divergent callers (trims, guardrail edits), so a
+    single 32-bit sum is not enough."""
+    b = frame.tobytes()
+    return (frame.shape, zlib.adler32(b), zlib.crc32(b))
+
+
 def _ffmpeg_available() -> bool:
+    # probes the binary's presence, not a full encode: a present-but-
+    # broken ffmpeg disables the incremental path AND later fails
+    # save_video's mp4 attempt, degrading to the serial end-of-run AVI
+    # encode — correct output, just without the overlap (logged there).
     try:
         import imageio_ffmpeg
 

@@ -60,6 +60,7 @@ def write_mjpeg_avi(
     only assemble the container here."""
     if jpegs is not None:
         assert frame_shape is not None, "jpegs= requires frame_shape=(H, W)"
+        assert len(jpegs) > 0, "cannot write an AVI with zero frames"
         T, (H, W) = len(jpegs), frame_shape
     else:
         frames = np.asarray(frames)
