@@ -125,11 +125,20 @@ def bench_denoise_step_full_int8(
         lambda p, x, t, c: jnp.sum(dit_forward(p, cfg, x, t, c, fps=24.0))
     )
     float(f(qparams, x, t, ctx))  # compile + warm
-    t0 = time.perf_counter()
-    for _ in range(3):
+    # per-call min, not a mean: the axon tunnel has intermittent
+    # degradation windows (observed 2026-08-20: the same compiled step
+    # at 43-51 s vs the 29.5 s healthy plateau for ~20 min stretches) —
+    # min-of-K rejects transient interference and reports capability
+    times = []
+    for _ in range(4):
+        t0 = time.perf_counter()
         float(f(qparams, x, t, ctx))
-    dt = (time.perf_counter() - t0) / 3
-    log(f"  measured full 28-block step: {dt:.2f}s/chip")
+        times.append(time.perf_counter() - t0)
+    dt = min(times)
+    log(
+        f"  measured full 28-block step: {dt:.2f}s/chip "
+        f"(min of {[round(v, 2) for v in times]})"
+    )
     return dt
 
 
@@ -155,10 +164,12 @@ def bench_denoise_step() -> float:
             lambda p, x, t, c: jnp.sum(dit_forward(p, cfg, x, t, c, fps=24.0))
         )
         float(f(params, x, t, ctx))  # compile + warm
-        t0 = time.perf_counter()
+        times = []
         for _ in range(iters):
+            t0 = time.perf_counter()
             float(f(params, x, t, ctx))
-        dt = (time.perf_counter() - t0) / iters
+            times.append(time.perf_counter() - t0)
+        dt = min(times)  # reject transient tunnel interference
         log(f"  {nb}-block forward: {dt:.3f}s")
         return dt
 
@@ -205,10 +216,13 @@ def bench_cache_render() -> float:
     )
     px, m = cache.render_cache(w2cs, ks)  # compile + warm
     float(jnp.sum(px))  # force host read: block_until_ready can lie here
-    t0 = time.perf_counter()
-    px, m = cache.render_cache(w2cs, ks)
-    float(jnp.sum(px))
-    dt = time.perf_counter() - t0
+    times = []
+    for _ in range(2):
+        t0 = time.perf_counter()
+        px, m = cache.render_cache(w2cs, ks)
+        float(jnp.sum(px))
+        times.append(time.perf_counter() - t0)
+    dt = min(times)  # reject transient tunnel interference
     fps = 121 / dt
     log(f"  cache render: {dt:.2f}s for 121 frames = {fps:.1f} fps")
     return fps
